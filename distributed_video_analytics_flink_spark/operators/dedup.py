@@ -1,0 +1,293 @@
+"""Deduplication operators over the ``documents`` table — the training-data
+pipeline extensions (exact, fingerprint, MinHash+LSH, n-gram Jaccard,
+SimHash). The reference has no dedup surface; these are first-class engine
+operators designed for 100 TB:
+
+- exact / fingerprint dedup are hash-groupBys (one shuffle on the digest);
+- MinHash-LSH turns all-pairs similarity (O(n^2)) into a band-bucket
+  equi-join (O(n * bands + collisions));
+- token-Jaccard restricts candidate generation to an inverted-index join
+  (pairs share >= 1 token) instead of a cross join;
+- SimHash reduces each document to a small integer signature whose Hamming
+  buckets are joinable.
+
+Cross-engine determinism: all hashing is md5-hex (identical in Spark and
+DuckDB); hex digits are folded to integers with the same arithmetic on both
+sides (Spark ``conv``; DuckDB ``instr`` chain — it has no ``conv``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_video_analytics_flink_spark.operators.registry import query
+from distributed_video_analytics_flink_spark.sources.tables import load_table
+
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+
+# word-3-gram shingles of the document text, as a SQL expression usable in
+# both engines' lambda dialects
+_SPARK_SHINGLES = (
+    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
+    " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+)
+_DUCK_SHINGLES = (
+    "list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),"
+    " i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))"
+)
+
+
+def _duck_hex4_to_int(expr: str) -> str:
+    """Fold the first 4 hex chars of a md5 string to an int (DuckDB side)."""
+    digit = "(instr('0123456789abcdef', substring({e}, {i}, 1)) - 1)"
+    parts = [digit.format(e=expr, i=i) for i in (1, 2, 3, 4)]
+    return f"(({parts[0]}) * 4096 + ({parts[1]}) * 256 + ({parts[2]}) * 16 + ({parts[3]}))"
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies, ANY_VALUE(n_chars) AS n_chars
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep the lowest doc_id.
+    One shuffle keyed by the text (at 100 TB: key by sha2 digest instead so
+    shuffle rows carry 32 bytes, not document bodies)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.first("n_chars").alias("n_chars"),
+    ).drop("text")
+
+
+@query(
+    "dedup_fingerprint",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(lower(trim(text)))) AS n_fingerprints
+    FROM documents GROUP BY source
+    """,
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (md5 of lowercased trimmed text):
+    dedup that survives case/whitespace edits. The digest is what shuffles,
+    never the document body."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fp).alias("n_fingerprints"),
+    )
+
+
+def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h0..h15): per-document MinHash signature over word-3-gram
+    shingles; hash family h_i(s) = md5(i || ':' || s), min taken
+    lexicographically over the hex strings (portable across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = docs.select(
+        "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    return shingled.groupBy("doc_id").agg(*aggs)
+
+
+def _duck_minhash_cte() -> str:
+    mins = ",\n           ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(N_HASHES)
+    )
+    return f"""
+    shingles AS (
+      SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id,
+           {mins}
+      FROM shingles GROUP BY doc_id
+    )"""
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH {_duck_minhash_cte()}
+    SELECT doc_id,
+           md5(h0 || h1 || h2 || h3) AS band0,
+           md5(h4 || h5 || h6 || h7) AS band1,
+           md5(h8 || h9 || h10 || h11) AS band2,
+           md5(h12 || h13 || h14 || h15) AS band3
+    FROM sigs
+    """,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures folded into LSH band keys (16 hashes, 4 bands x 4
+    rows). Documents sharing any band key are near-dup candidates."""
+    sig = _minhash_signature(spark, sf_dir)
+    bands = [
+        F.md5(F.concat(*[F.col(f"h{b * 4 + r}") for r in range(4)])).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+    return sig.select("doc_id", *bands)
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_duck_minhash_cte()},
+    bands AS (
+      SELECT doc_id, b.band_id, b.band_hash
+      FROM sigs, LATERAL (
+        SELECT * FROM (VALUES
+          (0, md5(h0 || h1 || h2 || h3)),
+          (1, md5(h4 || h5 || h6 || h7)),
+          (2, md5(h8 || h9 || h10 || h11)),
+          (3, md5(h12 || h13 || h14 || h15))) AS v(band_id, band_hash)
+      ) b
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: unpivot band keys, self-equi-join on
+    (band_id, band_hash). This is the 100 TB shape — the join key is a
+    32-char digest, the shuffle is O(docs x bands), and no cross product
+    ever materializes."""
+    sig = _minhash_signature(spark, sf_dir)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat(*[F.col(f"h{b * 4 + r}") for r in range(4)])).alias("band_hash"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query(
+    "dedup_token_jaccard",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM tok a JOIN tok b
+        ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE a.lang = 'de'
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common) >= 0.6
+    """,
+)
+def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup (inverted-index join): candidates
+    are generated by joining on shared tokens (never a cross join), then
+    |intersection| / |union| filters pairs. Restricted to one language
+    partition ('de') as the grouping key — the standard sharding trick that
+    keeps the candidate blow-up bounded per shard."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a = tok.filter(F.col("lang") == "de").alias("a")
+    b = tok.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_common")
+    )
+    return (
+        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, {_duck_hex4_to_int("md5(token)")} AS h
+      FROM tok
+    ),
+    bitsums AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM bits, LATERAL (SELECT unnest(generate_series(0, 15)) AS bit) b
+      GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN s > 0 THEN 1 << bit ELSE 0 END) AS simhash16
+    FROM bitsums GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document: token hashes vote per bit
+    (+1/-1, duplicates weighted by frequency), sign becomes the bit. Near
+    dups differ in few bits; signatures group into Hamming buckets for
+    join-based candidate generation. Token hash = first 4 hex digits of
+    md5 folded to an int (portable: Spark conv == DuckDB instr-fold)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    h = F.conv(F.substring(F.md5("token"), 1, 4), 16, 10).cast("long")
+    bits = tok.select("doc_id", h.alias("h")).select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"), "h"
+    )
+    bitsums = bits.groupBy("doc_id", "bit").agg(
+        F.sum(
+            F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
+        ).alias("s")
+    )
+    return bitsums.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1, bit)")).otherwise(0)).alias(
+            "simhash16"
+        )
+    )

@@ -1,0 +1,841 @@
+"""Relational core: scans, joins (all families), aggregations, window
+functions, sorts/limits, set operations, subqueries, sessionization.
+
+The reference implements none of these (SURVEY.md §2.9 — no joins, no SQL
+windows, no set ops; its only aggregation is a windowed count,
+``VideoEventCreator.java:69-90``); the engine exposes them as the query
+surface the reference's data model implies, all as Catalyst built-ins so
+predicate pushdown / column pruning / join selection / AQE come for free.
+
+Scale notes (100 TB): dimension joins broadcast (region/nation/supplier/part
+stay far below the threshold even at sf100), fact-fact joins shuffle on their
+key once, aggregations are partial (map-side combine), AQE handles skew and
+partition coalescing at runtime.
+
+Oracle determinism: money aggregates use exact integer-cents arithmetic
+(functions.portable) so Spark and DuckDB agree bit-for-bit; every LIMIT is
+preceded by a total order (unique-key tie-break); timestamps in row-level
+outputs are emitted as epoch microseconds (unix_micros <-> epoch_us).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from distributed_video_analytics_flink_spark.functions.portable import (
+    avg_money,
+    cents,
+    duck_avg_money,
+    duck_sum_money,
+    sum_money,
+)
+from distributed_video_analytics_flink_spark.operators.registry import query
+from distributed_video_analytics_flink_spark.sources.tables import load_table
+
+
+def _ts(s: str) -> F.Column:
+    return F.lit(s).cast("timestamp")
+
+
+def _disc_bp() -> F.Column:
+    """(100 - discount-in-hundredths) as exact integer basis points."""
+    return 100 - F.round(F.col("l_discount") * 100).cast("long")
+
+
+def _tax_bp() -> F.Column:
+    return 100 + F.round(F.col("l_tax") * 100).cast("long")
+
+
+# --------------------------------------------------------------------------
+# Scans / filter / project
+# --------------------------------------------------------------------------
+@query(
+    "scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate < TIMESTAMP '1998-04-01'
+      AND l_discount >= 0.05
+    """,
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate scan. Both the filters and the 4-column
+    projection reach the parquet reader (PushedFilters / ReadSchema in
+    .explain) — at 100 TB this reads a fraction of the table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= _ts("1998-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-04-01"))
+        & (F.col("l_discount") >= 0.05)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {duck_sum_money("l_quantity", "sum_qty")},
+           {duck_sum_money("l_extendedprice", "sum_base_price")},
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+               AS sum_disc_price,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+               * (100 + CAST(round(l_tax * 100) AS BIGINT))) / 1000000.0
+               AS sum_charge,
+           {duck_avg_money("l_quantity", "avg_qty")},
+           {duck_avg_money("l_extendedprice", "avg_price")},
+           {duck_avg_money("l_discount", "avg_disc")},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: the hash-aggregate workhorse. Partial
+    aggregation means the shuffle carries only |groups| x |partitions| rows
+    regardless of input size."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= _ts("2001-09-01"))
+    ext_c = cents("l_extendedprice")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum_money("l_quantity", "sum_qty"),
+        sum_money("l_extendedprice", "sum_base_price"),
+        (F.sum(ext_c * _disc_bp()) / 10000.0).alias("sum_disc_price"),
+        (F.sum(ext_c * _disc_bp() * _tax_bp()) / 1000000.0).alias("sum_charge"),
+        avg_money("l_quantity", "avg_qty"),
+        avg_money("l_extendedprice", "avg_price"),
+        avg_money("l_discount", "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "forecast_revenue",
+    oracle="""
+    SELECT SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style selective scan-aggregate — all four predicates reach
+    the parquet scan; a single global agg with map-side partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    return li.filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+        & F.col("l_discount").between(0.04, 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg((F.sum(cents("l_extendedprice") * disc_c) / 10000.0).alias("revenue"))
+
+
+# --------------------------------------------------------------------------
+# Flagship (SURVEY.md §7.2): detections per camera per day analog
+# --------------------------------------------------------------------------
+@query(
+    "events_per_user_day",
+    oracle="""
+    SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+    FROM events GROUP BY user_id, CAST(ts AS DATE)
+    """,
+)
+def events_per_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: detections-per-camera-per-day — the exact read path the
+    reference's Cassandra layout serves (partition key (camera_id, day),
+    CassandraService.java:139-140), over the events stream-table analog."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+# --------------------------------------------------------------------------
+# Join families
+# --------------------------------------------------------------------------
+@query(
+    "join_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+               AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style 3-way equi-join + agg + deterministic top-k."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < _ts("1998-01-01"))
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > _ts("1998-01-01"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(cents("l_extendedprice") * _disc_bp()) / 10000.0).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.to_date("o_orderdate").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r_name AS region, n_name AS nation,
+           COUNT(*) AS n_suppliers,
+           SUM(CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0 AS total_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dim joins with explicit broadcast hints: zero shuffle on
+    the fact side — the pattern every 100 TB dim join should compile to."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            sum_money("s_acctbal", "total_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_region_revenue",
+    oracle="""
+    SELECT n_name AS nation,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+               AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    """,
+)
+def join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way join: local-supplier revenue by nation. Facts
+    shuffle on custkey/orderkey; supplier/nation/region broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1999-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(sup),
+            (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg((F.sum(cents("l_extendedprice") * _disc_bp()) / 10000.0).alias("revenue"))
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey) AS n_orders,
+           COALESCE(SUM(CAST(round(o_totalprice * 100) AS BIGINT)), 0) / 100.0
+               AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping zero-order customers (count of nulls = 0,
+    sum coalesced to 0)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            (F.coalesce(F.sum(cents("o_totalprice")), F.lit(0)) / 100.0).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+               FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+               FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates with coalesced keys."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return cust.join(sup, cust.nk_c == sup.nk_s, "full_outer").select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): customers with at least one finished order.
+    Semi joins never duplicate the left side — cheaest existence check."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): customers with no orders at all."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "join_range_events",
+    oracle="""
+    SELECT e1.event_id AS error_id, COUNT(e2.event_id) AS followups
+    FROM events e1
+    LEFT JOIN events e2
+      ON e2.user_id = e1.user_id
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+     AND e2.event_id <> e1.event_id
+    WHERE e1.event_type = 'error'
+    GROUP BY e1.event_id
+    """,
+)
+def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: activity within 10 minutes after each error
+    event. The equi component (user_id) keys the shuffle so the range
+    predicate only scans within each user's rows — the scalable form of a
+    range join (never a full cross product)."""
+    ev = load_table(spark, sf_dir, "events")
+    e1 = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("u1"),
+        F.col("ts").alias("t1"),
+    )
+    e2 = ev.select(
+        F.col("event_id").alias("e2_id"), F.col("user_id").alias("u2"), F.col("ts").alias("t2")
+    )
+    cond = (
+        (e2.u2 == e1.u1)
+        & (e2.t2 > e1.t1)
+        & (e2.t2 <= e1.t1 + F.expr("INTERVAL 10 MINUTES"))
+        & (e2.e2_id != e1.error_id)
+    )
+    return (
+        e1.join(e2, cond, "left")
+        .groupBy("error_id")
+        .agg(F.count("e2_id").alias("followups"))
+    )
+
+
+@query(
+    "join_asof_orders",
+    oracle="""
+    SELECT e.event_id, MAX(o.o_orderdate) AS asof_orderdate
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    GROUP BY e.event_id
+    """,
+)
+def join_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the most recent order of the same user at
+    or before the event time. Implemented as equi-join on the key + max over
+    the qualifying rows — shuffle is keyed by user, so per-key fan-out stays
+    bounded; a sort-merge as-of (pd.merge_asof via applyInPandas) is the
+    alternative for dense keys (see streaming module)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    cond = (orders.o_custkey == ev.user_id) & (orders.o_orderdate <= ev.ts)
+    return (
+        ev.join(orders, cond, "left")
+        .groupBy("event_id")
+        .agg(F.max("o_orderdate").alias("asof_orderdate"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation families
+# --------------------------------------------------------------------------
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (expand + two-phase agg under the hood)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        sum_money("value", "total_value"),
+    )
+
+
+@query("agg_approx_distinct")  # HLL sketches differ across engines: rows-only check
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB substitute for
+    exact COUNT(DISTINCT): no expand, constant memory per group. Sketch
+    values are engine-specific, so no value oracle (driver does rows-only)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("median_price_approx"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    WITH o AS (SELECT EXTRACT(year FROM o_orderdate)::INT AS order_year,
+                      o_orderpriority, o_totalprice
+               FROM orders)
+    SELECT order_year, o_orderpriority,
+           COUNT(*) AS n_orders,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total,
+           2 * GROUPING(order_year) + GROUPING(o_orderpriority) AS gid
+    FROM o
+    GROUP BY ROLLUP (order_year, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (year -> priority -> grand total) with a
+    grouping-id tag distinguishing subtotal levels."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    return orders.rollup("order_year", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        sum_money("o_totalprice", "total"),
+        (2 * F.grouping("order_year") + F.grouping("o_orderpriority")).alias("gid"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations of (status, priority)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), sum_money("o_totalprice", "total")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (temp view + spark.sql)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(round(l_quantity * 100) AS BIGINT)) / CAST(100 AS DOUBLE)
+                   AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           COUNT(*) AS n,
+           SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+           MIN(CAST(l_shipdate AS DATE)) AS first_ship,
+           MAX(CAST(l_shipdate AS DATE)) AS last_ship
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/count over numerics and dates (order statistics are exact and
+    order-independent, so raw doubles are safe here)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count(F.lit(1)).alias("n"),
+        sum_money("l_quantity", "sum_qty"),
+        F.min(F.to_date("l_shipdate")).alias("first_ship"),
+        F.max(F.to_date("l_shipdate")).alias("last_ship"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+@query(
+    "window_ranking",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           LAG(o_orderkey) OVER w AS prev_orderkey,
+           LEAD(o_orderkey) OVER w AS next_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + offset window functions over a deterministic total order."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@query(
+    "window_frames",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+               AS running_total,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0
+               AS moving_3
+    FROM orders
+    """,
+)
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate window functions with explicit ROWS frames (running total,
+    3-row moving sum), exact-cents for cross-engine determinism."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    c = cents("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.sum(c).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)) / 100.0).alias(
+            "running_total"
+        ),
+        (F.sum(c).over(w.rowsBetween(-2, W.currentRow)) / 100.0).alias("moving_3"),
+    )
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number — the scalable top-k (no global sort;
+    Spark pushes a per-partition rank limit before the shuffle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, event_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag + gap flag + running sum = session ids,
+    then per-session aggregates. One shuffle on user_id serves both the
+    window and the final groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 30 * 60), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / top-k
+# --------------------------------------------------------------------------
+@query(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark compiles orderBy+limit to TakeOrderedAndProject —
+    per-partition heaps + driver merge, no full sort at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+@query(
+    "set_union",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    UNION
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): high-balance customers plus big-order customers."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    b = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.union(b).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers having both open and finished orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customer keys that never ordered (set-op form of anti join)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return cust.exceptAll(orders).distinct()
+
+
+# --------------------------------------------------------------------------
+# Subqueries & conditional aggregation (pivot)
+# --------------------------------------------------------------------------
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > (
+      SELECT 2 * (SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                  / COUNT(*))
+      FROM orders)
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (orders above 2x the mean price),
+    via the SQL surface; the exact-cents mean keeps the cut deterministic."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (
+          SELECT 2 * (SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                      / CAST(100 AS DOUBLE) / COUNT(*))
+          FROM orders)
+        """
+    )
+
+
+@query(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (explicit value list — never let pivot scan for distinct values
+    at scale) to per-user event-type counts."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+    )
+    # pivot yields nulls for absent combos; normalize to 0 like FILTER counts
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["click", "view", "purchase", "signup", "error"]],
+    )

@@ -1,0 +1,258 @@
+"""Similarity search over the ``embeddings`` table (array<float> column):
+brute-force cosine top-k (baseline), label-blocked near-dup pairs, and a
+hyperplane-LSH bucketed ANN variant (the scale path).
+
+Scale design (100 TB): brute-force top-k against a single query vector is a
+broadcast of the query + one pass over the table (embarrassingly parallel,
+TakeOrderedAndProject for the top-k — no global sort). All-pairs similarity
+is never materialized as a cross join: pairs are blocked by a key (label /
+LSH bucket) so the self-join shuffles on the block key and only intra-block
+pairs exist.
+
+Cross-engine determinism: dot products are quantized to exact integers
+(round(x * y * 1e12) per term, summed as BIGINT — order-independent), so
+Spark and the DuckDB oracle produce bit-identical similarity values and
+identical rankings. Arrays fold JVM-side via zip_with/aggregate (no Python
+in the loop); a Pandas-UDF path would be the alternative for very wide
+vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_video_analytics_flink_spark.operators.registry import query
+from distributed_video_analytics_flink_spark.sources.tables import load_table
+
+_Q = 1e12  # quantization scale for integer dot products
+
+
+def _dot_q(a: str, b: str) -> Column:
+    """Exact-integer quantized dot product of two float-array columns
+    (JVM-side fold; deterministic regardless of summation order)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) ->"
+        f" cast(round(cast(x as double) * cast(y as double) * {_Q}) as bigint)),"
+        f" cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+
+
+def _duck_dot_q(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})),"
+        f" i -> CAST(round({a}[i]::DOUBLE * {b}[i]::DOUBLE * {_Q}) AS BIGINT)))"
+    )
+
+
+def _cos_q(dot: Column, na: Column, nb: Column) -> Column:
+    return dot / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+
+
+def _duck_cos_q(dot: str, na: str, nb: str) -> str:
+    return f"({dot}) / (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))"
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             {_duck_cos_q(
+                 _duck_dot_q("e.embedding", "q.qv"),
+                 _duck_dot_q("e.embedding", "e.embedding"),
+                 _duck_dot_q("q.qv", "q.qv"),
+             )} AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, label, cosine FROM scored
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for one query vector (vec_id=0): broadcast
+    the query, one scan, per-partition heap top-k. The exact baseline every
+    ANN variant is judged against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            _cos_q(
+                _dot_q("embedding", "qv"),
+                _dot_q("embedding", "embedding"),
+                _dot_q("qv", "qv"),
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
+
+
+@query(
+    "sim_neardup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           {_duck_cos_q(
+               _duck_dot_q("a.embedding", "b.embedding"),
+               _duck_dot_q("a.embedding", "a.embedding"),
+               _duck_dot_q("b.embedding", "b.embedding"),
+           )} AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_duck_cos_q(
+               _duck_dot_q("a.embedding", "b.embedding"),
+               _duck_dot_q("a.embedding", "a.embedding"),
+               _duck_dot_q("b.embedding", "b.embedding"),
+           )} >= 0.35
+    """,
+)
+def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs, blocked by label: the self-join
+    shuffles on the block key so only intra-block pairs are scored (the
+    all-pairs cross join never exists). At 100 TB the block key would be an
+    LSH bucket (see sim_ann_lsh) instead of a label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = _cos_q(
+        _dot_q("a.embedding", "b.embedding"),
+        _dot_q("a.embedding", "a.embedding"),
+        _dot_q("b.embedding", "b.embedding"),
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
+_N_PLANES = 8
+
+
+@query(
+    "sim_ann_lsh",
+    oracle=f"""
+    WITH planes AS (
+      SELECT vec_id AS plane_id, embedding AS pv FROM embeddings
+      WHERE vec_id BETWEEN 1 AND {_N_PLANES}
+    ),
+    buckets AS (
+      SELECT e.vec_id, e.label, e.embedding,
+             SUM(CASE WHEN {_duck_dot_q("e.embedding", "p.pv")} > 0
+                      THEN 1 << (p.plane_id - 1) ELSE 0 END) AS bucket
+      FROM embeddings e, planes p
+      GROUP BY e.vec_id, e.label, e.embedding
+    ),
+    q AS (SELECT bucket AS qbucket, embedding AS qv FROM buckets WHERE vec_id = 0)
+    SELECT b.vec_id, b.label,
+           {_duck_cos_q(
+               _duck_dot_q("b.embedding", "q.qv"),
+               _duck_dot_q("b.embedding", "b.embedding"),
+               _duck_dot_q("q.qv", "q.qv"),
+           )} AS cosine
+    FROM buckets b, q
+    WHERE b.bucket = q.qbucket AND b.vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC LIMIT 5
+    """,
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH (deterministic planes = embeddings
+    1..8): each vector gets an 8-bit bucket of dot-product signs; the query
+    searches only its own bucket (~1/256 of the data). The scale path for
+    similarity search — candidate generation is an equi-join on the bucket
+    key, scoring touches a tiny fraction of vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = emb.filter(F.col("vec_id").between(1, _N_PLANES)).select(
+        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("pv")
+    )
+    buckets = (
+        emb.crossJoin(F.broadcast(planes))
+        .groupBy("vec_id", "label", "embedding")
+        .agg(
+            F.sum(
+                F.when(_dot_q("embedding", "pv") > 0, F.expr("shiftleft(1, plane_id - 1)")).otherwise(0)
+            ).alias("bucket")
+        )
+    )
+    q = buckets.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qbucket"), F.col("embedding").alias("qv")
+    )
+    return (
+        buckets.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select(
+            "vec_id",
+            "label",
+            _cos_q(
+                _dot_q("embedding", "qv"),
+                _dot_q("embedding", "embedding"),
+                _dot_q("qv", "qv"),
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+@query(
+    "sim_ivf_cells",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT e.vec_id, c.cent_id,
+             {_duck_cos_q(
+                 _duck_dot_q("e.embedding", "c.cv"),
+                 _duck_dot_q("e.embedding", "e.embedding"),
+                 _duck_dot_q("c.cv", "c.cv"),
+             )} AS cosine
+      FROM embeddings e, cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, cent_id ASC) AS rn
+      FROM scored
+    )
+    SELECT cent_id, COUNT(*) AS cell_size
+    FROM assigned WHERE rn = 1 GROUP BY cent_id
+    """,
+)
+def sim_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF partitioning: assign every vector to its nearest of 10 seed
+    centroids (deterministic seeds = vec_id < 10; a production build would
+    k-means-iterate). The inverted-file cell map is what makes ANN search
+    scan 1/K of the data; this query returns the cell histogram."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        _cos_q(
+            _dot_q("embedding", "cv"),
+            _dot_q("embedding", "embedding"),
+            _dot_q("cv", "cv"),
+        ).alias("cosine"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("cent_id")
+        .agg(F.count(F.lit(1)).alias("cell_size"))
+    )

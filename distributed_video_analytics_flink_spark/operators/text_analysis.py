@@ -1,0 +1,187 @@
+"""Text-analysis operators over ``documents``: language-ID heuristic,
+quality scoring, token counting, document fingerprinting, corpus term stats.
+
+All expressions are JVM-side built-ins (split/explode/regexp/md5 — no Python
+UDFs), so they whole-stage-codegen and scale linearly; the only shuffles are
+the final groupBys on low-cardinality keys. Ratios are computed as exact
+integer counts divided once at the end (deterministic across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_video_analytics_flink_spark.operators.registry import query
+from distributed_video_analytics_flink_spark.sources.tables import load_table
+
+# tiny English stopword list for the n-gram/stopword heuristics
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+_STOP_SQL = "('" + "','".join(_STOPWORDS) + "')"
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    stats AS (
+      SELECT doc_id, ANY_VALUE(lang) AS lang, COUNT(*) AS n_tok,
+             COUNT(*) FILTER (WHERE token IN {_STOP_SQL}) AS n_stop
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, lang,
+           CASE WHEN CAST(n_stop AS DOUBLE) / n_tok >= 0.05 THEN 'en'
+                ELSE 'other' END AS predicted_lang,
+           CAST(n_stop AS DOUBLE) / n_tok AS stopword_ratio
+    FROM stats
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: English-stopword density (an n-gram-profile
+    classifier degenerates to this with a 1-gram profile of function words).
+    Integer counts divided once => deterministic ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+    stats = tok.groupBy("doc_id").agg(
+        F.first("lang").alias("lang"),
+        F.count(F.lit(1)).alias("n_tok"),
+        F.count(F.when(F.col("token").isin(*_STOPWORDS), 1)).alias("n_stop"),
+    )
+    ratio = F.col("n_stop").cast("double") / F.col("n_tok")
+    return stats.select(
+        "doc_id",
+        "lang",
+        F.when(ratio >= 0.05, "en").otherwise("other").alias("predicted_lang"),
+        ratio.alias("stopword_ratio"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tstats AS (
+      SELECT doc_id, COUNT(*) AS n_tok,
+             SUM(length(token)) AS sum_tok_len,
+             COUNT(*) FILTER (WHERE token IN {_STOP_SQL}) AS n_stop,
+             COUNT(DISTINCT token) AS n_distinct
+      FROM tok GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n_chars, t.n_tok,
+           CAST(t.sum_tok_len AS DOUBLE) / t.n_tok AS avg_token_len,
+           CAST(t.n_distinct AS DOUBLE) / t.n_tok AS distinct_ratio,
+           CAST(t.n_stop AS DOUBLE) / t.n_tok AS stopword_ratio,
+           CASE WHEN t.n_tok >= 20
+                 AND CAST(t.sum_tok_len AS DOUBLE) / t.n_tok BETWEEN 2 AND 12
+                 AND CAST(t.n_distinct AS DOUBLE) / t.n_tok >= 0.2
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM documents d JOIN tstats t ON d.doc_id = t.doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, mean token length, type/token ratio,
+    stopword density, and a pass/fail gate — the standard pre-training
+    corpus filters, all as codegen'd integer arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tstats = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.length("token")).alias("sum_tok_len"),
+        F.count(F.when(F.col("token").isin(*_STOPWORDS), 1)).alias("n_stop"),
+        F.countDistinct("token").alias("n_distinct"),
+    )
+    avg_len = F.col("sum_tok_len").cast("double") / F.col("n_tok")
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tok")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tok")
+    return docs.select("doc_id", "n_chars").join(tstats, "doc_id").select(
+        "doc_id",
+        "n_chars",
+        "n_tok",
+        avg_len.alias("avg_token_len"),
+        distinct_ratio.alias("distinct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        F.when(
+            (F.col("n_tok") >= 20) & avg_len.between(2, 12) & (distinct_ratio >= 0.2), 1
+        )
+        .otherwise(0)
+        .alias("passes_quality"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=r"""
+    SELECT source,
+           SUM(len(string_split(text, ' '))) AS ws_tokens,
+           SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS re_tokens,
+           SUM(n_chars) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    lexer ([a-z]+ | digits | single punctuation) — the cheap token-budget
+    estimators a 100 TB corpus pipeline runs before training."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("ws_tokens"),
+        F.sum(
+            F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        ).alias("re_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fingerprint,
+           substring(md5(lower(trim(text))), 1, 8) AS shard_key
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: normalized-content digest + an 8-hex-char
+    shard key — the identity used for cross-shard dedup joins (digests
+    shuffle; bodies never do)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("shard_key")
+    )
+
+
+@query(
+    "text_term_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token,
+           COUNT(*) AS total_freq,
+           COUNT(DISTINCT doc_id) AS doc_freq
+    FROM tok GROUP BY token
+    ORDER BY total_freq DESC, token ASC
+    LIMIT 20
+    """,
+)
+def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics (tf / df — the aggregates behind tf-idf):
+    explode + two-level aggregation with partial combine; top-20 terms."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("total_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("total_freq"), F.asc("token"))
+        .limit(20)
+    )

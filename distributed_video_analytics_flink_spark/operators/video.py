@@ -1,0 +1,293 @@
+"""Video-pipeline operators: the reference's actual dataflow (SURVEY.md §2.2
+T1-T11, §2.3 CV1-CV8, §2.4 K2-batch) as batch DataFrame transforms, plus the
+multimodal (binary-column) plumbing for image/audio/video payloads.
+
+The streaming twins (Kafka source, applyInPandasWithState) live in
+``streaming/``; batch and streaming share the same pandas-UDF motion kernel
+(functions.motion) — the batch/streaming equivalence property is pinned by
+tests (SURVEY.md §7.4.5).
+
+Frame synthesis: the driver's testdata has no frame table, so the oracled
+queries here synthesize deterministic frame *metadata* from ``events`` (the
+stream-table analog per FIXTURES.md §3) and prove the JSON / base64 / day /
+path transforms roundtrip exactly; the motion queries build the FIXTURES.md
+§1.1 golden frame sequence in-session (seeded, no wall clock).
+"""
+
+from __future__ import annotations
+
+import base64
+from datetime import datetime, timedelta, timezone
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from distributed_video_analytics_flink_spark.functions.motion import detect_motion_boxes
+from distributed_video_analytics_flink_spark.operators.registry import query
+from distributed_video_analytics_flink_spark.schemas import FRAME_SCHEMA, MOTION_BOX
+from distributed_video_analytics_flink_spark.sources.tables import load_table
+
+
+@query(
+    "video_frame_json_roundtrip",
+    oracle="""
+    SELECT 'cam' || CAST(user_id % 4 AS VARCHAR) AS camId,
+           epoch_us(ts) AS ts_us,
+           8 AS rows, 8 AS cols, 16 AS type,
+           octet_length(encode(substring(props, 1, 16))) AS payload_bytes
+    FROM events WHERE event_id % 20 = 0
+    """,
+)
+def video_frame_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T3/F1/F2: VideoFrameData JSON wire-format roundtrip. Frames are
+    synthesized from events (camId = user_id mod 4, payload = base64 of a
+    props slice), serialized with to_json exactly like the producer
+    (VideoEventCreator.java:218-233), parsed back with from_json in
+    PERMISSIVE mode like the processor (VideoProcessor.java:143-153), and
+    the decoded fields are emitted. The oracle states the fixed point —
+    serialize(parse(x)) == x."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    frames = ev.select(
+        F.concat(F.lit("cam"), (F.col("user_id") % 4).cast("string")).alias("camId"),
+        F.col("ts").alias("timestamp"),
+        F.lit(8).alias("rows"),
+        F.lit(8).alias("cols"),
+        F.lit(16).alias("type"),
+        F.base64(F.encode(F.substring("props", 1, 16), "utf-8")).alias("data"),
+    )
+    # microsecond timestampFormat: Spark's JSON default truncates to ms
+    ts_opts = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+    wire = frames.select(
+        F.to_json(F.struct(*[F.col(c) for c in frames.columns]), ts_opts).alias("json")
+    )
+    parsed = wire.select(F.from_json("json", FRAME_SCHEMA, ts_opts).alias("f")).select("f.*")
+    # T2: PERMISSIVE parse yields nulls on malformed rows; drop them
+    parsed = parsed.filter(F.col("camId").isNotNull())
+    return parsed.select(
+        "camId",
+        F.unix_micros("timestamp").alias("ts_us"),
+        "rows",
+        "cols",
+        "type",
+        F.octet_length(F.unbase64("data")).alias("payload_bytes"),
+    )
+
+
+@query(
+    "video_results_projection",
+    oracle="""
+    SELECT md5(CAST(event_id AS VARCHAR)) AS id,
+           'cam' || CAST(user_id % 4 AS VARCHAR) AS camera_id,
+           strftime(ts, '%Y-%m-%d') AS day,
+           epoch_us(ts) AS frame_ts_us,
+           'motion' AS detection_type,
+           1 AS detection_count,
+           480 AS frame_rows, 640 AS frame_cols,
+           '/data/processed/cam' || CAST(user_id % 4 AS VARCHAR) || '-T-' ||
+               CAST(epoch_ms(ts) AS VARCHAR) || '.png' AS image_path,
+           '' AS metadata
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def video_results_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6-T11: the ProcessingResult row build — deterministic id (injectable
+    id salt replaces uuid(), SURVEY.md §7.4.3), UTC day derivation
+    (CassandraService.java:153), image-path formatting
+    (VideoProcessor.java:197-198), literal detection type/count
+    (VideoProcessor.java:181,194), null-to-empty metadata coalesce
+    (CassandraService.java:158-159)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    cam = F.concat(F.lit("cam"), (F.col("user_id") % 4).cast("string"))
+    return ev.select(
+        F.md5(F.col("event_id").cast("string")).alias("id"),
+        cam.alias("camera_id"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.unix_micros("ts").alias("frame_ts_us"),
+        F.lit("motion").alias("detection_type"),
+        F.lit(1).alias("detection_count"),
+        F.lit(480).alias("frame_rows"),
+        F.lit(640).alias("frame_cols"),
+        F.format_string(
+            "/data/processed/%s-T-%d.png", cam, F.unix_millis("ts")
+        ).alias("image_path"),
+        F.coalesce(F.lit(None).cast("string"), F.lit("")).alias("metadata"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Motion detection (CV1-CV8 + K2-batch) on the FIXTURES.md §1.1 sequence
+# --------------------------------------------------------------------------
+_FIX_ROWS = 48
+_FIX_COLS = 64
+_FIX_CAMS = 4
+_FIX_FRAMES = 10
+_FIX_BLOCK = 24  # block side: 24x24 = 576 px > MIN_AREA 300
+
+
+def fixture_frames() -> list[dict]:
+    """FIXTURES.md §1.1 deterministic motion scenario, scaled to 48x64 so
+    the moving block (24x24 = 576 px) clears the 300-px area gate: frames
+    0-4 constant gray 50; frame 5 lights a block at (8, 8); frames 6-9 the
+    block slides +1 px/frame in x. Pure function of (cam, index); seed-free."""
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    out = []
+    for cam in range(_FIX_CAMS):
+        for i in range(_FIX_FRAMES):
+            frame = np.full((_FIX_ROWS, _FIX_COLS, 3), 50, dtype=np.uint8)
+            if i >= 5:
+                x0 = 8 + (i - 5)
+                frame[8 : 8 + _FIX_BLOCK, x0 : x0 + _FIX_BLOCK, :] = 200
+            out.append(
+                {
+                    "camId": f"cam{cam}",
+                    "timestamp": t0 + timedelta(milliseconds=33 * i + cam),
+                    "rows": _FIX_ROWS,
+                    "cols": _FIX_COLS,
+                    "type": 16,
+                    "data": base64.b64encode(frame.tobytes()).decode("ascii"),
+                }
+            )
+    return out
+
+
+_MOTION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("camId", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("motion_boxes", T.ArrayType(MOTION_BOX)),
+        T.StructField("detection_count", T.IntegerType()),
+    ]
+)
+
+
+def detect_motion_batch(frames: DataFrame) -> DataFrame:
+    """K2-batch: per-camera previous frame via lag() over an explicit
+    timestamp order (the reference relies on Kafka arrival order; the engine
+    makes CV8's sort real — SURVEY.md §7.4.1), then the CV chain as one
+    Arrow-batched pandas UDF over (prev, cur) byte pairs.
+
+    Scale: the only shuffle is the window partition on camId; pixel payloads
+    are projected to exactly the columns the UDF needs, and Arrow batch size
+    is capped in the session factory to bound per-batch memory with ~1 MB
+    frames."""
+    w = W.partitionBy("camId").orderBy("timestamp")
+    paired = frames.select(
+        "camId",
+        "timestamp",
+        "rows",
+        "cols",
+        F.unbase64("data").alias("cur"),
+        F.lag(F.unbase64("data")).over(w).alias("prev"),
+    )
+
+    def _detect(batches):
+        for pdf in batches:
+            boxes = [
+                detect_motion_boxes(
+                    None if prev is None else bytes(prev),
+                    bytes(cur),
+                    int(rows),
+                    int(cols),
+                )
+                for prev, cur, rows, cols in zip(
+                    pdf["prev"], pdf["cur"], pdf["rows"], pdf["cols"]
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "camId": pdf["camId"],
+                    "ts_us": pdf["timestamp"].values.astype("datetime64[us]").astype("int64"),
+                    "motion_boxes": [
+                        [{"x": x, "y": y, "w": w_, "h": h_} for x, y, w_, h_ in b]
+                        for b in boxes
+                    ],
+                    "detection_count": [len(b) for b in boxes],
+                }
+            )
+
+    return paired.mapInPandas(_detect, _MOTION_OUT_SCHEMA)
+
+
+@query("video_motion_batch")  # CV chain is not SQL-expressible: rows-only check
+def video_motion_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CV1-CV8 end-to-end in batch on the golden fixture sequence: decode
+    base64 -> gray -> blur 3x3 -> absdiff -> threshold 20 -> components
+    area > 300 -> boxes, with per-camera lag() supplying the previous frame
+    (identical semantics to the reference's ValueState, K2). Golden
+    assertions live in tests/test_motion_golden.py; here the driver checks
+    the plumbing runs and yields stable rows."""
+    frames = spark.createDataFrame(fixture_frames(), schema=FRAME_SCHEMA)
+    out = detect_motion_batch(frames)
+    return out.select(
+        "camId",
+        "ts_us",
+        "detection_count",
+        F.to_json("motion_boxes").alias("boxes_json"),
+    )
+
+
+@query(
+    "multimodal_binary_features",
+    oracle=None,  # mapInPandas feature extraction: rows-only check
+)
+def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: documents as opaque binary payloads with
+    typed metadata, run through a mapInPandas feature extractor (byte stats
+    here; a real image/audio decode would slot into `_extract` — that step
+    is STUBBED since codec libs are absent, but the schema, batching, and
+    partition shape are the production path)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    payloads = docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.col("lang").alias("modality_hint"),
+            F.col("n_chars").alias("declared_size"),
+        ).alias("meta"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bytes", T.IntegerType()),
+            T.StructField("mean_byte", T.DoubleType()),
+            T.StructField("max_byte", T.IntegerType()),
+            T.StructField("modality", T.StringType()),
+        ]
+    )
+
+    def _extract(batches):
+        for pdf in batches:
+            feats = []
+            for _, row in pdf.iterrows():
+                buf = np.frombuffer(bytes(row["payload"]), dtype=np.uint8)
+                # Real decoders (image resize / audio resample / frame
+                # sampling) would be called here; absent codecs => byte stats.
+                feats.append(
+                    (
+                        row["doc_id"],
+                        int(buf.size),
+                        float(buf.mean()) if buf.size else 0.0,
+                        int(buf.max()) if buf.size else 0,
+                        row["meta"]["modality_hint"],
+                    )
+                )
+            yield pd.DataFrame(
+                feats, columns=["doc_id", "n_bytes", "mean_byte", "max_byte", "modality"]
+            )
+
+    return payloads.mapInPandas(_extract, out_schema)
+
+
+def decode_image_stub(payload: bytes) -> np.ndarray:
+    """Placeholder for the image-decode step of the multimodal path. The
+    container ships no codec libraries; production would use cv2/PIL here.
+    Kept as an explicit stub so the pipeline shape is honest."""
+    raise NotImplementedError(
+        "image decode requires a codec library (cv2/PIL) not present in this "
+        "environment; multimodal_binary_features uses byte statistics instead"
+    )

@@ -1,0 +1,58 @@
+"""Batch parquet sources for the testdata star schema.
+
+Parquet scans are the engine's default at-rest format: columnar, splittable,
+with predicate pushdown and column pruning handled by Catalyst (verify with
+``df.explain`` — PushedFilters / ReadSchema). At 100 TB the same loader works
+unchanged; partition pruning comes from directory layout when tables are
+written with ``partitionBy`` (see operators.frame_pipeline for the results
+table layout).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from distributed_video_analytics_flink_spark.schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table (``{sf_dir}/{name}.parquet``).
+
+    Spark cannot natively read parquet TIMESTAMP(NANOS) columns (the events
+    table stores ns); ``nanosAsLong`` reads them as raw int64 and the loader
+    converts to microsecond timestamps (same truncation DuckDB applies), so
+    downstream operators always see TimestampType.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # exact integer division — double division loses precision at
+            # 1e18-ns magnitudes and lands 1us off
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Load tables and register each as a temp view so every capability is
+    reachable from both the DataFrame and SQL surfaces (SURVEY.md §7.1)."""
+    dfs = load_tables(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,49 @@
+"""Oracle-parity gate (local mirror of the driver's t2 check): every
+registered query with an oracle must hash-match DuckDB on the same tables;
+oracle-less queries must at least run and return a stable schema."""
+
+from __future__ import annotations
+
+import pytest
+
+from distributed_video_analytics_flink_spark import operators as ops
+from tests.conftest import ORACLE_SF_DIR
+from tests.oracle_harness import compare, diff_sample, duck_connection
+
+_SPECS = list(ops.QUERIES.values())
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(ORACLE_SF_DIR)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("spec", [s for s in _SPECS if s.oracle], ids=lambda s: s.name)
+def test_oracle_match(spark, duck, spec):
+    df = spec.fn(spark, ORACLE_SF_DIR)
+    result = compare(df, duck, spec.oracle)
+    if not result["hash_match"]:
+        only_spark, only_duck = diff_sample(spec.fn(spark, ORACLE_SF_DIR), duck, spec.oracle)
+        pytest.fail(
+            f"{spec.name}: {result}\n  only-spark: {only_spark}\n  only-duck: {only_duck}"
+        )
+
+
+@pytest.mark.parametrize("spec", [s for s in _SPECS if not s.oracle], ids=lambda s: s.name)
+def test_rows_only(spark, spec):
+    df = spec.fn(spark, ORACLE_SF_DIR)
+    assert len(df.columns) > 0
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    # every oracle key must exist in queries
+    qs = e.queries()
+    for name in e.oracle_sql():
+        assert name in qs
