@@ -1,0 +1,155 @@
+#!/usr/bin/env python3
+"""Benchmark harness: times the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also measures the motion-detection pipeline's frame throughput (frames/s on
+640x480 BGR frames) — directly comparable to the reference's config-derived
+~120 frames/s envelope (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "pricing_summary",
+    "forecast_revenue",
+    "scan_filter_project",
+    "join_shipping_priority",
+    "join_region_revenue",
+    "join_left_outer",
+    "join_range_events",
+    "join_asof_orders",
+    "agg_rollup",
+    "agg_distinct",
+    "window_topk_per_group",
+    "window_frames",
+    "sessionize_events",
+    "events_per_user_day",
+    "sort_limit_topk",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_token_jaccard",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "sim_neardup_pairs",
+    "sim_ann_lsh",
+    "text_term_stats",
+    "text_token_count",
+    "text_quality_score",
+    "pivot_event_counts",
+]
+
+MOTION_FRAMES_PER_CAM = 32
+MOTION_CAMS = 32
+
+
+def _force(df) -> int:
+    """Materialize the full plan without driver-side transfer."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def bench_motion_fps(spark) -> tuple[float, int]:
+    """Distributed synthetic 640x480 BGR frames through the full batch
+    motion pipeline (lag window + pandas-UDF CV chain); returns (sec, frames)."""
+    import base64
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from distributed_video_analytics_flink_spark.operators.video import detect_motion_batch
+    from distributed_video_analytics_flink_spark.schemas import FRAME_SCHEMA
+
+    n = MOTION_CAMS * MOTION_FRAMES_PER_CAM
+    idx = spark.range(n).select(
+        (F.col("id") % MOTION_CAMS).alias("cam"), (F.col("id") / MOTION_CAMS).cast("int").alias("i")
+    )
+
+    def _gen(batches):
+        for pdf in batches:
+            rows = []
+            for cam, i in zip(pdf["cam"], pdf["i"]):
+                frame = np.full((480, 640, 3), 50, dtype=np.uint8)
+                if i % 10 >= 5:
+                    x0 = 100 + int(i % 10) * 3
+                    frame[100:160, x0 : x0 + 60, :] = 200
+                rows.append(
+                    (
+                        f"cam{cam}",
+                        np.datetime64("2024-01-01") + np.timedelta64(33 * int(i), "ms"),
+                        480,
+                        640,
+                        16,
+                        base64.b64encode(frame.tobytes()).decode("ascii"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["camId", "timestamp", "rows", "cols", "type", "data"]
+            )
+
+    frames = idx.repartition(MOTION_CAMS, "cam").mapInPandas(_gen, FRAME_SCHEMA)
+    out = detect_motion_batch(frames).select("camId", "ts_us", "detection_count")
+    # Warm-up run spawns the Python worker pool and JITs the shuffle path;
+    # min-of-2 timed runs rejects background-load noise. Steady state is the
+    # right comparison point: the reference envelope is a steady-state
+    # 30 fps x 4 cams figure, not a cold start.
+    _force(out)
+    sec = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        _force(out)
+        sec = min(sec, time.time() - t0)
+    return sec, n
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    from distributed_video_analytics_flink_spark import operators as ops
+    from distributed_video_analytics_flink_spark.session import get_spark
+
+    spark = get_spark(app_name="dvafs-bench")
+    # warm up the JVM/Python worker pool outside the timed region
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = ops.QUERIES[name].fn
+        t0 = time.time()
+        _force(fn(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    motion_sec, motion_frames = bench_motion_fps(spark)
+    timings["motion_pipeline_640x480"] = round(motion_sec, 3)
+    motion_fps = round(motion_frames / motion_sec, 1)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "motion_fps_640x480": motion_fps,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

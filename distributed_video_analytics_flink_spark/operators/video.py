@@ -26,7 +26,10 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from distributed_video_analytics_flink_spark.functions.motion import detect_motion_boxes
+from distributed_video_analytics_flink_spark.functions.motion import (
+    motion_boxes_from_gray,
+    preprocess_gray,
+)
 from distributed_video_analytics_flink_spark.operators.registry import query
 from distributed_video_analytics_flink_spark.schemas import FRAME_SCHEMA, MOTION_BOX
 from distributed_video_analytics_flink_spark.sources.tables import load_table
@@ -132,14 +135,16 @@ def fixture_frames() -> list[dict]:
     """FIXTURES.md §1.1 deterministic motion scenario, scaled to 48x64 so
     the moving block (24x24 = 576 px) clears the 300-px area gate: frames
     0-4 constant gray 50; frame 5 lights a block at (8, 8); frames 6-9 the
-    block slides +1 px/frame in x. Pure function of (cam, index); seed-free."""
+    block slides +12 px/frame in x (half the block side, so the leading and
+    trailing edge strips each exceed minArea=300 and every moving frame
+    yields detections). Pure function of (cam, index); seed-free."""
     t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
     out = []
     for cam in range(_FIX_CAMS):
         for i in range(_FIX_FRAMES):
             frame = np.full((_FIX_ROWS, _FIX_COLS, 3), 50, dtype=np.uint8)
             if i >= 5:
-                x0 = 8 + (i - 5)
+                x0 = 8 + 12 * (i - 5)
                 frame[8 : 8 + _FIX_BLOCK, x0 : x0 + _FIX_BLOCK, :] = 200
             out.append(
                 {
@@ -165,51 +170,59 @@ _MOTION_OUT_SCHEMA = T.StructType(
 
 
 def detect_motion_batch(frames: DataFrame) -> DataFrame:
-    """K2-batch: per-camera previous frame via lag() over an explicit
-    timestamp order (the reference relies on Kafka arrival order; the engine
-    makes CV8's sort real — SURVEY.md §7.4.1), then the CV chain as one
-    Arrow-batched pandas UDF over (prev, cur) byte pairs.
+    """K2-batch: the per-camera previous-frame fold as a secondary sort —
+    ``repartition(camId)`` (the topology's single shuffle, exactly Flink's
+    keyBy at VideoProcessor.java:86) + ``sortWithinPartitions(camId, ts)``
+    (makes CV8's degenerate sort real — SURVEY.md §7.4.1) + ONE
+    ``mapInPandas`` pass that grays each frame once and diffs it against a
+    per-camera carry dict. mapInPandas is invoked once per partition with a
+    batch iterator, and a camera's rows never span partitions, so the carry
+    is exact across Arrow batches.
 
-    Scale: the only shuffle is the window partition on camId; pixel payloads
-    are projected to exactly the columns the UDF needs, and Arrow batch size
-    is capped in the session factory to bound per-batch memory with ~1 MB
-    frames."""
-    w = W.partitionBy("camId").orderBy("timestamp")
-    paired = frames.select(
+    Scale: each ~1 MB pixel payload crosses Python exactly once (a lag()
+    window would ship every frame twice as cur+prev, and a gray pre-pass
+    would add a second full roundtrip — both measured slower by 2x locally);
+    the sort is a spillable partition sort, not a global one; output rows
+    carry only boxes, never pixels."""
+    decoded = frames.select(
         "camId",
         "timestamp",
         "rows",
         "cols",
-        F.unbase64("data").alias("cur"),
-        F.lag(F.unbase64("data")).over(w).alias("prev"),
+        F.unbase64("data").alias("pix"),
     )
+    parted = decoded.repartition("camId").sortWithinPartitions("camId", "timestamp")
 
     def _detect(batches):
+        last: dict[str, tuple[int, int, bytes | None]] = {}
         for pdf in batches:
-            boxes = [
-                detect_motion_boxes(
-                    None if prev is None else bytes(prev),
-                    bytes(cur),
-                    int(rows),
-                    int(cols),
+            out = []
+            for cam, ts, r, c, pix in zip(
+                pdf["camId"],
+                pdf["timestamp"].values.astype("datetime64[us]").astype("int64"),
+                pdf["rows"],
+                pdf["cols"],
+                pdf["pix"],
+            ):
+                r, c = int(r), int(c)
+                gray = preprocess_gray(None if pix is None else bytes(pix), r, c)
+                prev = last.get(cam)
+                prev_gray = prev[2] if prev is not None and prev[:2] == (r, c) else None
+                boxes = motion_boxes_from_gray(prev_gray, gray, r, c)
+                last[cam] = (r, c, gray)
+                out.append(
+                    (
+                        cam,
+                        int(ts),
+                        [{"x": x, "y": y, "w": w_, "h": h_} for x, y, w_, h_ in boxes],
+                        len(boxes),
+                    )
                 )
-                for prev, cur, rows, cols in zip(
-                    pdf["prev"], pdf["cur"], pdf["rows"], pdf["cols"]
-                )
-            ]
             yield pd.DataFrame(
-                {
-                    "camId": pdf["camId"],
-                    "ts_us": pdf["timestamp"].values.astype("datetime64[us]").astype("int64"),
-                    "motion_boxes": [
-                        [{"x": x, "y": y, "w": w_, "h": h_} for x, y, w_, h_ in b]
-                        for b in boxes
-                    ],
-                    "detection_count": [len(b) for b in boxes],
-                }
+                out, columns=["camId", "ts_us", "motion_boxes", "detection_count"]
             )
 
-    return paired.mapInPandas(_detect, _MOTION_OUT_SCHEMA)
+    return parted.mapInPandas(_detect, _MOTION_OUT_SCHEMA)
 
 
 @query("video_motion_batch")  # CV chain is not SQL-expressible: rows-only check
