@@ -204,7 +204,14 @@ def detect_motion_batch(frames: DataFrame) -> DataFrame:
                 pdf["cols"],
                 pdf["pix"],
             ):
-                r, c = int(r), int(c)
+                # Partially-valid records (PERMISSIVE parse nulled rows/cols/
+                # ts but camId survived) must not kill the job: dims default
+                # to 0 -> length validation fails -> 0 boxes, state advances
+                # (the reference's swallow-and-continue stance,
+                # MotionDetector.java:97-103).
+                r = 0 if pd.isna(r) else int(r)
+                c = 0 if pd.isna(c) else int(c)
+                ts_us = None if int(ts) == -(2**63) else int(ts)  # NaT sentinel
                 gray = preprocess_gray(None if pix is None else bytes(pix), r, c)
                 prev = last.get(cam)
                 prev_gray = prev[2] if prev is not None and prev[:2] == (r, c) else None
@@ -213,7 +220,7 @@ def detect_motion_batch(frames: DataFrame) -> DataFrame:
                 out.append(
                     (
                         cam,
-                        int(ts),
+                        ts_us,
                         [{"x": x, "y": y, "w": w_, "h": h_} for x, y, w_, h_ in boxes],
                         len(boxes),
                     )
@@ -240,6 +247,39 @@ def video_motion_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us",
         "detection_count",
         F.to_json("motion_boxes").alias("boxes_json"),
+    )
+
+
+@query(
+    "window_tumbling_fps",
+    oracle="""
+    SELECT time_bucket(INTERVAL '2 seconds', ts) AS window_start,
+           'cam' || CAST(user_id % 4 AS VARCHAR) AS camId,
+           COUNT(*) AS frames,
+           COUNT(*) / 2.0 AS fps
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def window_tumbling_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the producer's per-camera FPS report (2 s tumbling window count,
+    VideoEventCreator.java:69-90) as a query, through the same camera_fps
+    transform the streaming pipeline uses (streaming/fps.py) — batch and
+    streaming share one plan; Spark's window() bucketing is oracled against
+    DuckDB's time_bucket."""
+    from distributed_video_analytics_flink_spark.streaming.fps import camera_fps
+
+    ev = load_table(spark, sf_dir, "events")
+    frames = ev.select(
+        F.concat(F.lit("cam"), (F.col("user_id") % 4).cast("string")).alias("camId"),
+        F.col("ts").alias("timestamp"),
+    )
+    out = camera_fps(frames, interval_seconds=2)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        "camId",
+        "frames",
+        F.col("fps").cast("double").alias("fps"),
     )
 
 

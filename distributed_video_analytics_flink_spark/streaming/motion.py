@@ -1,0 +1,140 @@
+"""Streaming stateful motion detection (SURVEY.md §2.4 K2/K3).
+
+The reference holds one ``ValueState<VideoFrameData> previousFrame`` per
+camera inside a Flink ``KeyedProcessFunction`` (VideoProcessor.java:155-205)
+and runs the CV chain against it on every arriving frame. The Spark twin is
+``groupBy(camId).applyInPandasWithState``: state = the previous frame's
+blurred gray plane (not raw BGR — a third of the bytes, and gray is computed
+exactly once per frame), each micro-batch's group rows are sorted by
+timestamp before folding (the reference relies on Kafka per-key arrival
+order; Spark micro-batches guarantee no intra-batch order, so CV8's
+degenerate sort becomes real — SURVEY.md §7.4.1/.5).
+
+Semantics match the batch operator (operators/video.py::detect_motion_batch)
+exactly on any frame sequence — pinned by the batch/streaming equivalence
+test (tests/test_streaming_motion.py), which is the property SURVEY.md §5.4
+calls out because Flink folds record-at-a-time while Spark folds
+batch-of-rows-at-a-time.
+
+Watermarking: the reference explicitly disables it
+(``WatermarkStrategy.noWatermarks()``, VideoProcessor.java:74-78) so state
+never expires. The faithful default here is ``NoTimeout``; pass
+``state_ttl_ms`` to opt into processing-time state expiry (the deliberate
+semantic improvement flagged in SURVEY.md §7.4.2 — bounded state at
+100 TB / million-camera scale).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from distributed_video_analytics_flink_spark.functions.motion import (
+    motion_boxes_from_gray,
+    preprocess_gray,
+)
+from distributed_video_analytics_flink_spark.schemas import MOTION_BOX
+
+MOTION_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("camId", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("motion_boxes", T.ArrayType(MOTION_BOX)),
+        T.StructField("detection_count", T.IntegerType()),
+    ]
+)
+
+# State: previous frame's dims + blurred gray plane + event-time micros.
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("rows", T.IntegerType()),
+        T.StructField("cols", T.IntegerType()),
+        T.StructField("gray", T.BinaryType()),
+        T.StructField("ts_us", T.LongType()),
+    ]
+)
+
+
+def _fold_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    cam = key[0]
+    rows_acc: list[pd.DataFrame] = [pdf for pdf in pdfs]
+    if state.hasTimedOut:
+        state.remove()
+        return
+    batch = pd.concat(rows_acc, ignore_index=True)
+    # CV8 made real: fold in event-time order within the micro-batch.
+    batch = batch.sort_values("timestamp", kind="stable")
+
+    if state.exists:
+        prev_r, prev_c, prev_gray, prev_ts = state.get
+    else:
+        prev_r = prev_c = -1
+        prev_gray, prev_ts = None, -1
+
+    out = []
+    for ts, r, c, data in zip(
+        batch["timestamp"].values.astype("datetime64[us]").astype("int64"),
+        batch["rows"],
+        batch["cols"],
+        batch["pix"],
+    ):
+        # Partially-valid records (PERMISSIVE parse nulls rows/cols/ts but
+        # camId survived) must not kill the query: dims default to 0, which
+        # fails preprocess_gray's length validation -> 0 boxes, state still
+        # advances — the reference's swallow-and-continue stance
+        # (MotionDetector.java:97-103).
+        r = 0 if pd.isna(r) else int(r)
+        c = 0 if pd.isna(c) else int(c)
+        ts_us = None if int(ts) == -(2**63) else int(ts)  # NaT sentinel
+        gray = preprocess_gray(None if data is None else bytes(data), r, c)
+        pg = prev_gray if (prev_r, prev_c) == (r, c) else None
+        boxes = motion_boxes_from_gray(pg, gray, r, c)
+        prev_r, prev_c, prev_gray, prev_ts = r, c, gray, ts_us or -1
+        out.append(
+            (
+                cam,
+                ts_us,
+                [{"x": x, "y": y, "w": w, "h": h} for x, y, w, h in boxes],
+                len(boxes),
+            )
+        )
+    state.update((prev_r, prev_c, prev_gray, prev_ts))
+    yield pd.DataFrame(out, columns=["camId", "ts_us", "motion_boxes", "detection_count"])
+
+
+def detect_motion_stream(frames: DataFrame, state_ttl_ms: int | None = None) -> DataFrame:
+    """Keyed stateful motion over an unbounded frame DataFrame (the parsed
+    output of a streaming source). ``state_ttl_ms`` (processing-time millis,
+    e.g. 3_600_000 for an hour) opts into state expiry; default is the
+    reference-faithful never-expire. The single shuffle is the groupBy on
+    camId — Flink's keyBy (VideoProcessor.java:86).
+
+    Gotcha: with a TTL, Spark services timeout timers by running micro-
+    batches continuously even with no input, so ``processAllAvailable()``
+    never quiesces — pace the query with a ``processingTime`` trigger and
+    stop it explicitly (or use the default NoTimeout mode for replay-style
+    workloads)."""
+    decoded = frames.select(
+        "camId", "timestamp", "rows", "cols", F.unbase64("data").alias("pix")
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def fold(key, pdfs, state):
+        if state_ttl_ms is not None and not state.hasTimedOut:
+            state.setTimeoutDuration(int(state_ttl_ms))
+        yield from _fold_group(key, pdfs, state)
+
+    return decoded.groupBy("camId").applyInPandasWithState(
+        fold, MOTION_STREAM_SCHEMA, _STATE_SCHEMA, "append", timeout
+    )

@@ -1,0 +1,145 @@
+"""Streaming sinks (SURVEY.md §2.6 O1-O5) and the ProcessingResult build.
+
+The reference's sink stack: a per-record CQL insert into
+``dvaf.processing_results`` partitioned by (camera_id, day) with clustering
+frame_timestamp DESC (CassandraService.java:125-166), plus annotated-PNG
+side-output files named ``{camId}-T-{epochMillis}.png``
+(MotionDetector.java:133-177), plus the producer-side Kafka sink
+(VideoEventCreator.java:235-245).
+
+Engine-native equivalents: a partitioned Parquet results table with the
+same layout (partition pruning on (camera_id, day) — the exact read path
+the Cassandra primary key serves), ``foreachBatch`` for the side-effecting
+image writes (idempotent file names stand in for transactionality, exactly
+as in the reference — SURVEY.md §7.4.6), and the built-in Kafka sink with
+the producer's config. Checkpointing (K4) is an option away.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+RESULTS_TABLE_DDL = """
+CREATE TABLE IF NOT EXISTS {table} (
+  id STRING, camera_id STRING, day STRING,
+  frame_timestamp TIMESTAMP, processing_timestamp TIMESTAMP,
+  detection_type STRING, detection_count INT,
+  frame_rows INT, frame_cols INT, image_path STRING, metadata STRING
+) USING parquet PARTITIONED BY (camera_id, day)
+"""
+
+
+def build_processing_results(
+    detections: DataFrame,
+    image_dir: str = "/data/processed",
+    faithful_count: bool = False,
+) -> DataFrame:
+    """T6-T11: detection rows -> ProcessingResult rows
+    (ProcessingResult.java:13-25). ``faithful_count=False`` reproduces the
+    reference bug-for-bug (it emits literal 1 and only logs the real contour
+    count — VideoProcessor.java:194); True emits size(motion_boxes).
+
+    uuid()/current_timestamp() are the two deliberately nondeterministic
+    columns (SURVEY.md §7.4.3) — golden comparisons exclude them."""
+    ts = (F.col("ts_us") / F.lit(1_000_000.0)).cast("timestamp")
+    count = (
+        F.size("motion_boxes").cast("int") if faithful_count else F.lit(1).cast("int")
+    )
+    return detections.filter(F.size("motion_boxes") > 0).select(
+        F.expr("uuid()").alias("id"),
+        F.col("camId").alias("camera_id"),
+        F.date_format(ts, "yyyy-MM-dd").alias("day"),
+        ts.alias("frame_timestamp"),
+        F.current_timestamp().alias("processing_timestamp"),
+        F.lit("motion").alias("detection_type"),
+        count.alias("detection_count"),
+        F.col("rows").alias("frame_rows") if "rows" in detections.columns else F.lit(480).alias("frame_rows"),
+        F.col("cols").alias("frame_cols") if "cols" in detections.columns else F.lit(640).alias("frame_cols"),
+        F.format_string(
+            "%s/%s-T-%d.png", F.lit(image_dir), F.col("camId"), (F.col("ts_us") / 1000).cast("long")
+        ).alias("image_path"),
+        F.lit("").alias("metadata"),
+    )
+
+
+def write_results_stream(
+    results: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """O2/O3/O5: append the ProcessingResult stream to a Parquet table
+    partitioned by (camera_id, day) — the Cassandra layout at rest — with
+    exactly-once file-sink semantics via the checkpointed manifest (a strict
+    upgrade on the reference's logged-and-swallowed insert failures,
+    CassandraSinkFunction.java:36-44)."""
+    writer = (
+        results.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("camera_id", "day")
+        .outputMode("append")
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def write_results_batch(results: DataFrame, path: str) -> None:
+    """Batch twin of the results table (replays, backfills)."""
+    results.write.mode("append").partitionBy("camera_id", "day").parquet(path)
+
+
+def png_side_output(image_dir: str):
+    """O4: a foreachBatch function writing one file per motion frame with
+    the reference's idempotent name ``{camId}-T-{epochMillis}.png``
+    (MotionDetector.java:147-148). Without codec libs the annotated-PNG
+    encode is stubbed to the raw box payload; the distributed write path
+    (executor-side, partition-parallel, re-run-safe by name) is real."""
+
+    def _write(batch_df: DataFrame, _batch_id: int) -> None:
+        os.makedirs(image_dir, exist_ok=True)
+        rows = batch_df.filter(F.size("motion_boxes") > 0).select(
+            "camId", "ts_us", F.to_json("motion_boxes").alias("boxes")
+        )
+
+        def _per_partition(it):
+            for r in it:
+                name = f"{r['camId']}-T-{r['ts_us'] // 1000}.png"
+                with open(os.path.join(image_dir, name), "wb") as f:
+                    f.write(r["boxes"].encode())
+
+        rows.foreachPartition(_per_partition)
+
+    return _write
+
+
+def kafka_frame_sink(
+    frames: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """O1: frames back out as camId-keyed JSON (the producer's contract:
+    key=camId for per-camera ordering, gzip, acks=all —
+    VideoProducer.java:64-77)."""
+    payload = frames.select(
+        F.col("camId").alias("key"),
+        F.to_json(F.struct("camId", "timestamp", "rows", "cols", "type", "data")).alias(
+            "value"
+        ),
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("kafka.compression.type", "gzip")
+        .option("kafka.acks", "all")
+        .option("kafka.max.request.size", str(5 * 1024 * 1024))
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

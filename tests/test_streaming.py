@@ -1,0 +1,210 @@
+"""Streaming tests (SURVEY.md §5.3 / FIXTURES.md §4): file-replay
+micro-batches through the stateful motion operator, asserting exact
+equivalence with the batch operator; malformed-row PERMISSIVE drop;
+checkpoint restart idempotence; FPS tumbling windows; results sink layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_video_analytics_flink_spark.operators.video import (
+    detect_motion_batch,
+    fixture_frames,
+)
+from distributed_video_analytics_flink_spark.schemas import FRAME_SCHEMA
+from distributed_video_analytics_flink_spark.streaming import (
+    build_processing_results,
+    camera_fps,
+    detect_motion_stream,
+    file_frame_stream,
+    parse_frames,
+    write_results_batch,
+)
+
+
+def _frame_json(f: dict) -> str:
+    return json.dumps(
+        {
+            "camId": f["camId"],
+            "timestamp": f["timestamp"].strftime("%Y-%m-%dT%H:%M:%S.%f+00:00"),
+            "rows": f["rows"],
+            "cols": f["cols"],
+            "type": f["type"],
+            "data": f["data"],
+        }
+    )
+
+
+def _write_replay_files(dirpath: str, frames_per_file: int = 4) -> int:
+    """Interleave cameras, split into files -> one micro-batch per file."""
+    frames = sorted(fixture_frames(), key=lambda f: f["timestamp"])
+    files = 0
+    for i in range(0, len(frames), frames_per_file):
+        path = os.path.join(dirpath, f"batch-{i:04d}.json")
+        with open(path, "w") as fh:
+            fh.write("\n".join(_frame_json(f) for f in frames[i : i + frames_per_file]))
+        # FileStreamSource orders new files by modification time; sub-second
+        # writes tie, so pin strictly increasing mtimes for a deterministic
+        # replay order (the arrival-order contract Kafka would provide).
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+        files += 1
+    return files
+
+
+def _collect_stream(spark, stream_df, name: str, checkpoint: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def _key(rows):
+    return sorted(
+        (
+            r["camId"],
+            r["ts_us"],
+            tuple((b["x"], b["y"], b["w"], b["h"]) for b in r["motion_boxes"]),
+            r["detection_count"],
+        )
+        for r in rows
+    )
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    """The applyInPandasWithState operator must produce exactly the batch
+    lag-fold results on the same frames, regardless of micro-batching
+    (4-frame files interleave cameras, so most micro-batches split a
+    camera's sequence across state updates)."""
+    data_dir = tmp_path / "frames"
+    data_dir.mkdir()
+    _write_replay_files(str(data_dir))
+
+    stream = detect_motion_stream(file_frame_stream(spark, str(data_dir)))
+    got = _collect_stream(spark, stream, "motion_stream", str(tmp_path / "ck"))
+
+    batch_frames = spark.createDataFrame(fixture_frames(), schema=FRAME_SCHEMA)
+    want = detect_motion_batch(batch_frames).collect()
+
+    assert _key(got) == _key(want)
+    assert len(got) == 40
+
+
+def test_malformed_rows_dropped_not_failed(spark, tmp_path):
+    """T1/T2: truncated JSON, missing camId, junk timestamps -> dropped rows
+    (PERMISSIVE), never a query failure (VideoProcessor.java:143-153)."""
+    data_dir = tmp_path / "frames"
+    data_dir.mkdir()
+    good = [f for f in fixture_frames() if f["camId"] == "cam0"][:3]
+    lines = [_frame_json(good[0]), '{"camId": "cam1", "timestamp": "not-a-ts"', _frame_json(good[1])]
+    lines += ['{"timestamp": "2024-01-01T00:00:00.000000+00:00"}', "garbage", _frame_json(good[2])]
+    # partially-valid record: camId coerces to "123" and survives the null
+    # filter, but rows/cols/timestamp/data are null -> must yield a 0-box
+    # row (null ts), never a crashed query
+    lines += ['{"camId": 123}']
+    (data_dir / "b0.json").write_text("\n".join(lines))
+
+    stream = detect_motion_stream(file_frame_stream(spark, str(data_dir)))
+    rows = _collect_stream(spark, stream, "motion_malformed", str(tmp_path / "ck"))
+    assert sorted(r["camId"] for r in rows) == ["123", "cam0", "cam0", "cam0"]
+    partial = next(r for r in rows if r["camId"] == "123")
+    assert partial["detection_count"] == 0 and partial["ts_us"] is None
+
+
+def test_checkpoint_restart_resumes_not_duplicates(spark, tmp_path):
+    """K4: stop after the first files, add more, restart from the same
+    checkpoint -> state (previous frame per camera) survives, already-read
+    files are not re-emitted (FIXTURES.md §4 restart property)."""
+    data_dir = tmp_path / "frames"
+    data_dir.mkdir()
+    frames = sorted(fixture_frames(), key=lambda f: f["timestamp"])
+    half = len(frames) // 2  # 20 frames: every camera has frames 0-4 (no motion yet)
+    (data_dir / "part1.json").write_text("\n".join(_frame_json(f) for f in frames[:half]))
+
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def _run_to_parquet():
+        q = (
+            detect_motion_stream(file_frame_stream(spark, str(data_dir)))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    _run_to_parquet()
+    assert spark.read.parquet(out).count() == half
+
+    (data_dir / "part2.json").write_text("\n".join(_frame_json(f) for f in frames[half:]))
+    _run_to_parquet()
+    got = spark.read.parquet(out).collect()
+    # no re-emission of the first half, and every frame exactly once
+    assert len(got) == len(frames)
+    batch = detect_motion_batch(spark.createDataFrame(fixture_frames(), schema=FRAME_SCHEMA))
+    assert _key(got) == _key(batch.collect())
+    # crucially, frame 5's detection proves frame-4 state crossed the restart
+    by_idx = {(r["camId"], (r["ts_us"] % 1_000_000) // 33_000): r for r in got}
+    assert by_idx[("cam0", 5)]["detection_count"] == 1
+
+
+def test_camera_fps_windows(spark):
+    """A1: 2 s tumbling windows; fixture = 10 frames per cam inside the
+    first window -> frames=10, fps=5.0 (a 30 fps camera would show 60)."""
+    frames = spark.createDataFrame(fixture_frames(), schema=FRAME_SCHEMA)
+    rows = camera_fps(frames).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["frames"] == 10
+        assert r["fps"] == pytest.approx(5.0)
+
+
+def test_processing_results_sink_layout(spark, tmp_path):
+    """O2/O3: results land partitioned by (camera_id, day); the per-(cam,
+    day) read path prunes partitions; the faithful_count variant carries
+    size(motion_boxes) while the reference-faithful default carries 1."""
+    frames = spark.createDataFrame(fixture_frames(), schema=FRAME_SCHEMA)
+    det = detect_motion_batch(frames)
+    det = det.join(
+        frames.select(
+            "camId",
+            (F.unix_micros("timestamp")).alias("ts_us"),
+            "rows",
+            "cols",
+        ),
+        ["camId", "ts_us"],
+    )
+    results = build_processing_results(det, faithful_count=True)
+    out = str(tmp_path / "processing_results")
+    write_results_batch(results, out)
+
+    back = spark.read.parquet(out)
+    assert set(back.columns) == {
+        "id", "camera_id", "day", "frame_timestamp", "processing_timestamp",
+        "detection_type", "detection_count", "frame_rows", "frame_cols",
+        "image_path", "metadata",
+    }
+    # fixture: frames 5-9 have detections -> 5 rows per camera; counts 1|2
+    one_cam = back.filter(
+        (F.col("camera_id") == "cam0") & (F.col("day") == "2024-01-01")
+    )
+    assert one_cam.count() == 5
+    assert back.count() == 20
+    assert {r["detection_count"] for r in one_cam.collect()} == {1, 2}
+    assert one_cam.filter(F.col("image_path").rlike(r"cam0-T-\d+\.png$")).count() == 5
+    # partition pruning visible in the plan
+    plan = one_cam._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "camera_id=cam0" in plan
