@@ -1,0 +1,96 @@
+"""Physical-plan property tests (SURVEY.md §4.2): the scale guarantees —
+predicate pushdown, column pruning, broadcast join selection, partial
+aggregation, heap top-k, no accidental cartesian products — asserted on the
+actual Catalyst plans so a regression that would only hurt at 100 TB fails
+at sf0.001.
+"""
+
+from __future__ import annotations
+
+from distributed_video_analytics_flink_spark.operators import QUERIES
+from distributed_video_analytics_flink_spark.plans import (
+    formatted_plan,
+    hash_aggregate_count,
+    has_top_k,
+    join_strategies,
+    pushed_filters,
+    scan_schemas,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(spark, name):
+    return QUERIES[name].fn(spark, SF)
+
+
+def test_filters_reach_parquet_scan(spark):
+    df = _q(spark, "scan_filter_project")
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+
+
+def test_scan_prunes_columns(spark):
+    """pricing_summary touches 7 of 11 lineitem columns; the scan schema
+    must not include the unused join keys."""
+    schemas = scan_schemas(_q(spark, "pricing_summary"))
+    assert schemas, "no file scan found"
+    assert "l_partkey" not in schemas[0] and "l_suppkey" not in schemas[0]
+    assert "l_quantity" in schemas[0]
+
+
+def test_dim_joins_broadcast(spark):
+    """The TPC-H-style snowflake join should broadcast every dimension —
+    no sort-merge exchange for region/nation/customer at this asymmetry."""
+    joins = join_strategies(_q(spark, "join_region_revenue"))
+    assert joins and all(j == "BroadcastHashJoin" for j in joins)
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """No registered query may plan a CartesianProduct — the all-pairs
+    shapes (dedup, similarity) must stay blocked/bucketed. (Broadcast
+    nested-loop against a single-row broadcast side is acceptable and
+    appears in the intentionally-tiny query-vector cross joins.)"""
+    offenders = {}
+    for name, spec in QUERIES.items():
+        joins = join_strategies(spec.fn(spark, SF))
+        if any(j == "CartesianProduct" for j in joins):
+            offenders[name] = joins
+    assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_aggregations_are_partial(spark):
+    """Shuffled aggregations must show partial+final HashAggregate pairs
+    (map-side combine) — the shuffle carries group partials, not rows."""
+    for name in ("pricing_summary", "events_per_user_day", "dedup_exact"):
+        assert hash_aggregate_count(_q(spark, name)) == 2, name
+
+
+def test_topk_uses_heap_not_global_sort(spark):
+    for name in ("sort_limit_topk", "sim_cosine_topk"):
+        assert has_top_k(_q(spark, name)), name
+
+
+def test_codegen_in_final_plan(spark):
+    """After AQE finalizes, the relational spine must run inside
+    whole-stage codegen (UDF-free queries only — pandas ops break the
+    codegen span by design)."""
+    for name in ("pricing_summary", "join_region_revenue", "sort_limit_topk"):
+        df = _q(spark, name)
+        df.collect()
+        plan = formatted_plan(df)
+        assert "codegen id" in plan, name
+
+
+def test_motion_pipeline_single_shuffle(spark):
+    """The video pipeline's only exchange is the per-camera repartition
+    (Flink's keyBy analog); pixel bytes must not be shuffled twice."""
+    from distributed_video_analytics_flink_spark.operators.video import (
+        detect_motion_batch,
+        fixture_frames,
+    )
+    from distributed_video_analytics_flink_spark.plans import exchange_count
+    from distributed_video_analytics_flink_spark.schemas import FRAME_SCHEMA
+
+    frames = spark.createDataFrame(fixture_frames(), schema=FRAME_SCHEMA)
+    assert exchange_count(detect_motion_batch(frames)) == 1
