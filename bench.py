@@ -32,6 +32,8 @@ HEADLINE = [
     "join_asof_orders",
     "agg_rollup",
     "agg_distinct",
+    "agg_percentiles",
+    "subquery_exists",
     "window_topk_per_group",
     "window_frames",
     "sessionize_events",
@@ -47,6 +49,8 @@ HEADLINE = [
     "text_term_stats",
     "text_token_count",
     "text_quality_score",
+    "text_tfidf_topk",
+    "window_tumbling_fps",
     "pivot_event_counts",
 ]
 

@@ -185,3 +185,57 @@ def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_freq"), F.asc("token"))
         .limit(20)
     )
+
+
+@query(
+    "text_tfidf_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)
+               AS tfidf_ratio
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, token, tfidf_ratio,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf_ratio DESC, token ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, token, tfidf_ratio
+    FROM ranked WHERE rn <= 3 AND doc_id % 10 = 0
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms by tf * (N / df) — the
+    rational tf-idf form (a log() idf would differ across libm builds; the
+    ratio is one exact IEEE division in both engines). The df table is tiny
+    relative to the corpus and broadcasts; the tf side never re-shuffles the
+    token explode. The standard keyword-extraction / topic-tagging pass of
+    a corpus pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; a literal keeps the plan join-free on N
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        (
+            F.col("tf").cast("double") * F.lit(float(n_docs)) / F.col("df").cast("double")
+        ).alias("tfidf_ratio"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf_ratio"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") % 10 == 0))
+        .select("doc_id", "token", "tfidf_ratio")
+    )
