@@ -514,6 +514,35 @@ def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_salted_hot_keys",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys: phase 1 groups by
+    (key, salt) — spreading each hot key over 16 reducers — phase 2 merges
+    the partials per key. Result is identical to a plain GROUP BY (the
+    oracle states exactly that); the technique is what survives a key that
+    owns 30% of 100 TB, where a single reducer would OOM or straggle. Exact
+    cents arithmetic keeps the two-phase SUM bit-equal to the one-phase
+    oracle regardless of partial grouping."""
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(cents("value")).alias("pv_cents"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        (F.sum("pv_cents") / 100.0).alias("total_value"),
+    )
+
+
 @query("agg_approx_distinct")  # HLL sketches differ across engines: rows-only check
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB substitute for

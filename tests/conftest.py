@@ -16,6 +16,10 @@ ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark(app_name="dvafs-tests")
+def spark(tmp_path_factory):
+    warehouse = tmp_path_factory.mktemp("warehouse")
+    s = get_spark(
+        app_name="dvafs-tests",
+        extra_conf={"spark.sql.warehouse.dir": str(warehouse)},
+    )
     yield s
