@@ -88,22 +88,30 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h0..h15): per-document MinHash signature over word-3-gram
-    shingles; hash family h_i(s) = md5(i || ':' || s), min taken
-    lexicographically over the hex strings (portable across engines)."""
+    shingles. Hash family: 4 md5 digests per shingle (seeded by prefix),
+    each split into four independent 8-hex-char quarters — 16 hash functions
+    for a quarter of the md5 cost (md5 dominates signature building; this
+    measured ~2x on the full LSH query). Min is lexicographic over the hex
+    strings (portable across engines)."""
     docs = load_table(spark, sf_dir, "documents")
     shingled = docs.select(
         "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle")
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(N_HASHES)
-    ]
+    aggs = []
+    for i in range(N_HASHES // 4):
+        digest = F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+        for j in range(4):
+            aggs.append(
+                F.min(F.substring(digest, 8 * j + 1, 8)).alias(f"h{4 * i + j}")
+            )
     return shingled.groupBy("doc_id").agg(*aggs)
 
 
 def _duck_minhash_cte() -> str:
     mins = ",\n           ".join(
-        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(N_HASHES)
+        f"MIN(substring(md5('{i}:' || shingle), {8 * j + 1}, 8)) AS h{4 * i + j}"
+        for i in range(N_HASHES // 4)
+        for j in range(4)
     )
     return f"""
     shingles AS (

@@ -161,6 +161,62 @@ def test_checkpoint_restart_resumes_not_duplicates(spark, tmp_path):
     assert by_idx[("cam0", 5)]["detection_count"] == 1
 
 
+@pytest.mark.parametrize("seed", [7, 23])
+def test_stream_equals_batch_random_sequences(spark, tmp_path, seed):
+    """SURVEY.md §5.4 property: on ARBITRARY frame sequences (random pixel
+    content, random camera interleaving, random micro-batch splits, some
+    cameras missing from some batches) the streaming stateful fold and the
+    batch secondary-sort fold agree exactly."""
+    import base64
+    from datetime import datetime, timedelta, timezone
+
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    t0 = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    frames = []
+    for cam in range(3):
+        n = int(rng.integers(4, 12))
+        for i in range(n + 1):
+            if i == n:  # final frame: guaranteed whole-frame scene change
+                px = np.full((32, 32, 3), 255, dtype=np.uint8)
+            else:
+                px = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+            frames.append(
+                {
+                    "camId": f"cam{cam}",
+                    "timestamp": t0 + timedelta(milliseconds=int(33 * i + cam)),
+                    "rows": 32,
+                    "cols": 32,
+                    "type": 16,
+                    "data": base64.b64encode(px.tobytes()).decode("ascii"),
+                }
+            )
+    frames.sort(key=lambda f: f["timestamp"])
+
+    data_dir = tmp_path / "frames"
+    data_dir.mkdir()
+    i = 0
+    fileno = 0
+    while i < len(frames):
+        step = int(rng.integers(1, 6))
+        p = data_dir / f"b{fileno:04d}.json"
+        p.write_text("\n".join(_frame_json(f) for f in frames[i : i + step]))
+        os.utime(p, (1_700_000_000 + fileno, 1_700_000_000 + fileno))
+        i += step
+        fileno += 1
+
+    stream = detect_motion_stream(file_frame_stream(spark, str(data_dir)))
+    got = _collect_stream(spark, stream, f"motion_rand_{seed}", str(tmp_path / "ck"))
+
+    batch_frames = spark.createDataFrame(frames, schema=FRAME_SCHEMA)
+    want = detect_motion_batch(batch_frames).collect()
+    assert _key(got) == _key(want)
+    # random 32x32 noise diffs almost surely exceed threshold everywhere ->
+    # one big component over the area gate; sanity that detections exist
+    assert sum(r["detection_count"] for r in got) > 0
+
+
 def test_camera_fps_windows(spark):
     """A1: 2 s tumbling windows; fixture = 10 frames per cam inside the
     first window -> frames=10, fps=5.0 (a 30 fps camera would show 60)."""
