@@ -30,6 +30,7 @@ from distributed_video_analytics_flink_spark.functions.motion import (
     motion_boxes_from_gray,
     preprocess_gray,
 )
+from distributed_video_analytics_flink_spark.functions.png import annotate_png
 from distributed_video_analytics_flink_spark.operators.registry import query
 from distributed_video_analytics_flink_spark.schemas import FRAME_SCHEMA, MOTION_BOX
 from distributed_video_analytics_flink_spark.sources.tables import load_table
@@ -167,9 +168,12 @@ _MOTION_OUT_SCHEMA = T.StructType(
         T.StructField("detection_count", T.IntegerType()),
     ]
 )
+_MOTION_ANNOTATED_SCHEMA = T.StructType(
+    _MOTION_OUT_SCHEMA.fields + [T.StructField("png", T.BinaryType())]
+)
 
 
-def detect_motion_batch(frames: DataFrame) -> DataFrame:
+def detect_motion_batch(frames: DataFrame, annotate: bool = False) -> DataFrame:
     """K2-batch: the per-camera previous-frame fold as a secondary sort —
     ``repartition(camId)`` (the topology's single shuffle, exactly Flink's
     keyBy at VideoProcessor.java:86) + ``sortWithinPartitions(camId, ts)``
@@ -183,7 +187,10 @@ def detect_motion_batch(frames: DataFrame) -> DataFrame:
     window would ship every frame twice as cur+prev, and a gray pre-pass
     would add a second full roundtrip — both measured slower by 2x locally);
     the sort is a spillable partition sort, not a global one; output rows
-    carry only boxes, never pixels."""
+    carry only boxes, never pixels — unless ``annotate=True``, which adds a
+    ``png`` column holding the annotated image (CV6+CV7,
+    MotionDetector.java:63-69) for motion frames, encoded in the same pass
+    while the pixels are already in hand."""
     decoded = frames.select(
         "camId",
         "timestamp",
@@ -217,19 +224,27 @@ def detect_motion_batch(frames: DataFrame) -> DataFrame:
                 prev_gray = prev[2] if prev is not None and prev[:2] == (r, c) else None
                 boxes = motion_boxes_from_gray(prev_gray, gray, r, c)
                 last[cam] = (r, c, gray)
-                out.append(
-                    (
-                        cam,
-                        ts_us,
-                        [{"x": x, "y": y, "w": w_, "h": h_} for x, y, w_, h_ in boxes],
-                        len(boxes),
-                    )
+                row = (
+                    cam,
+                    ts_us,
+                    [{"x": x, "y": y, "w": w_, "h": h_} for x, y, w_, h_ in boxes],
+                    len(boxes),
                 )
-            yield pd.DataFrame(
-                out, columns=["camId", "ts_us", "motion_boxes", "detection_count"]
-            )
+                if annotate:
+                    png = (
+                        annotate_png(bytes(pix), r, c, boxes)
+                        if boxes and pix is not None
+                        else None
+                    )
+                    row = row + (png,)
+                out.append(row)
+            cols = ["camId", "ts_us", "motion_boxes", "detection_count"]
+            if annotate:
+                cols.append("png")
+            yield pd.DataFrame(out, columns=cols)
 
-    return parted.mapInPandas(_detect, _MOTION_OUT_SCHEMA)
+    schema = _MOTION_ANNOTATED_SCHEMA if annotate else _MOTION_OUT_SCHEMA
+    return parted.mapInPandas(_detect, schema)
 
 
 @query("video_motion_batch")  # CV chain is not SQL-expressible: rows-only check

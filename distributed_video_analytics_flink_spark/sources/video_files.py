@@ -1,0 +1,100 @@
+"""S4: video-file ingestion (SURVEY.md §2.1) — the batch analog of the
+producer's OpenCV ``VideoCapture`` scan (VideoEventCreator.java:54-96: open
+file or device, read frames, resize to 640x480, pace at ~30 fps).
+
+Spark shape: ``spark.read.format("binaryFile")`` scans the files (one
+partition per file up to maxPartitionBytes — embarrassingly parallel across
+a 100 TB video corpus), then a ``mapInPandas`` extractor turns each file's
+bytes into wire-format frame rows (FRAME_SCHEMA: camId from the file stem,
+timestamps paced 33 ms apart, base64 BGR payloads).
+
+The codec step is a STUB: this container ships no cv2/ffmpeg, so
+``_decode_frames_stub`` synthesizes deterministic frames from the file
+bytes (content-seeded, reproducible). The binaryFile scan, partitioning,
+Arrow batching, schema, and pacing are the production path — swap the stub
+for a ``cv2.VideoCapture`` loop (decode, ``cv2.resize`` to 640x480
+INTER_CUBIC per VideoEventCreator.java:75,40-41) when codecs exist.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from distributed_video_analytics_flink_spark.schemas import FRAME_SCHEMA
+
+FRAME_INTERVAL_MS = 33  # ~30 fps pacing (VideoEventCreator.java:78)
+_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z; deterministic base
+
+
+def _decode_frames_stub(
+    content: bytes, rows: int, cols: int, max_frames: int
+) -> Iterator[np.ndarray]:
+    """STUB decoder: yields deterministic (rows, cols, 3) uint8 frames
+    seeded from the file bytes. A real build replaces this generator with
+    cv2.VideoCapture frame reads + resize; nothing else changes."""
+    n = min(max_frames, max(1, len(content) // 4096))
+    digest = hashlib.sha256(content).digest()
+    seed = int.from_bytes(digest[:8], "big")
+    rng = np.random.default_rng(seed)
+    # dark noise base + saturated moving block: the 16px step leaves
+    # 16x32 = 512px edge strips, comfortably over the 300px area gate, and
+    # the >=127 contrast survives the 3x3 blur everywhere in the strip
+    base = rng.integers(0, 128, size=(rows, cols, 3), dtype=np.uint8)
+    side = min(32, rows - 8, cols)
+    for i in range(n):
+        frame = base.copy()
+        x0 = (16 * i) % max(1, cols - side)
+        frame[8 : 8 + side, x0 : x0 + side, :] = 255
+        yield frame
+
+
+def read_video_files(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.mp4",
+    rows: int = 480,
+    cols: int = 640,
+    max_frames_per_file: int = 64,
+) -> DataFrame:
+    """Scan video files into wire-format frame rows. camId = file stem (the
+    producer keys messages by camera id the same way), timestamps are paced
+    FRAME_INTERVAL_MS apart from a fixed deterministic epoch."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                cam = os.path.splitext(os.path.basename(p))[0]
+                for i, frame in enumerate(
+                    _decode_frames_stub(bytes(content), rows, cols, max_frames_per_file)
+                ):
+                    out.append(
+                        (
+                            cam,
+                            np.datetime64(
+                                _EPOCH_US + i * FRAME_INTERVAL_MS * 1000, "us"
+                            ),
+                            rows,
+                            cols,
+                            16,  # CV_8UC3
+                            base64.b64encode(frame.tobytes()).decode("ascii"),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["camId", "timestamp", "rows", "cols", "type", "data"]
+            )
+
+    return files.mapInPandas(_extract, FRAME_SCHEMA)

@@ -38,6 +38,7 @@ from distributed_video_analytics_flink_spark.functions.motion import (
     motion_boxes_from_gray,
     preprocess_gray,
 )
+from distributed_video_analytics_flink_spark.functions.png import annotate_png
 from distributed_video_analytics_flink_spark.schemas import MOTION_BOX
 
 MOTION_STREAM_SCHEMA = T.StructType(
@@ -47,6 +48,9 @@ MOTION_STREAM_SCHEMA = T.StructType(
         T.StructField("motion_boxes", T.ArrayType(MOTION_BOX)),
         T.StructField("detection_count", T.IntegerType()),
     ]
+)
+MOTION_STREAM_ANNOTATED_SCHEMA = T.StructType(
+    MOTION_STREAM_SCHEMA.fields + [T.StructField("png", T.BinaryType())]
 )
 
 # State: previous frame's dims + blurred gray plane + event-time micros.
@@ -61,7 +65,10 @@ _STATE_SCHEMA = T.StructType(
 
 
 def _fold_group(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    annotate: bool = False,
 ) -> Iterator[pd.DataFrame]:
     cam = key[0]
     rows_acc: list[pd.DataFrame] = [pdf for pdf in pdfs]
@@ -97,19 +104,32 @@ def _fold_group(
         pg = prev_gray if (prev_r, prev_c) == (r, c) else None
         boxes = motion_boxes_from_gray(pg, gray, r, c)
         prev_r, prev_c, prev_gray, prev_ts = r, c, gray, ts_us or -1
-        out.append(
-            (
-                cam,
-                ts_us,
-                [{"x": x, "y": y, "w": w, "h": h} for x, y, w, h in boxes],
-                len(boxes),
-            )
+        row = (
+            cam,
+            ts_us,
+            [{"x": x, "y": y, "w": w, "h": h} for x, y, w, h in boxes],
+            len(boxes),
         )
+        if annotate:
+            png = (
+                annotate_png(bytes(data), r, c, boxes)
+                if boxes and data is not None
+                else None
+            )
+            row = row + (png,)
+        out.append(row)
     state.update((prev_r, prev_c, prev_gray, prev_ts))
-    yield pd.DataFrame(out, columns=["camId", "ts_us", "motion_boxes", "detection_count"])
+    cols = ["camId", "ts_us", "motion_boxes", "detection_count"]
+    if annotate:
+        cols.append("png")
+    yield pd.DataFrame(out, columns=cols)
 
 
-def detect_motion_stream(frames: DataFrame, state_ttl_ms: int | None = None) -> DataFrame:
+def detect_motion_stream(
+    frames: DataFrame,
+    state_ttl_ms: int | None = None,
+    annotate: bool = False,
+) -> DataFrame:
     """Keyed stateful motion over an unbounded frame DataFrame (the parsed
     output of a streaming source). ``state_ttl_ms`` (processing-time millis,
     e.g. 3_600_000 for an hour) opts into state expiry; default is the
@@ -133,8 +153,9 @@ def detect_motion_stream(frames: DataFrame, state_ttl_ms: int | None = None) -> 
     def fold(key, pdfs, state):
         if state_ttl_ms is not None and not state.hasTimedOut:
             state.setTimeoutDuration(int(state_ttl_ms))
-        yield from _fold_group(key, pdfs, state)
+        yield from _fold_group(key, pdfs, state, annotate=annotate)
 
+    schema = MOTION_STREAM_ANNOTATED_SCHEMA if annotate else MOTION_STREAM_SCHEMA
     return decoded.groupBy("camId").applyInPandasWithState(
-        fold, MOTION_STREAM_SCHEMA, _STATE_SCHEMA, "append", timeout
+        fold, schema, _STATE_SCHEMA, "append", timeout
     )

@@ -95,23 +95,33 @@ def write_results_batch(results: DataFrame, path: str) -> None:
 
 
 def png_side_output(image_dir: str):
-    """O4: a foreachBatch function writing one file per motion frame with
-    the reference's idempotent name ``{camId}-T-{epochMillis}.png``
-    (MotionDetector.java:147-148). Without codec libs the annotated-PNG
-    encode is stubbed to the raw box payload; the distributed write path
-    (executor-side, partition-parallel, re-run-safe by name) is real."""
+    """O4: a foreachBatch function writing one annotated PNG per motion
+    frame with the reference's idempotent name
+    ``{camId}-T-{epochMillis}.png`` (MotionDetector.java:147-148). Run the
+    detector with ``annotate=True`` so rows carry real PNG bytes (green
+    detection rectangles, encoded via the stdlib-zlib PNG writer in
+    functions/png.py — no codec libraries needed); rows without a ``png``
+    column fall back to the JSON box payload. Executor-side,
+    partition-parallel, re-run-safe by name."""
 
     def _write(batch_df: DataFrame, _batch_id: int) -> None:
         os.makedirs(image_dir, exist_ok=True)
-        rows = batch_df.filter(F.size("motion_boxes") > 0).select(
-            "camId", "ts_us", F.to_json("motion_boxes").alias("boxes")
-        )
+        has_png = "png" in batch_df.columns
+        cols = ["camId", "ts_us", F.to_json("motion_boxes").alias("boxes")]
+        if has_png:
+            cols.append("png")
+        rows = batch_df.filter(F.size("motion_boxes") > 0).select(*cols)
 
         def _per_partition(it):
             for r in it:
                 name = f"{r['camId']}-T-{r['ts_us'] // 1000}.png"
+                payload = (
+                    bytes(r["png"])
+                    if has_png and r["png"] is not None
+                    else r["boxes"].encode()
+                )
                 with open(os.path.join(image_dir, name), "wb") as f:
-                    f.write(r["boxes"].encode())
+                    f.write(payload)
 
         rows.foreachPartition(_per_partition)
 
