@@ -107,15 +107,92 @@ def bench_motion_fps(spark) -> tuple[float, int]:
     frames = idx.repartition(MOTION_CAMS, "cam").mapInPandas(_gen, FRAME_SCHEMA)
     out = detect_motion_batch(frames).select("camId", "ts_us", "detection_count")
     # Warm-up run spawns the Python worker pool and JITs the shuffle path;
-    # min-of-2 timed runs rejects background-load noise. Steady state is the
+    # min-of-3 timed runs rejects background-load noise. Steady state is the
     # right comparison point: the reference envelope is a steady-state
     # 30 fps x 4 cams figure, not a cold start.
     _force(out)
     sec = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         _force(out)
         sec = min(sec, time.time() - t0)
+    return sec, n
+
+
+def bench_motion_stream_fps(spark) -> tuple[float, int]:
+    """Streaming twin of the motion benchmark: wire-format frames replayed
+    from JSON files (one micro-batch per file) through the stateful
+    applyInPandasWithState detector. Replay files are written OUTSIDE the
+    timed region; the timed region is the streaming query end-to-end
+    (source scan + PERMISSIVE parse + keyed state fold + sink), directly
+    comparable to the reference's 120 fps streaming envelope."""
+    import base64
+    import json
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    cams, per_cam, per_file = 16, 32, 64
+    n = cams * per_cam  # 512 frames: amortizes the ~1.5 s query-startup cost
+    root = tempfile.mkdtemp(prefix="bench_stream_")
+    data_dir = os.path.join(root, "frames")
+    os.makedirs(data_dir)
+    frames = []
+    for cam in range(cams):
+        for i in range(per_cam):
+            px = np.full((480, 640, 3), 50, dtype=np.uint8)
+            if i % 10 >= 5:
+                x0 = 100 + (i % 10) * 3
+                px[100:160, x0 : x0 + 60, :] = 200
+            frames.append(
+                {
+                    "camId": f"cam{cam}",
+                    "timestamp": f"2024-01-01T00:00:{i:02d}.{cam:03d}000+00:00",
+                    "rows": 480,
+                    "cols": 640,
+                    "type": 16,
+                    "data": base64.b64encode(px.tobytes()).decode("ascii"),
+                }
+            )
+    for fileno, i in enumerate(range(0, n, per_file)):
+        p = os.path.join(data_dir, f"b{fileno:04d}.json")
+        with open(p, "w") as fh:
+            fh.write("\n".join(json.dumps(f) for f in frames[i : i + per_file]))
+        os.utime(p, (1_700_000_000 + fileno, 1_700_000_000 + fileno))
+
+    from distributed_video_analytics_flink_spark.streaming import (
+        detect_motion_stream,
+        file_frame_stream,
+    )
+
+    # Checkpoint WAL/state commits fsync per micro-batch; tmpfs keeps the
+    # benchmark measuring the pipeline, not this machine's disk latency
+    # (production sizes checkpoint storage accordingly). Warm-up + min-of-3
+    # as in the batch benchmark; each run needs a fresh checkpoint or the
+    # query would resume and process nothing.
+    ck_base = "/dev/shm" if os.path.isdir("/dev/shm") else root
+
+    def _run(tag: str) -> float:
+        ck = os.path.join(ck_base, f"bench_stream_ck_{os.getpid()}_{tag}")
+        t0 = time.time()
+        q = (
+            detect_motion_stream(
+                file_frame_stream(spark, data_dir, max_files_per_trigger=8)
+            )
+            .writeStream.format("noop")
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        sec = time.time() - t0
+        shutil.rmtree(ck, ignore_errors=True)
+        return sec
+
+    _run("warmup")
+    sec = min(_run("t1"), _run("t2"), _run("t3"))
+    shutil.rmtree(root, ignore_errors=True)
     return sec, n
 
 
@@ -139,6 +216,10 @@ def main() -> None:
     timings["motion_pipeline_640x480"] = round(motion_sec, 3)
     motion_fps = round(motion_frames / motion_sec, 1)
 
+    stream_sec, stream_frames = bench_motion_stream_fps(spark)
+    timings["motion_stream_640x480"] = round(stream_sec, 3)
+    motion_stream_fps = round(stream_frames / stream_sec, 1)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -150,6 +231,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "motion_fps_640x480": motion_fps,
+                "motion_stream_fps_640x480": motion_stream_fps,
             }
         )
     )
