@@ -228,6 +228,45 @@ def test_camera_fps_windows(spark):
         assert r["fps"] == pytest.approx(5.0)
 
 
+def test_watermark_finalizes_windows(spark, tmp_path):
+    """K3 as a deliberate improvement (the reference has no event-time
+    handling at all): append-mode windowed aggregates emit a window exactly
+    once the watermark passes its end. Micro-batch 1 carries t=0..4s
+    events (watermark still at epoch -> all windows held); micro-batch 2
+    jumps event time to 120 s, driving the watermark to 110 s and
+    finalizing the early windows with their complete counts."""
+    from datetime import timedelta
+
+    data_dir = tmp_path / "frames"
+    data_dir.mkdir()
+    fx = [f for f in fixture_frames() if f["camId"] == "cam0"]
+    t0 = fx[0]["timestamp"]
+    early = []
+    for k in range(5):
+        f = dict(fx[0])
+        f["timestamp"] = t0 + timedelta(seconds=k)  # windows [0,2) [2,4) [4,6)
+        early.append(f)
+    flush = dict(fx[0])
+    flush["timestamp"] = t0 + timedelta(seconds=120)
+
+    p1 = data_dir / "b1.json"
+    p1.write_text("\n".join(_frame_json(f) for f in early))
+    os.utime(p1, (1_700_000_000, 1_700_000_000))
+    p2 = data_dir / "b2.json"
+    p2.write_text(_frame_json(flush))
+    os.utime(p2, (1_700_000_100, 1_700_000_100))
+
+    stream = camera_fps(file_frame_stream(spark, str(data_dir)), watermark="10 seconds")
+    rows = _collect_stream(spark, stream, "fps_watermark", str(tmp_path / "ck"))
+    got = {
+        (r["window"].start - t0.replace(tzinfo=None)).total_seconds(): r["frames"]
+        for r in rows
+    }
+    # the three early windows finalized with complete counts; the 120 s
+    # window is still open (watermark 110 < its end) and must NOT appear
+    assert got == {0.0: 2, 2.0: 2, 4.0: 1}
+
+
 def test_processing_results_sink_layout(spark, tmp_path):
     """O2/O3: results land partitioned by (camera_id, day); the per-(cam,
     day) read path prunes partitions; the faithful_count variant carries
