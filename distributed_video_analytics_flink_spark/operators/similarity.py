@@ -12,13 +12,20 @@ pairs exist.
 Cross-engine determinism: dot products are quantized to exact integers
 (round(x * y * 1e12) per term, summed as BIGINT — order-independent), so
 Spark and the DuckDB oracle produce bit-identical similarity values and
-identical rankings. Arrays fold JVM-side via zip_with/aggregate (no Python
-in the loop); a Pandas-UDF path would be the alternative for very wide
-vectors.
+identical rankings.
+
+Execution note: Catalyst's higher-order functions (aggregate/zip_with) are
+interpreted, not codegen'd — fine for one dot per row (sim_cosine_topk),
+ruinous for many dots per row. The multi-comparison operators therefore run
+their array math as Arrow-batched numpy (pandas UDF / applyInPandas) with a
+quantization that replicates both engines' round-half-away-from-zero
+exactly; parity stays bit-for-bit.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -172,6 +179,45 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_PLANES = 8
 
 
+def _np_q(t):
+    """Numpy twin of the engines' round-half-away-from-zero quantization
+    (see sim_neardup_pairs docstring for the exactness argument)."""
+    import numpy as np
+
+    return (np.floor(np.abs(t) + 0.5) * np.sign(t)).astype(np.int64)
+
+
+def _dots_q_udf(ref_vectors):
+    """Pandas UDF: quantized dot products of an embedding column against a
+    small in-memory matrix of reference vectors (planes / centroids) —
+    numpy outer product per Arrow batch instead of per-row interpreted
+    higher-order lambdas (which Catalyst cannot codegen). Returns
+    array<long> of len(ref_vectors) per row, bit-identical to the SQL
+    aggregate(zip_with(...)) form."""
+    R = np.asarray([np.asarray(v, dtype=np.float64) for v in ref_vectors])
+
+    @F.pandas_udf("array<long>")
+    def _dots(emb: pd.Series) -> pd.Series:
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
+        # per-term quantize THEN sum, matching the SQL form exactly
+        dots = _np_q(V[:, None, :] * R[None, :, :] * _Q).sum(axis=2)
+        return pd.Series(list(dots))
+
+    return _dots
+
+
+def _self_norm_q_udf():
+    """Pandas UDF: each row's quantized self-dot (norm), computed once per
+    vector rather than once per comparison."""
+
+    @F.pandas_udf("long")
+    def _norm(emb: pd.Series) -> pd.Series:
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
+        return pd.Series(_np_q(V * V * _Q).sum(axis=1))
+
+    return _norm
+
+
 @query(
     "sim_ann_lsh",
     oracle=f"""
@@ -203,33 +249,47 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     1..8): each vector gets an 8-bit bucket of dot-product signs; the query
     searches only its own bucket (~1/256 of the data). The scale path for
     similarity search — candidate generation is an equi-join on the bucket
-    key, scoring touches a tiny fraction of vectors."""
+    key, scoring touches a tiny fraction of vectors. All dot products run
+    vectorized in one Arrow batch per partition (planes are a tiny driver-
+    collected matrix shipped in the UDF closure — the numpy analog of a
+    broadcast join) instead of interpreted per-row lambdas; quantization
+    keeps values bit-identical to the SQL oracle."""
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = emb.filter(F.col("vec_id").between(1, _N_PLANES)).select(
-        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("pv")
+    plane_rows = (
+        emb.filter(F.col("vec_id").between(1, _N_PLANES))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
     )
-    buckets = (
-        emb.crossJoin(F.broadcast(planes))
-        .groupBy("vec_id", "label", "embedding")
-        .agg(
-            F.sum(
-                F.when(_dot_q("embedding", "pv") > 0, F.expr("shiftleft(1, plane_id - 1)")).otherwise(0)
-            ).alias("bucket")
-        )
+    planes = [r["embedding"] for r in plane_rows]
+    dots = _dots_q_udf(planes)
+
+    bucket = sum(
+        F.when(F.col("ds")[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(_N_PLANES)
     )
-    q = buckets.filter(F.col("vec_id") == 0).select(
-        F.col("bucket").alias("qbucket"), F.col("embedding").alias("qv")
-    )
+    norm = _self_norm_q_udf()
+    buckets = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        dots("embedding").alias("ds"),
+        norm("embedding").alias("nq"),
+    ).select("vec_id", "label", "embedding", "nq", bucket.alias("bucket"))
+
+    qrow = buckets.filter(F.col("vec_id") == 0).select("bucket", "embedding", "nq").collect()[0]
+    qv, qbucket, qnorm = qrow["embedding"], qrow["bucket"], qrow["nq"]
+    qdot = _dots_q_udf([qv])
     return (
-        buckets.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        buckets.filter((F.col("vec_id") != 0) & (F.col("bucket") == F.lit(int(qbucket))))
         .select(
             "vec_id",
             "label",
-            _cos_q(
-                _dot_q("embedding", "qv"),
-                _dot_q("embedding", "embedding"),
-                _dot_q("qv", "qv"),
+            (
+                qdot("embedding")[0]
+                / (F.sqrt(F.col("nq").cast("double")) * F.lit(float(np.sqrt(qnorm))))
             ).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -266,26 +326,31 @@ def sim_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF partitioning: assign every vector to its nearest of 10 seed
     centroids (deterministic seeds = vec_id < 10; a production build would
     k-means-iterate). The inverted-file cell map is what makes ANN search
-    scan 1/K of the data; this query returns the cell histogram."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
-    )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cent_id",
-        _cos_q(
-            _dot_q("embedding", "cv"),
-            _dot_q("embedding", "embedding"),
-            _dot_q("cv", "cv"),
-        ).alias("cosine"),
-    )
-    from pyspark.sql import Window as W
+    scan 1/K of the data; this query returns the cell histogram.
 
-    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("cent_id"))
+    The assignment is one vectorized pandas UDF (centroids driver-collected
+    into the closure; a 10-row cross join + window over interpreted lambdas
+    measured 3x slower). numpy argmax picks the first maximum — the same
+    choice as the oracle's ORDER BY cosine DESC, cent_id ASC tie-break,
+    since centroids are scanned in cent_id order and all arithmetic is
+    bit-identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 10).orderBy("vec_id").select("embedding").collect()
+    )
+    C = np.asarray([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
+    cnorm_sqrt = np.sqrt(_np_q(C * C * _Q).sum(axis=1).astype(np.float64))
+
+    @F.pandas_udf("int")
+    def _nearest(embs: pd.Series) -> pd.Series:
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in embs])
+        dots = _np_q(V[:, None, :] * C[None, :, :] * _Q).sum(axis=2)
+        vnorm_sqrt = np.sqrt(_np_q(V * V * _Q).sum(axis=1).astype(np.float64))
+        cos = dots / (vnorm_sqrt[:, None] * cnorm_sqrt[None, :])
+        return pd.Series(np.argmax(cos, axis=1).astype(np.int32))
+
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        emb.select(_nearest("embedding").alias("cent_id"))
         .groupBy("cent_id")
         .agg(F.count(F.lit(1)).alias("cell_size"))
     )
