@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "dedup_token_jaccard",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "sim_cosine_topk",
     "sim_neardup_pairs",
     "sim_ann_lsh",

@@ -256,10 +256,8 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_simhash",
-    oracle=f"""
-    WITH tok AS (
+_DUCK_SIMHASH_CTE = f"""
+    tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
     ),
     bits AS (
@@ -271,18 +269,19 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
       FROM bits, LATERAL (SELECT unnest(generate_series(0, 15)) AS bit) b
       GROUP BY doc_id, b.bit
-    )
-    SELECT doc_id,
-           SUM(CASE WHEN s > 0 THEN 1 << bit ELSE 0 END) AS simhash16
-    FROM bitsums GROUP BY doc_id
-    """,
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash signature per document: token hashes vote per bit
-    (+1/-1, duplicates weighted by frequency), sign becomes the bit. Near
-    dups differ in few bits; signatures group into Hamming buckets for
-    join-based candidate generation. Token hash = first 4 hex digits of
-    md5 folded to an int (portable: Spark conv == DuckDB instr-fold)."""
+    ),
+    sh AS (
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN 1 << bit ELSE 0 END) AS simhash16
+      FROM bitsums GROUP BY doc_id
+    )"""
+
+
+def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash16): token hashes vote per bit (+1/-1, duplicates
+    weighted by frequency), sign becomes the bit. Token hash = first 4 hex
+    digits of md5 folded to an int (portable: Spark conv == DuckDB
+    instr-fold)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     h = F.conv(F.substring(F.md5("token"), 1, 4), 16, 10).cast("long")
@@ -298,4 +297,65 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1, bit)")).otherwise(0)).alias(
             "simhash16"
         )
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_DUCK_SIMHASH_CTE}
+    SELECT doc_id, simhash16 FROM sh
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document. Near dups differ in few bits;
+    dedup_simhash_pairs does the Hamming-bucket candidate join."""
+    return _simhash_signatures(spark, sf_dir)
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_DUCK_SIMHASH_CTE},
+    bands AS (
+      SELECT doc_id, simhash16, b.band_id,
+             (simhash16 >> (4 * b.band_id)) & 15 AS band_val
+      FROM sh, LATERAL (SELECT unnest(generate_series(0, 3)) AS band_id) b
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(CAST(xor(a.simhash16, b.simhash16) AS BIGINT)) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(CAST(xor(a.simhash16, b.simhash16) AS BIGINT)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance <= 3: the 16-bit
+    signature splits into four 4-bit bands; by pigeonhole, any pair within
+    distance 3 agrees on at least one whole band, so candidates come from a
+    band-value equi-join (the 100 TB shape — no cross product) and the
+    exact Hamming filter runs only on collisions."""
+    sig = _simhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "simhash16",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_id"),
+    ).withColumn("band_val", F.expr("(simhash16 >> (4 * band_id)) & 15"))
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.expr("bit_count(a.simhash16 ^ b.simhash16)")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
     )
