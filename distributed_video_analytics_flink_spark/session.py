@@ -20,10 +20,16 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+ROCKSDB_STATE_STORE = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def get_spark(
     app_name: str = "distributed_video_analytics_flink_spark",
     master: str | None = None,
     extra_conf: dict[str, str] | None = None,
+    rocksdb_state: bool = False,
 ) -> SparkSession:
     """Build (or reuse) the engine SparkSession.
 
@@ -52,6 +58,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    if rocksdb_state:
+        # Large-state streaming (the reference declared RocksDB but never
+        # enabled it, processor/pom.xml:41-45): per-camera frame state at
+        # million-camera scale outgrows the heap-backed store; RocksDB
+        # spills to local disk with incremental checkpointing.
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_STATE_STORE
+        )
     if master is not None:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):

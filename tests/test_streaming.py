@@ -228,6 +228,28 @@ def test_camera_fps_windows(spark):
         assert r["fps"] == pytest.approx(5.0)
 
 
+def test_rocksdb_state_store_equivalence(spark, tmp_path):
+    """The RocksDB state store (the large-state scale path; the reference
+    declared the dependency but never enabled it) must produce exactly the
+    heap-store results for the stateful motion fold."""
+    from distributed_video_analytics_flink_spark.session import ROCKSDB_STATE_STORE
+
+    data_dir = tmp_path / "frames"
+    data_dir.mkdir()
+    _write_replay_files(str(data_dir))
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_STATE_STORE)
+    try:
+        stream = detect_motion_stream(file_frame_stream(spark, str(data_dir)))
+        got = _collect_stream(spark, stream, "motion_rocksdb", str(tmp_path / "ck"))
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    batch_frames = spark.createDataFrame(fixture_frames(), schema=FRAME_SCHEMA)
+    want = detect_motion_batch(batch_frames).collect()
+    assert _key(got) == _key(want)
+
+
 def test_watermark_finalizes_windows(spark, tmp_path):
     """K3 as a deliberate improvement (the reference has no event-time
     handling at all): append-mode windowed aggregates emit a window exactly
