@@ -351,6 +351,34 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_extract, out_schema)
 
 
+def resize_frames(frames: DataFrame, out_h: int = 480, out_w: int = 640) -> DataFrame:
+    """T5: the producer's per-frame resize (cv2.resize INTER_CUBIC to
+    640x480, VideoEventCreator.java:75,40-41) as a DataFrame transform —
+    pure-numpy separable bicubic (functions/resize.py) in one Arrow-batched
+    pandas UDF; rows/cols columns are rewritten to the target dims."""
+    from distributed_video_analytics_flink_spark.functions.resize import resize_payload
+
+    @F.pandas_udf(T.StringType())
+    def _resize(data: pd.Series, rows: pd.Series, cols: pd.Series) -> pd.Series:
+        out = []
+        for d, r, c in zip(data, rows, cols):
+            if d is None:
+                out.append(None)
+                continue
+            resized = resize_payload(base64.b64decode(d), int(r), int(c), out_h, out_w)
+            out.append(None if resized is None else base64.b64encode(resized).decode("ascii"))
+        return pd.Series(out)
+
+    return frames.select(
+        "camId",
+        "timestamp",
+        F.lit(out_h).alias("rows"),
+        F.lit(out_w).alias("cols"),
+        "type",
+        _resize("data", "rows", "cols").alias("data"),
+    )
+
+
 def decode_image_stub(payload: bytes) -> np.ndarray:
     """Placeholder for the image-decode step of the multimodal path. The
     container ships no codec libraries; production would use cv2/PIL here.
