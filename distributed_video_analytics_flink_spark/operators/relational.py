@@ -676,6 +676,9 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROW_NUMBER() OVER w AS rn,
            RANK() OVER w AS rnk,
            DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS prank,
+           CUME_DIST() OVER w AS cdist,
            LAG(o_orderkey) OVER w AS prev_orderkey,
            LEAD(o_orderkey) OVER w AS next_orderkey
     FROM orders
@@ -684,7 +687,9 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking + offset window functions over a deterministic total order."""
+    """Ranking, distribution (ntile/percent_rank/cume_dist — integer-ratio
+    results, exact across engines), and offset window functions over a
+    deterministic total order."""
     orders = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return orders.select(
@@ -694,6 +699,9 @@ def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
         F.lag("o_orderkey").over(w).alias("prev_orderkey"),
         F.lead("o_orderkey").over(w).alias("next_orderkey"),
     )
