@@ -256,6 +256,109 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_JACCARD_ORACLE = """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM tok a JOIN tok b
+        ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE a.lang = 'de'
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common) >= 0.6
+    """
+
+
+@query("dedup_jaccard_prefix_filtered", oracle=_DUCK_JACCARD_ORACLE)
+def dedup_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-Jaccard near-dup with PPJoin-style prefix filtering —
+    the 100 TB shape for dedup_token_jaccard (same semantics, same oracle):
+
+    tokens get a global rarity rank (ascending document frequency); a pair
+    with J >= t must share at least one token among each document's
+    ``|d| - ceil(t*|d|) + 1`` rarest tokens (prefix filtering is lossless:
+    if the prefixes are disjoint, the overlap is bounded below t). So the
+    candidate join runs only on prefix tokens — stopword-sized posting
+    lists never join — and the exact |intersection|/|union| verification
+    runs only on surviving candidates.
+
+    Honest measurement note: on the driver's template-generated corpus the
+    pruning is negligible (~245k of 246k naive candidates survive — the
+    documents genuinely are near-universally similar), so this variant is
+    slower there than dedup_token_jaccard. It wins on natural corpora where
+    posting-list sizes follow Zipf: the naive join is quadratic in the
+    largest posting list, the prefix join is bounded by rare-token lists."""
+    t = 0.6
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    from pyspark.sql import Window as W
+
+    # rarity order = (global df asc, token asc) — used directly as the
+    # per-doc sort key; a dense global rank would need a single-partition
+    # window over the whole vocabulary, which dies at scale
+    token_df = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+
+    sized = tok.join(token_df, "token").withColumn(
+        "n_tok", F.count(F.lit(1)).over(W.partitionBy("doc_id"))
+    )
+    prefix_len = (F.col("n_tok") - F.ceil(F.col("n_tok") * F.lit(t)) + 1).cast("int")
+    prefix = (
+        sized.withColumn(
+            "pos",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("token"))
+            ),
+        )
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "lang", "token")
+    )
+
+    a = prefix.filter(F.col("lang") == "de").alias("a")
+    b = prefix.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    ta = tok.select(F.col("doc_id").alias("doc_a"), F.col("token").alias("tk"))
+    tb = tok.select(F.col("doc_id").alias("doc_b"), F.col("token").alias("tk"))
+    common = (
+        candidates.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tk"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_common")
+    )
+    return (
+        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= t)
+    )
+
+
 _DUCK_SIMHASH_CTE = f"""
     tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
