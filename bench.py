@@ -73,7 +73,6 @@ def bench_motion_fps(spark) -> tuple[float, int]:
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
 
     from distributed_video_analytics_flink_spark.operators.video import detect_motion_batch
     from distributed_video_analytics_flink_spark.schemas import FRAME_SCHEMA
