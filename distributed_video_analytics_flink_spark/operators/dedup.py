@@ -28,10 +28,12 @@ N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 
 # word-3-gram shingles of the document text, as a SQL expression usable in
-# both engines' lambda dialects
+# both engines' lambda dialects. The Spark form expects a pre-projected
+# words array column `w`: split() inside the lambda body is NOT hoisted by
+# Catalyst and re-tokenizes the document once per shingle (measured 3.4x).
 _SPARK_SHINGLES = (
-    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
-    " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+    "transform(sequence(1, greatest(size(w) - 2, 0)),"
+    " i -> concat_ws(' ', slice(w, i, 3)))"
 )
 _DUCK_SHINGLES = (
     "list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),"
@@ -94,7 +96,7 @@ def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured ~2x on the full LSH query). Min is lexicographic over the hex
     strings (portable across engines)."""
     docs = load_table(spark, sf_dir, "documents")
-    shingled = docs.select(
+    shingled = docs.select("doc_id", F.split("text", " ").alias("w")).select(
         "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle")
     )
     aggs = []
