@@ -386,23 +386,27 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash16): token hashes vote per bit (+1/-1, duplicates
     weighted by frequency), sign becomes the bit. Token hash = first 4 hex
     digits of md5 folded to an int (portable: Spark conv == DuckDB
-    instr-fold)."""
+    instr-fold).
+
+    One aggregation pass with 16 conditional sums — not a 16x bit-explode
+    (which multiplied the shuffle row count by the signature width and two
+    aggregation levels; measured ~2x slower). The oracle keeps the explode
+    formulation; results are identical."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     h = F.conv(F.substring(F.md5("token"), 1, 4), 16, 10).cast("long")
-    bits = tok.select("doc_id", h.alias("h")).select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"), "h"
+    bitsums = tok.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(16)
+        ]
     )
-    bitsums = bits.groupBy("doc_id", "bit").agg(
-        F.sum(
-            F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
-        ).alias("s")
+    simhash = sum(
+        F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(16)
     )
-    return bitsums.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1, bit)")).otherwise(0)).alias(
-            "simhash16"
-        )
-    )
+    return bitsums.select("doc_id", simhash.cast("long").alias("simhash16"))
 
 
 @query(
