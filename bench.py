@@ -202,8 +202,13 @@ def main() -> None:
     from distributed_video_analytics_flink_spark.session import get_spark
 
     spark = get_spark(app_name="dvafs-bench")
-    # warm up the JVM/Python worker pool outside the timed region
+    # Warm up the JVM, parquet reader, and whole-stage-codegen compiler
+    # outside the timed region (at the smallest SF so the warm-up itself is
+    # cheap) — otherwise the first timed query pays one-time JIT costs that
+    # say nothing about the plan.
     spark.range(1000).selectExpr("sum(id)").collect()
+    _force(ops.QUERIES["pricing_summary"].fn(spark, "/root/testdata/sf0.001"))
+    _force(ops.QUERIES["join_region_revenue"].fn(spark, "/root/testdata/sf0.001"))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
