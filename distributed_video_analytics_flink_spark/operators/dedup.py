@@ -361,6 +361,90 @@ def dedup_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_DUCK_PAIRS_CTES = f"""
+    {_duck_minhash_cte()},
+    bands AS (
+      SELECT doc_id, b.band_id, b.band_hash
+      FROM sigs, LATERAL (
+        SELECT * FROM (VALUES
+          (0, md5(h0 || h1 || h2 || h3)),
+          (1, md5(h4 || h5 || h6 || h7)),
+          (2, md5(h8 || h9 || h10 || h11)),
+          (3, md5(h12 || h13 || h14 || h15))) AS v(band_id, band_hash)
+      ) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the MinHash-LSH
+    candidate graph, labeling every document with the minimum doc_id
+    reachable from it (the canonical keeper). Singletons label themselves.
+
+    Iterative min-label propagation as DataFrame joins: each round, every
+    node takes the min of its own label and its neighbors' labels; converges
+    in O(graph diameter) rounds — small for LSH near-dup clusters, which are
+    dense blobs, not chains. Each round is one equi-join + one min-aggregate
+    (both on doc_id), and ``localCheckpoint`` truncates the lineage so the
+    plan does not grow per iteration. At 100 TB the same loop holds (labels
+    and edges shuffle-partition on doc_id and can reuse the partitioning);
+    for adversarially long chains, swap the body for alternating
+    large-star/small-star rounds (Kiveris et al.) — O(log n) rounds, same
+    per-round join shape and the same fixpoint."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .localCheckpoint()  # LSH pairs compute once, not once per round
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    for _ in range(25):
+        nbr_min = (
+            edges.join(labels, edges["u"] == labels["doc_id"])
+            .groupBy(edges["v"].alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.col("nbr_min") < F.col("cluster_id")).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
 _DUCK_SIMHASH_CTE = f"""
     tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
