@@ -354,3 +354,102 @@ def sim_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cent_id")
         .agg(F.count(F.lit(1)).alias("cell_size"))
     )
+
+
+_N_PROBE = 3
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 10
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probes AS (
+      SELECT cent_id FROM cents, q
+      ORDER BY {_duck_cos_q(
+          _duck_dot_q("cv", "qv"),
+          _duck_dot_q("cv", "cv"),
+          _duck_dot_q("qv", "qv"),
+      )} DESC, cent_id ASC
+      LIMIT {_N_PROBE}
+    ),
+    scored AS (
+      SELECT e.vec_id, c.cent_id,
+             {_duck_cos_q(
+                 _duck_dot_q("e.embedding", "c.cv"),
+                 _duck_dot_q("e.embedding", "e.embedding"),
+                 _duck_dot_q("c.cv", "c.cv"),
+             )} AS ccos
+      FROM embeddings e, cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, cent_id ASC) AS rn
+      FROM scored
+    )
+    SELECT e.vec_id, e.label,
+           {_duck_cos_q(
+               _duck_dot_q("e.embedding", "q.qv"),
+               _duck_dot_q("e.embedding", "e.embedding"),
+               _duck_dot_q("q.qv", "q.qv"),
+           )} AS cosine
+    FROM embeddings e
+    JOIN assigned a ON a.vec_id = e.vec_id AND a.rn = 1
+    JOIN probes p ON p.cent_id = a.cent_id
+    CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine DESC, e.vec_id ASC LIMIT 5
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search — the scale path sim_ivf_cells sets up: rank the 10
+    cells by centroid-vs-query cosine driver-side (centroids are tiny), then
+    score the query ONLY against vectors whose nearest cell is among the top
+    {nprobe} probes — a scan of ~nprobe/K of the table vs brute force.
+
+    One Arrow-batched pandas UDF per row computes (nearest cell, query
+    cosine) together, so each vector is read once; the probe filter then
+    prunes before the top-k. At 100 TB the table would be written
+    partitionBy(cent_id) so probing prunes parquet partitions at the scan
+    (the IVF analog of partition pruning) and the top-5 is
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 10).orderBy("vec_id").select("embedding").collect()
+    )
+    C = np.asarray([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
+    cn = np.sqrt(_np_q(C * C * _Q).sum(axis=1).astype(np.float64))
+    qv = np.asarray(
+        emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]["embedding"],
+        dtype=np.float64,
+    )
+    qn = float(np.sqrt(_np_q(qv * qv * _Q).sum()))
+
+    probe_cos = _np_q(C * qv[None, :] * _Q).sum(axis=1) / (cn * qn)
+    # lexsort is ascending; negate cosine for DESC, cent_id asc breaks ties
+    order = np.lexsort((np.arange(len(C)), -probe_cos))
+    probes = [int(i) for i in order[:_N_PROBE]]
+
+    @F.pandas_udf("struct<cent_id: int, cosine: double>")
+    def _assign_and_score(embs: pd.Series) -> pd.DataFrame:
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in embs])
+        vn = np.sqrt(_np_q(V * V * _Q).sum(axis=1).astype(np.float64))
+        ccos = _np_q(V[:, None, :] * C[None, :, :] * _Q).sum(axis=2) / (
+            vn[:, None] * cn[None, :]
+        )
+        qcos = _np_q(V * qv[None, :] * _Q).sum(axis=1) / (vn * qn)
+        return pd.DataFrame(
+            {"cent_id": np.argmax(ccos, axis=1).astype(np.int32), "cosine": qcos}
+        )
+
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", _assign_and_score("embedding").alias("s"))
+        .filter(F.col("s.cent_id").isin(probes))
+        .select("vec_id", "label", F.col("s.cosine").alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+    )
