@@ -4,6 +4,11 @@ pattern-subscribe, file replay, rate), the stateful motion operator
 Parquet results table, PNG side-output, Kafka)."""
 
 from distributed_video_analytics_flink_spark.streaming.fps import camera_fps
+from distributed_video_analytics_flink_spark.streaming.joins import (
+    dedup_frames_stream,
+    enrich_with_cameras,
+    interval_join_streams,
+)
 from distributed_video_analytics_flink_spark.streaming.motion import detect_motion_stream
 from distributed_video_analytics_flink_spark.streaming.sinks import (
     build_processing_results,
@@ -21,7 +26,10 @@ from distributed_video_analytics_flink_spark.streaming.sources import (
 
 __all__ = [
     "camera_fps",
+    "dedup_frames_stream",
     "detect_motion_stream",
+    "enrich_with_cameras",
+    "interval_join_streams",
     "build_processing_results",
     "kafka_frame_sink",
     "png_side_output",

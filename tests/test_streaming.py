@@ -325,3 +325,108 @@ def test_processing_results_sink_layout(spark, tmp_path):
     # partition pruning visible in the plan
     plan = one_cam._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "camera_id=cam0" in plan
+
+
+# --------------------------------------------------------------------------
+# Streaming joins & dedup (streaming/joins.py)
+# --------------------------------------------------------------------------
+
+
+def test_stream_static_join_enriches(spark, tmp_path):
+    """Stream-static left join against the camera registry dim: every frame
+    comes back with its registry attributes; unregistered cameras survive
+    with nulls (left join), matching the batch join exactly."""
+    from distributed_video_analytics_flink_spark.streaming import enrich_with_cameras
+
+    data_dir = tmp_path / "frames"
+    data_dir.mkdir()
+    _write_replay_files(str(data_dir))
+    cameras = spark.createDataFrame(
+        [("cam0", "lobby"), ("cam1", "gate"), ("cam2", "yard")],
+        ["camId", "location"],
+    )
+
+    stream = enrich_with_cameras(
+        file_frame_stream(spark, str(data_dir)), cameras
+    ).select("camId", "timestamp", "location")
+    got = _collect_stream(spark, stream, "enriched_stream", str(tmp_path / "ck"))
+
+    batch = spark.createDataFrame(fixture_frames(), schema=FRAME_SCHEMA)
+    want = (
+        batch.join(F.broadcast(cameras), "camId", "left")
+        .select("camId", "timestamp", "location")
+        .collect()
+    )
+    keyfn = lambda rows: sorted((r["camId"], r["timestamp"], r["location"]) for r in rows)
+    assert keyfn(got) == keyfn(want)
+    assert len(got) == 40
+    assert all(r["location"] is None for r in got if r["camId"] == "cam3")
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner interval join (two independent file sources over
+    the same replay): per-camera pairs within +/-100 ms must match the batch
+    join's pairs exactly. Both sides are watermarked so buffered state is
+    bounded; inner-join matches emit eagerly, so a finite replay yields the
+    complete pair set."""
+    from distributed_video_analytics_flink_spark.streaming import interval_join_streams
+
+    data_dir = tmp_path / "frames"
+    data_dir.mkdir()
+    _write_replay_files(str(data_dir))
+
+    joined = interval_join_streams(
+        file_frame_stream(spark, str(data_dir)),
+        file_frame_stream(spark, str(data_dir)),
+        tolerance_ms=100,
+    ).select("l_key", "l_ts", "r_ts")
+    got = _collect_stream(spark, joined, "interval_join_stream", str(tmp_path / "ck"))
+
+    batch = spark.createDataFrame(fixture_frames(), schema=FRAME_SCHEMA)
+    l = batch.select(F.col("camId").alias("l_key"), F.col("timestamp").alias("l_ts"))
+    r = batch.select(F.col("camId").alias("r_key"), F.col("timestamp").alias("r_ts"))
+    want = (
+        l.join(
+            r,
+            F.expr(
+                "l_key = r_key AND r_ts BETWEEN"
+                " l_ts - INTERVAL 100 MILLISECONDS AND l_ts + INTERVAL 100 MILLISECONDS"
+            ),
+        )
+        .select("l_key", "l_ts", "r_ts")
+        .collect()
+    )
+    keyfn = lambda rows: sorted((r["l_key"], r["l_ts"], r["r_ts"]) for r in rows)
+    assert keyfn(got) == keyfn(want)
+    assert len(got) > 40  # every frame self-matches plus +/-3 neighbors
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark suppresses at-least-once redelivery:
+    a replay where every frame appears twice (in-file dup + next-file
+    redelivery for the earliest frames) yields exactly the unique frames."""
+    from distributed_video_analytics_flink_spark.streaming import dedup_frames_stream
+
+    frames = sorted(fixture_frames(), key=lambda f: f["timestamp"])
+    data_dir = tmp_path / "frames"
+    data_dir.mkdir()
+    per_file = 4
+    for fileno, i in enumerate(range(0, len(frames), per_file)):
+        chunk = frames[i : i + per_file]
+        lines = [_frame_json(f) for f in chunk for _ in (0, 1)]  # in-file dup
+        if i >= per_file:  # cross-file redelivery of the previous chunk
+            lines += [_frame_json(f) for f in frames[i - per_file : i]]
+        path = os.path.join(str(data_dir), f"batch-{i:04d}.json")
+        with open(path, "w") as fh:
+            fh.write("\n".join(lines))
+        os.utime(path, (1_700_000_000 + fileno, 1_700_000_000 + fileno))
+
+    deduped = dedup_frames_stream(
+        file_frame_stream(spark, str(data_dir))
+    ).select("camId", "timestamp")
+    got = _collect_stream(spark, deduped, "dedup_stream", str(tmp_path / "ck"))
+
+    assert len(got) == 40
+    assert sorted((r["camId"], r["timestamp"]) for r in got) == sorted(
+        (f["camId"], f["timestamp"].replace(tzinfo=None)) for f in fixture_frames()
+    )
