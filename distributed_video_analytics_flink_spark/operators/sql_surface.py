@@ -22,11 +22,15 @@ which every registered query's semantics can be written as plain SQL.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from distributed_video_analytics_flink_spark.operators.dedup import _DUCK_SIMHASH_CTE
+from distributed_video_analytics_flink_spark.operators.dedup import (
+    _DUCK_SHINGLES,
+    _DUCK_SIMHASH_CTE,
+)
 from distributed_video_analytics_flink_spark.operators.registry import query
 from distributed_video_analytics_flink_spark.schemas import MOTION_BOX
 from distributed_video_analytics_flink_spark.sources.tables import register_views
@@ -109,6 +113,32 @@ def register_functions(spark: SparkSession) -> None:
 
     spark.udf.register("dvaf_motion_boxes", _boxes, T.ArrayType(MOTION_BOX))
 
+    # UDAF surface: an Arrow-batched grouped-aggregate pandas UDF. Exact
+    # percentiles of a group that can't be expressed as algebraic partial
+    # aggregates are the canonical custom-UDAF case; pandas median matches
+    # SQL quantile_cont(0.5) (midpoint interpolation).
+    @F.pandas_udf("double")
+    def _median(v: pd.Series) -> float:
+        return float(v.median())
+
+    spark.udf.register("dvaf_median", _median)
+
+    # UDTF surface: one input row -> N output rows, SQL-callable as a
+    # LATERAL table function. The hot path for shingling stays the JVM-side
+    # explode in dedup.py; this is the registration/ergonomics form.
+    class _ShingleRows:
+        def eval(self, text: str):
+            if text is None:
+                return
+            w = text.split(" ")
+            for i in range(max(len(w) - 2, 0)):
+                yield i, " ".join(w[i : i + 3])
+
+    spark.udtf.register(
+        "dvaf_shingle_rows",
+        F.udtf(_ShingleRows, returnType="pos int, shingle string"),
+    )
+
 
 def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Functions + testdata temp views: the full SQL-reachable surface."""
@@ -134,6 +164,51 @@ def sql_udf_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, dvaf_fingerprint(text) AS fingerprint,
                dvaf_ws_tokens(text) AS ws_tokens
         FROM documents WHERE doc_id % 7 = 0
+        """
+    )
+
+
+@query(
+    "sql_udaf_median",
+    oracle="""
+    SELECT l_returnflag, quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS median_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sql_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF through the SQL surface: the registered grouped-agg
+    pandas UDF aggregates inside a SQL GROUP BY exactly like a built-in.
+    Arrow ships each group's column as one batch; partial aggregation does
+    not apply (exact medians are holistic), so the shuffle carries raw
+    values — the inherent cost of a holistic aggregate, not a plan defect."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, dvaf_median(CAST(l_quantity AS DOUBLE)) AS median_qty
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "sql_udtf_shingles",
+    oracle=f"""
+    WITH sh AS (SELECT unnest({_DUCK_SHINGLES}) AS shingle FROM documents)
+    SELECT shingle, COUNT(*) AS n FROM sh
+    GROUP BY shingle ORDER BY n DESC, shingle ASC LIMIT 20
+    """,
+)
+def sql_udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDTF through the SQL surface: LATERAL correlation expands each
+    document into its word-3-gram shingle rows, then a plain SQL aggregate
+    ranks the commonest shingles — proving one-row-to-N-rows table functions
+    compose with the relational surface."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s.shingle, COUNT(*) AS n
+        FROM documents d, LATERAL dvaf_shingle_rows(d.text) s
+        GROUP BY s.shingle ORDER BY n DESC, s.shingle ASC LIMIT 20
         """
     )
 
