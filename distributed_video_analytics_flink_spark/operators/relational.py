@@ -935,3 +935,37 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["click", "view", "purchase", "signup", "error"]],
     )
+
+
+@query(
+    "events_ohlc_hourly",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           arg_min(value, ts) AS open_v,
+           MAX(value) AS high_v,
+           MIN(value) AS low_v,
+           arg_max(value, ts) AS close_v,
+           COUNT(*) AS n_events,
+           {duck_sum_money("value", "volume")}
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series OHLC rollup (the hypertable/candlestick aggregate):
+    open/close via min_by/max_by on the event time — ts is globally unique
+    in this data; with colliding timestamps the ordering key would become
+    struct(ts, event_id) on both engines — high/low as plain extremes, and
+    an order-independent exact-cents volume sum. One partial-aggregated
+    shuffle on (hour, type); at 100 TB the bucket key prunes to the
+    partition layout if events are stored partitioned by day."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.expr("min_by(value, ts)").alias("open_v"),
+        F.max("value").alias("high_v"),
+        F.min("value").alias("low_v"),
+        F.expr("max_by(value, ts)").alias("close_v"),
+        F.count(F.lit(1)).alias("n_events"),
+        sum_money("value", "volume"),
+    )
