@@ -969,3 +969,50 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         sum_money("value", "volume"),
     )
+
+
+@query(
+    "sample_hash_bernoulli",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10 = 0
+    """,
+)
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% Bernoulli sample keyed on a content hash — the
+    reproducible sampling a training pipeline needs (rng-based sample()
+    changes membership across retries/partitionings; a hash of the row key
+    never does). Embarrassingly parallel: the predicate evaluates at the
+    scan, no shuffle, and the same rows are selected at any cluster size."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
+    return ev.filter(bucket.cast("long") % 10 == 0).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@query(
+    "sample_systematic_per_user",
+    oracle="""
+    WITH numbered AS (
+      SELECT event_id, user_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events
+    )
+    SELECT event_id, user_id, ts FROM numbered WHERE rn % 5 = 1
+    """,
+)
+def sample_systematic_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic per-key sampling: every 5th event per user in event-time
+    order (the frame-subsampling pattern — 'keep every Nth frame per
+    camera' — expressed on the events table). One shuffle on the partition
+    key; the window sort is per-key, never global. ts is globally unique in
+    this data, so the ordering is total."""
+    ev = load_table(spark, sf_dir, "events")
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("ts"))
+    return (
+        ev.select("event_id", "user_id", "ts", rn.alias("rn"))
+        .filter(F.col("rn") % 5 == 1)
+        .drop("rn")
+    )
