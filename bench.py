@@ -133,8 +133,12 @@ def bench_motion_stream_fps(spark) -> tuple[float, int]:
 
     import numpy as np
 
-    cams, per_cam, per_file = 16, 32, 64
-    n = cams * per_cam  # 512 frames: amortizes the ~1.5 s query-startup cost
+    # ~2.5 s of each run is fixed query startup (planning, state-store init,
+    # file listing) regardless of frame count — 512 frames reported barely
+    # half the pipeline's steady-state rate (168 vs 332 fps measured at
+    # 1024). 1024 frames amortize the fixed cost without inflating the run.
+    cams, per_cam, per_file = 32, 32, 128
+    n = cams * per_cam
     # Replay files live on tmpfs when available: ~630 MB of wire-format JSON
     # re-read per timed run would otherwise measure this machine's disk (and
     # page-cache eviction by the preceding sf0.1 queries — observed 161 vs
