@@ -1016,3 +1016,20 @@ def sample_systematic_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") % 5 == 1)
         .drop("rn")
     )
+
+
+@query("agg_approx_percentile")  # sketch internals differ per engine: rows-only
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the KLL/GK-style mergeable sketch
+    (approx_percentile) — the 100 TB alternative to agg_percentiles' exact
+    holistic shuffle: sketches partial-aggregate map-side and merge in one
+    reduce, so the shuffle carries fixed-size summaries instead of raw
+    values. Rows-only check (DuckDB's approx_quantile uses a different
+    sketch; the exact-percentile twin agg_percentiles carries the oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+        ).alias("price_p50_p95_p99"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
