@@ -239,3 +239,74 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") <= 3) & (F.col("doc_id") % 10 == 0))
         .select("doc_id", "token", "tfidf_ratio")
     )
+
+
+@query(
+    "text_chunk_documents",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS w, len(string_split(text, ' ')) AS n
+      FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT doc_id, CAST((s.start - 1) / 40 AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(w, s.start, s.start + 49), ' ') AS chunk_text,
+           least(50, n - s.start + 1) AS chunk_tokens
+    FROM tok, LATERAL (SELECT unnest(generate_series(1, n, 40)) AS start) s
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size chunking with overlap (50-token windows, stride 40) — the
+    standard LLM-ingest split. Pure JVM array ops: tokenize once into a
+    projected column, explode the stride sequence, slice per chunk. Scales
+    embarrassingly (per-row expansion, no shuffle); at 100 TB the output
+    re-partitions by hash(doc_id, chunk_id) for downstream embedding."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    tok = docs.select(
+        "doc_id", F.split("text", " ").alias("w"), F.size(F.split("text", " ")).alias("n")
+    )
+    return (
+        tok.select(
+            "doc_id",
+            "w",
+            "n",
+            F.explode(F.expr("sequence(1, n, 40)")).alias("start"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / 40).cast("long").alias("chunk_id"),
+            F.concat_ws(" ", F.expr("slice(w, start, 50)")).alias("chunk_text"),
+            F.least(F.lit(50), F.col("n") - F.col("start") + 1).alias("chunk_tokens"),
+        )
+    )
+
+
+@query(
+    "text_scrub_pii",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(text,
+                 '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                 '[0-9][0-9][0-9]+', '<NUM>', 'g')) AS scrubbed_md5,
+           len(regexp_extract_all(text, '[0-9][0-9][0-9]+')) AS n_long_numbers
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (training-corpus hygiene): email-shaped spans and
+    3+-digit runs become placeholder tokens; emits the scrubbed-content
+    digest plus a per-document redaction count. regexp_replace is global in
+    both engines and the patterns avoid dialect-specific syntax, so digests
+    hash-match. Row-local — scales with zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+        r"[0-9][0-9][0-9]+",
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.size(F.expr(r"regexp_extract_all(text, '[0-9][0-9][0-9]+', 0)")).alias(
+            "n_long_numbers"
+        ),
+    )
