@@ -453,3 +453,55 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+@query(
+    "sim_label_centroids",
+    oracle="""
+    WITH expl AS (
+      SELECT label, u.pos, CAST(round(u.val * 1e6) AS BIGINT) AS qv
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS val,
+                           generate_subscripts(embedding, 1) AS pos) u
+    ),
+    dims AS (
+      SELECT label, pos, SUM(qv) AS s, COUNT(*) AS c
+      FROM expl GROUP BY label, pos
+    )
+    SELECT label,
+           list(s / 1e6 / c ORDER BY pos) AS centroid,
+           ANY_VALUE(c) AS n_vectors
+    FROM dims GROUP BY label
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding — the k-means M-step / IVF centroid update,
+    expressed as relational aggregation instead of driver-side math:
+    posexplode to (label, pos, value), partial-aggregated sum per dimension
+    (values quantized to exact integers so the mean is summation-order
+    independent), then reassembled into an ordered array. The shuffle
+    carries one row per (label, dim) — independent of vector count — which
+    is exactly the shape that survives a 100 TB corpus; no vector ever
+    reaches the driver."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "label", "pos", F.expr("cast(round(val * 1e6) as bigint)").alias("qv")
+    )
+    dims = expl.groupBy("label", "pos").agg(
+        F.sum("qv").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    mean = (F.col("s") / F.lit(1e6) / F.col("c")).alias("m")
+    return (
+        dims.select("label", "pos", "c", mean)
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), x -> x.m)"
+            ).alias("centroid"),
+            # every vector contributes every dimension, so any dim's count
+            # is the label's vector count
+            F.first("c").alias("n_vectors"),
+        )
+    )
