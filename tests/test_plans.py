@@ -94,3 +94,23 @@ def test_motion_pipeline_single_shuffle(spark):
 
     frames = spark.createDataFrame(fixture_frames(), schema=FRAME_SCHEMA)
     assert exchange_count(detect_motion_batch(frames)) == 1
+
+
+def test_rowlocal_operators_never_shuffle(spark):
+    """The embarrassingly-parallel operators (hash sampling, PII scrub,
+    chunk expansion) must plan zero exchanges — a shuffle here would be a
+    100 TB regression with no semantic payoff."""
+    from distributed_video_analytics_flink_spark.plans import exchange_count
+
+    for name in ("sample_hash_bernoulli", "text_scrub_pii", "text_chunk_documents"):
+        assert exchange_count(_q(spark, name)) == 0, name
+
+
+def test_centroid_aggregation_is_partial(spark):
+    """sim_label_centroids must partial-aggregate the per-dimension sums
+    map-side (HashAggregate pairs around the exchange): the shuffle then
+    carries one row per (label, dim) regardless of vector count."""
+    df = _q(spark, "sim_label_centroids")
+    assert hash_aggregate_count(df) >= 4  # partial+final for both groupBys
+    plan = formatted_plan(df)
+    assert "partial_sum" in plan or "partial" in plan.lower()
