@@ -19,3 +19,41 @@ from distributed_video_analytics_flink_spark.operators.registry import (  # noqa
     oracle_sql,
     queries,
 )
+
+# Queries with a fully-green (rows+schema+hash) driver row in
+# CORRECTNESS_r01.json. The driver checks only the FIRST 50 registered
+# queries, so round 1 left the entire video/similarity/text/sql_surface
+# surface unchecked. We re-rank registration so every query WITHOUT green
+# driver evidence yet (the 27 cut in r1, the r1 fails, and anything newly
+# added) registers first; r1-green queries fill the remaining window slots
+# in their original order, their r01 rows standing as evidence.
+_R01_DRIVER_GREEN = frozenset(
+    {
+        "dedup_exact", "dedup_fingerprint", "dedup_minhash_signatures",
+        "dedup_minhash_lsh_pairs", "dedup_token_jaccard",
+        "dedup_jaccard_prefix_filtered", "dedup_clusters",
+        "dedup_simhash_pairs", "scan_filter_project", "pricing_summary",
+        "forecast_revenue", "events_per_user_day", "join_shipping_priority",
+        "join_broadcast_dims", "join_region_revenue", "join_left_outer",
+        "join_full_outer", "join_semi", "join_anti", "join_range_events",
+        "join_asof_orders", "agg_distinct", "agg_percentiles",
+        "subquery_exists", "agg_salted_hot_keys", "agg_rollup", "agg_cube",
+        "agg_grouping_sets", "agg_having", "agg_stats", "window_ranking",
+        "window_frames", "window_topk_per_group", "sort_limit_topk",
+        "set_union", "set_intersect", "set_except", "subquery_scalar",
+        "pivot_event_counts", "events_ohlc_hourly", "sample_hash_bernoulli",
+        "sample_systematic_per_user", "scalar_string_funcs",
+        "scalar_date_funcs", "scalar_math_funcs", "scalar_array_funcs",
+    }
+)
+
+
+def _reorder_for_driver_window() -> None:
+    idx = {name: i for i, name in enumerate(QUERIES)}
+    ordered = sorted(QUERIES, key=lambda n: (n in _R01_DRIVER_GREEN, idx[n]))
+    specs = {name: QUERIES[name] for name in ordered}
+    QUERIES.clear()
+    QUERIES.update(specs)
+
+
+_reorder_for_driver_window()

@@ -460,8 +460,11 @@ _DUCK_SIMHASH_CTE = f"""
       GROUP BY doc_id, b.bit
     ),
     sh AS (
+      -- CAST: DuckDB's SUM over integers is HUGEINT, which pandas maps to
+      -- float/object and the driver then hashes 3.0 vs Spark's 3.
       SELECT doc_id,
-             SUM(CASE WHEN s > 0 THEN 1 << bit ELSE 0 END) AS simhash16
+             CAST(SUM(CASE WHEN s > 0 THEN 1 << bit ELSE 0 END)
+                  AS BIGINT) AS simhash16
       FROM bitsums GROUP BY doc_id
     )"""
 

@@ -775,9 +775,10 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     sessions AS (
       SELECT user_id, event_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
       FROM flagged)
     SELECT user_id, session_id, COUNT(*) AS n_events,
            epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
@@ -787,13 +788,20 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization: lag + gap flag + running sum = session ids,
     then per-session aggregates. One shuffle on user_id serves both the
-    window and the final groupBy."""
+    window and the final groupBy.
+
+    The gap is computed in microseconds (unix_micros), not seconds-truncated
+    casts, so the 30-minute boundary is exactly the oracle's
+    ``INTERVAL 30 MINUTE`` comparison (a 1800.4 s gap must NOT split)."""
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
     flagged = ev.withColumn(
         "new_session",
-        F.when(F.lag("ts").over(w).isNull() | (gap > 30 * 60), 1).otherwise(0),
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_us > 30 * 60 * 1_000_000),
+            1,
+        ).otherwise(0),
     )
     sessions = flagged.withColumn(
         "session_id",
@@ -1025,11 +1033,23 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     holistic shuffle: sketches partial-aggregate map-side and merge in one
     reduce, so the shuffle carries fixed-size summaries instead of raw
     values. Rows-only check (DuckDB's approx_quantile uses a different
-    sketch; the exact-percentile twin agg_percentiles carries the oracle)."""
+    sketch; the exact-percentile twin agg_percentiles carries the oracle).
+
+    Output is three scalar columns, not one array<double> — the driver's
+    canonicalizer (pandas sort_values) cannot sort list cells."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr(
-            "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
-        ).alias("price_p50_p95_p99"),
-        F.count(F.lit(1)).alias("n_rows"),
+    ap = "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(ap).alias("ap"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            F.element_at("ap", 1).alias("price_p50"),
+            F.element_at("ap", 2).alias("price_p95"),
+            F.element_at("ap", 3).alias("price_p99"),
+            "n_rows",
+        )
     )

@@ -463,15 +463,12 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings,
            LATERAL (SELECT unnest(embedding) AS val,
                            generate_subscripts(embedding, 1) AS pos) u
-    ),
-    dims AS (
-      SELECT label, pos, SUM(qv) AS s, COUNT(*) AS c
-      FROM expl GROUP BY label, pos
     )
-    SELECT label,
-           list(s / 1e6 / c ORDER BY pos) AS centroid,
-           ANY_VALUE(c) AS n_vectors
-    FROM dims GROUP BY label
+    -- pos - 1: generate_subscripts is 1-based, Spark posexplode 0-based
+    SELECT label, CAST(pos - 1 AS BIGINT) AS pos,
+           SUM(qv) / 1e6 / COUNT(*) AS mean,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM expl GROUP BY label, pos
     """,
 )
 def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -479,29 +476,36 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressed as relational aggregation instead of driver-side math:
     posexplode to (label, pos, value), partial-aggregated sum per dimension
     (values quantized to exact integers so the mean is summation-order
-    independent), then reassembled into an ordered array. The shuffle
-    carries one row per (label, dim) — independent of vector count — which
-    is exactly the shape that survives a 100 TB corpus; no vector ever
-    reaches the driver."""
+    independent). The shuffle carries one row per (label, dim) —
+    independent of vector count — which is exactly the shape that survives
+    a 100 TB corpus; no vector ever reaches the driver.
+
+    Output is exploded scalar rows (label, pos, mean, n_vectors), not an
+    array<double> centroid column — the driver's pandas canonicalizer
+    cannot sort/hash list cells. Assembling the per-label array is a
+    trailing collect_list for callers that want it (see
+    ``assemble_centroids``)."""
     emb = load_table(spark, sf_dir, "embeddings")
     expl = emb.select(
         "label", F.posexplode("embedding").alias("pos", "val")
     ).select(
         "label", "pos", F.expr("cast(round(val * 1e6) as bigint)").alias("qv")
     )
-    dims = expl.groupBy("label", "pos").agg(
-        F.sum("qv").alias("s"), F.count(F.lit(1)).alias("c")
+    return expl.groupBy("label", "pos").agg(
+        (F.sum("qv") / F.lit(1e6) / F.count(F.lit(1))).alias("mean"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    ).select(
+        "label", F.col("pos").cast("long").alias("pos"), "mean", "n_vectors"
     )
-    mean = (F.col("s") / F.lit(1e6) / F.col("c")).alias("m")
-    return (
-        dims.select("label", "pos", "c", mean)
-        .groupBy("label")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, m))), x -> x.m)"
-            ).alias("centroid"),
-            # every vector contributes every dimension, so any dim's count
-            # is the label's vector count
-            F.first("c").alias("n_vectors"),
-        )
+
+
+def assemble_centroids(dims: DataFrame) -> DataFrame:
+    """Reassemble sim_label_centroids' exploded rows into
+    (label, centroid array<double>, n_vectors) for downstream consumers
+    (e.g. the IVF coarse quantizer)."""
+    return dims.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mean))), x -> x.mean)"
+        ).alias("centroid"),
+        F.first("n_vectors").alias("n_vectors"),
     )

@@ -116,10 +116,13 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_token_count",
     oracle=r"""
+    -- CASTs: DuckDB SUM(int) is HUGEINT (pandas float) and would
+    -- hash-mismatch Spark's bigint at the driver
     SELECT source,
-           SUM(len(string_split(text, ' '))) AS ws_tokens,
-           SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS re_tokens,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+                AS BIGINT) AS re_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY source
     """,
 )

@@ -128,6 +128,34 @@ def png_side_output(image_dir: str):
     return _write
 
 
+def kafka_writer_options(
+    bootstrap_servers: str, topic: str, checkpoint_dir: str
+) -> dict[str, str]:
+    """The assembled Kafka producer options for O1, exposed separately so
+    the config contract can be pinned by tests in a broker-less container
+    (tests/test_kafka_config.py asserts parity with
+    VideoProducer.java:64-77)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "kafka.compression.type": "gzip",
+        "kafka.acks": "all",
+        "kafka.max.request.size": str(5 * 1024 * 1024),
+        "checkpointLocation": checkpoint_dir,
+    }
+
+
+def kafka_frame_payload(frames: DataFrame) -> DataFrame:
+    """The producer's wire contract: key=camId (per-camera ordering on a
+    keyed topic), value=JSON of the frame struct."""
+    return frames.select(
+        F.col("camId").alias("key"),
+        F.to_json(F.struct("camId", "timestamp", "rows", "cols", "type", "data")).alias(
+            "value"
+        ),
+    )
+
+
 def kafka_frame_sink(
     frames: DataFrame,
     bootstrap_servers: str,
@@ -137,19 +165,9 @@ def kafka_frame_sink(
     """O1: frames back out as camId-keyed JSON (the producer's contract:
     key=camId for per-camera ordering, gzip, acks=all —
     VideoProducer.java:64-77)."""
-    payload = frames.select(
-        F.col("camId").alias("key"),
-        F.to_json(F.struct("camId", "timestamp", "rows", "cols", "type", "data")).alias(
-            "value"
-        ),
-    )
     return (
-        payload.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("kafka.compression.type", "gzip")
-        .option("kafka.acks", "all")
-        .option("kafka.max.request.size", str(5 * 1024 * 1024))
-        .option("checkpointLocation", checkpoint_dir)
+        kafka_frame_payload(frames)
+        .writeStream.format("kafka")
+        .options(**kafka_writer_options(bootstrap_servers, topic, checkpoint_dir))
         .start()
     )

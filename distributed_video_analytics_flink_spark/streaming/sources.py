@@ -39,6 +39,35 @@ def parse_frames(raw_json: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topic_base: str | None = None,
+    topic: str | None = None,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The assembled Kafka reader options for S1-S3, exposed separately so
+    the config contract can be pinned by tests in a broker-less container
+    (tests/test_kafka_config.py asserts parity with
+    VideoProcessor.java:106-141)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "startingOffsets": starting_offsets,
+        # Frame messages are ~1.2 MiB base64; the reference raises broker
+        # max.message.bytes to 10 MiB (TopicScaler.java:136).
+        "kafka.max.partition.fetch.bytes": str(10 * 1024 * 1024),
+    }
+    if topic_base:
+        opts["subscribePattern"] = f"{topic_base}-.*"
+    elif topic:
+        opts["subscribe"] = topic
+    else:
+        raise ValueError("either topic_base (pattern) or topic (explicit) is required")
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def kafka_frame_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -52,22 +81,15 @@ def kafka_frame_stream(
     (:128-135), earliest/latest switch (:110-114), plus per-trigger
     admission control (the Spark analog of the reference's parallelism
     knob K5). Returns the parsed, filtered frame stream."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("startingOffsets", starting_offsets)
-        # Frame messages are ~1.2 MiB base64; the reference raises broker
-        # max.message.bytes to 10 MiB (TopicScaler.java:136).
-        .option("kafka.max.partition.fetch.bytes", str(10 * 1024 * 1024))
+    reader = spark.readStream.format("kafka").options(
+        **kafka_reader_options(
+            bootstrap_servers,
+            topic_base=topic_base,
+            topic=topic,
+            starting_offsets=starting_offsets,
+            max_offsets_per_trigger=max_offsets_per_trigger,
+        )
     )
-    if topic_base:
-        reader = reader.option("subscribePattern", f"{topic_base}-.*")
-    elif topic:
-        reader = reader.option("subscribe", topic)
-    else:
-        raise ValueError("either topic_base (pattern) or topic (explicit) is required")
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     return parse_frames(reader.load())
 
 

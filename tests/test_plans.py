@@ -111,6 +111,6 @@ def test_centroid_aggregation_is_partial(spark):
     map-side (HashAggregate pairs around the exchange): the shuffle then
     carries one row per (label, dim) regardless of vector count."""
     df = _q(spark, "sim_label_centroids")
-    assert hash_aggregate_count(df) >= 4  # partial+final for both groupBys
+    assert hash_aggregate_count(df) >= 2  # partial+final around the exchange
     plan = formatted_plan(df)
     assert "partial_sum" in plan or "partial" in plan.lower()
