@@ -813,6 +813,56 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sessionize_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sessions AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS sid
+      FROM flagged)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def sessionize_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window (the streaming-
+    capable twin of sessionize_events' lag/running-sum formulation): one
+    groupBy merges overlapping [ts, ts+30min) windows per user — no window
+    function pass, so the whole thing is a single partial-aggregable
+    shuffle, and the identical expression runs under readStream with a
+    watermark (tests/test_streaming.py pins the streaming twin).
+
+    Boundary semantics, pinned by the oracle and by
+    tests/test_streaming.py::test_streaming_session_windows: Spark MERGES
+    an event landing exactly on the previous session's end (gap == 30 min
+    chains; only gap > 30 min splits) — the same rule as the lag-based
+    sessionize_events, so both formulations are value-identical and the
+    oracle reuses the `> 30 min` comparison."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Sort / limit / top-k
 # --------------------------------------------------------------------------

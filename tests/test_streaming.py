@@ -289,6 +289,72 @@ def test_watermark_finalizes_windows(spark, tmp_path):
     assert got == {0.0: 2, 2.0: 2, 4.0: 1}
 
 
+def test_streaming_session_windows(spark, tmp_path):
+    """Streaming twin of sessionize_session_window: the same
+    session_window expression under readStream + watermark. Sessions
+    finalize (append mode) once the watermark passes session end; a far-
+    future flush event drives the watermark so every earlier session emits
+    exactly once, and the finalized sessions must equal the batch
+    session_window aggregation over the same events."""
+    import json as _json
+    from datetime import datetime, timedelta, timezone
+
+    t0 = datetime(2024, 5, 1, tzinfo=timezone.utc)
+    events = []
+    for user, gaps_min in (
+        ("u1", [0, 5, 10, 50, 55, 130]),  # sessions: {0,5,10}, {50,55}, {130}
+        ("u2", [0, 29, 58, 95]),          # 29-min gaps chain; 37-min gap splits
+        ("u3", [0, 30]),                  # exactly 30 min -> MERGES (> gap splits)
+    ):
+        for g in gaps_min:
+            events.append((user, t0 + timedelta(minutes=g)))
+    flush = ("zz", t0 + timedelta(days=2))  # watermark driver
+
+    data_dir = tmp_path / "events"
+    data_dir.mkdir()
+    p1 = data_dir / "b1.jsonl"
+    p1.write_text(
+        "\n".join(
+            _json.dumps({"user_id": u, "ts": ts.strftime("%Y-%m-%dT%H:%M:%S.%f+00:00")})
+            for u, ts in events
+        )
+    )
+    os.utime(p1, (1_700_000_000, 1_700_000_000))
+    p2 = data_dir / "b2.jsonl"
+    p2.write_text(
+        _json.dumps({"user_id": flush[0], "ts": flush[1].strftime("%Y-%m-%dT%H:%M:%S.%f+00:00")})
+    )
+    os.utime(p2, (1_700_000_100, 1_700_000_100))
+
+    schema = "user_id string, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .json(str(data_dir))
+        .withWatermark("ts", "1 minute")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+    )
+    got = _collect_stream(spark, stream, "session_stream", str(tmp_path / "ck"))
+
+    batch = (
+        spark.createDataFrame(events, "user_id string, ts timestamp")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+    )
+    keyfn = lambda rows: sorted((r["user_id"], r["session_start"], r["n_events"]) for r in rows)
+    assert keyfn(got) == keyfn(batch.collect())
+    # semantic pins: u2's 29-min gaps chain (37-min gap splits); u3's
+    # exactly-30-min gap MERGES — session_window extends through its end
+    per_user = {}
+    for r in got:
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(per_user["u1"]) == [1, 2, 3]
+    assert sorted(per_user["u2"]) == [1, 3]
+    assert per_user["u3"] == [2]
+
+
 def test_processing_results_sink_layout(spark, tmp_path):
     """O2/O3: results land partitioned by (camera_id, day); the per-(cam,
     day) read path prunes partitions; the faithful_count variant carries
