@@ -382,9 +382,7 @@ _DUCK_PAIRS_CTES = f"""
     )"""
 
 
-@query(
-    "dedup_clusters",
-    oracle=f"""
+_DUCK_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE {_DUCK_PAIRS_CTES},
     edges AS (
       SELECT doc_a AS u, doc_b AS v FROM pairs
@@ -397,8 +395,10 @@ _DUCK_PAIRS_CTES = f"""
       SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
     )
     SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
-    """,
-)
+    """
+
+
+@query("dedup_clusters", oracle=_DUCK_CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components over the MinHash-LSH
     candidate graph, labeling every document with the minimum doc_id
@@ -444,6 +444,82 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n_changed == 0:
             break
     return labels
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): every node u links each strictly-larger
+    neighbor to min(N(u) + {u}). Shape: one bidirectional explode, one
+    min-aggregate on u, one equi-join back on u — all partition on the
+    node id, so successive rounds reuse the shuffle partitioning."""
+    bidir = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = bidir.groupBy("u").agg(F.min("v").alias("nbr_min"))
+    mins = mins.select("u", F.least("u", "nbr_min").alias("m"))
+    return (
+        bidir.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge high->low, then every node
+    links all its smaller-or-equal neighbors (and itself) to the minimum
+    of that down-neighborhood. Same join/agg shape as large-star."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    mins = directed.groupBy("a").agg(F.min("b").alias("m"))
+    relinked = directed.join(mins, "a").select(F.col("b").alias("u"), F.col("m").alias("v"))
+    self_links = mins.select(F.col("a").alias("u"), F.col("m").alias("v"))
+    return (
+        relinked.union(self_links)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+@query("dedup_clusters_twostar", oracle=_DUCK_CLUSTERS_ORACLE)
+def dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters via alternating large-star / small-star rounds —
+    the O(log n)-round connected-components algorithm (Kiveris et al.),
+    versus dedup_clusters' O(diameter) min-label propagation. Identical
+    output contract (every doc labeled with the min doc_id in its
+    component; singletons label themselves) and the same oracle.
+
+    Why it exists: LSH near-dup clusters are usually dense blobs where
+    label propagation converges in 2-3 rounds, but adversarial corpora
+    (chained boilerplate, quote-of-a-quote threads) produce long path
+    components where O(diameter) means hundreds of rounds at 100 TB.
+    Two-star contracts any component to a star in O(log n) rounds
+    regardless of diameter. Each half-round is one min-aggregate plus one
+    equi-join, both keyed on the node id; ``localCheckpoint`` truncates
+    lineage per round exactly as in dedup_clusters (on a real cluster,
+    swap for ``checkpoint`` on reliable storage)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .localCheckpoint()
+    )
+    prev_sig = (-1, -1)
+    for _ in range(12):  # log2(n) rounds suffice; 12 covers n ~ 4000 docs/component chains
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        sig_row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.hash("u", "v").cast("long")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:  # star-graph fixpoint: every edge already (node, component-min)
+            break
+        prev_sig = sig
+    return (
+        docs.join(edges.groupBy("u").agg(F.min("v").alias("root")),
+                  docs["doc_id"] == F.col("u"), "left")
+        .select("doc_id", F.coalesce("root", "doc_id").alias("cluster_id"))
+    )
 
 
 _DUCK_SIMHASH_CTE = f"""
