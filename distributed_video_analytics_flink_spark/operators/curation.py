@@ -1,0 +1,202 @@
+"""Corpus curation — the end-to-end training-data pipeline composed from
+the engine's text/dedup primitives: per-language quality percentile
+filtering, deterministic stratified sampling, and the flagship
+dedup → quality-gate → rebalance pipeline. The reference has no text
+surface; these are engine extensions designed for the 100 TB curation
+pass that precedes pre-training.
+
+Scale notes (per operator docstrings for specifics):
+
+- Percentile filtering uses ``percent_rank`` partitioned by language —
+  exact integer-ratio values that hash identically across engines. The
+  per-language sort is the one shuffle; for a language holding 40% of a
+  100 TB corpus, switch to the two-pass form (per-lang
+  ``approx_percentile`` threshold, tiny result broadcast back, filter at
+  the scan) which trades exactness-of-boundary for no global sort.
+- Stratified sampling is a scan-level predicate on a content hash — no
+  shuffle, reproducible across retries and cluster sizes.
+- The pipeline keeps every stage partial-aggregable; document bodies
+  never shuffle (dedup keys on the md5 digest, stats on token counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distributed_video_analytics_flink_spark.operators.registry import query
+from distributed_video_analytics_flink_spark.operators.text_analysis import _STOP_SQL, _STOPWORDS
+from distributed_video_analytics_flink_spark.sources.tables import load_table
+
+# per-language keep fractions: downsample the dominant language, keep the
+# rest — the rebalancing step of a multilingual corpus build. Fractions are
+# in hundredths; membership is decided by a md5 bucket of doc_id so the
+# sample is deterministic on any cluster at any scale.
+_STRATA_PCT = {"en": 40, "zh": 100, "es": 100, "de": 100, "fr": 100}
+_STRATA_SQL_CASE = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {pct}" for lang, pct in _STRATA_PCT.items()
+) + " ELSE 100 END"
+
+# shared md5 bucket arithmetic (identical in both engines; see
+# sample_hash_bernoulli in relational.py for the pattern)
+_DUCK_BUCKET = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100"
+)
+
+
+def _spark_bucket() -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+
+
+# token stats CTE shared by the quality stages (mirrors text_quality_score)
+_DUCK_TSTATS = f"""
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tstats AS (
+      SELECT doc_id, COUNT(*) AS n_tok,
+             SUM(length(token)) AS sum_tok_len,
+             COUNT(*) FILTER (WHERE token IN {_STOP_SQL}) AS n_stop,
+             COUNT(DISTINCT token) AS n_distinct
+      FROM tok GROUP BY doc_id
+    )"""
+
+
+def _doc_quality(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, source, n_tok, distinct_ratio, passes_quality) — the
+    text_quality_score stats joined back to document metadata."""
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tstats = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.length("token")).alias("sum_tok_len"),
+        F.count(F.when(F.col("token").isin(*_STOPWORDS), 1)).alias("n_stop"),
+        F.countDistinct("token").alias("n_distinct"),
+    )
+    avg_len = F.col("sum_tok_len").cast("double") / F.col("n_tok")
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tok")
+    return docs.select("doc_id", "lang", "source").join(tstats, "doc_id").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tok",
+        distinct_ratio.alias("distinct_ratio"),
+        F.when(
+            (F.col("n_tok") >= 20) & avg_len.between(2, 12) & (distinct_ratio >= 0.2), 1
+        )
+        .otherwise(0)
+        .alias("passes_quality"),
+    )
+
+
+@query(
+    "curation_quality_percentile",
+    oracle=f"""
+    WITH {_DUCK_TSTATS},
+    scored AS (
+      SELECT d.doc_id, d.lang,
+             CAST(t.n_distinct AS DOUBLE) / t.n_tok AS distinct_ratio
+      FROM documents d JOIN tstats t ON d.doc_id = t.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, lang, distinct_ratio,
+             PERCENT_RANK() OVER (PARTITION BY lang ORDER BY distinct_ratio)
+               AS quality_pr
+      FROM scored
+    )
+    SELECT doc_id, lang, distinct_ratio, quality_pr
+    FROM ranked WHERE quality_pr >= 0.25
+    """,
+)
+def curation_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-percentile filter: drop the bottom quartile of
+    each language by type/token ratio — the relative-threshold filter a
+    multilingual corpus needs (an absolute threshold tuned on English
+    guts low-resource languages).
+
+    ``percent_rank`` values are exact integer ratios (rank-1)/(n-1), so
+    they hash identically across engines and the >= 0.25 cut is never a
+    float-boundary coin flip. One shuffle, keyed on lang; the 100 TB
+    variant for a skew-dominant language is the two-pass broadcast
+    threshold described in the module docstring."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _doc_quality(docs).select("doc_id", "lang", "distinct_ratio")
+    w = Window.partitionBy("lang").orderBy("distinct_ratio")
+    return (
+        scored.withColumn("quality_pr", F.percent_rank().over(w))
+        .filter(F.col("quality_pr") >= 0.25)
+    )
+
+
+@query(
+    "curation_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_DUCK_BUCKET} < {_STRATA_SQL_CASE}
+    """,
+)
+def curation_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-language) deterministic sampling: each language
+    keeps a configured fraction, decided by an md5 bucket of doc_id —
+    downsampling the dominant language to rebalance the corpus.
+
+    The predicate evaluates at the scan (no shuffle, no rng state): the
+    same documents are kept on 1 executor or 1000, across retries, and
+    across engine versions — the reproducibility contract rng-based
+    ``sampleBy`` cannot give."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep_pct = F.expr(_STRATA_SQL_CASE)
+    return docs.filter(_spark_bucket() < keep_pct).select("doc_id", "lang", "source")
+
+
+@query(
+    "curation_pipeline",
+    oracle=f"""
+    WITH {_DUCK_TSTATS},
+    deduped AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    gated AS (
+      SELECT d.doc_id, d.lang, d.source, t.n_tok
+      FROM documents d
+      JOIN deduped k ON d.doc_id = k.doc_id
+      JOIN tstats t ON d.doc_id = t.doc_id
+      WHERE t.n_tok >= 20
+        AND CAST(t.sum_tok_len AS DOUBLE) / t.n_tok BETWEEN 2 AND 12
+        AND CAST(t.n_distinct AS DOUBLE) / t.n_tok >= 0.2
+    ),
+    sampled AS (
+      SELECT * FROM gated WHERE {_DUCK_BUCKET} < {_STRATA_SQL_CASE}
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM sampled GROUP BY lang, source
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship curation pass, end to end: exact dedup (min doc_id per
+    md5 body digest) → quality gate (length / mean-token-length /
+    type-token-ratio) → per-language stratified rebalance → corpus
+    accounting per (lang, source).
+
+    Every stage is shuffle-frugal: dedup shuffles 32-char digests (never
+    bodies), the gate is a semi-join on doc_id, sampling is a scan
+    predicate, and the final accounting is a partial-aggregable groupBy.
+    At 100 TB this is one digest shuffle + one doc_id join + one stats
+    shuffle — no stage materializes document text past tokenization."""
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    quality = _doc_quality(docs)
+    gated = quality.join(deduped.select("doc_id"), "doc_id").filter(
+        F.col("passes_quality") == 1
+    )
+    keep_pct = F.expr(_STRATA_SQL_CASE)
+    sampled = gated.filter(_spark_bucket() < keep_pct)
+    return sampled.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
