@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_token_jaccard",
     "dedup_simhash",
     "dedup_simhash_pairs",
+    "dedup_simhash64_pairs",
     "sim_cosine_topk",
     "sim_neardup_pairs",
     "sim_ann_lsh",
@@ -53,6 +54,8 @@ HEADLINE = [
     "text_tfidf_topk",
     "window_tumbling_fps",
     "pivot_event_counts",
+    "sessionize_session_window",
+    "curation_pipeline",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

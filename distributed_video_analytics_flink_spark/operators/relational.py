@@ -996,6 +996,95 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unpivot_event_stats",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, 'n_events' AS metric, n_events AS amount FROM agg
+    UNION ALL
+    SELECT event_type, 'total_cents' AS metric, total_cents AS amount FROM agg
+    """,
+)
+def unpivot_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide metrics -> long (metric, amount) rows) — the inverse
+    of pivot_event_counts, via the native ``DataFrame.unpivot`` (Catalyst
+    Expand node: each input row fans out JVM-side, no shuffle added on top
+    of the aggregation). Amounts are exact integer cents so long-format
+    rows hash identically across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents("value")).alias("total_cents"),
+    )
+    return agg.unpivot(
+        ids=["event_type"],
+        values=["n_events", "total_cents"],
+        variableColumnName="metric",
+        valueColumnName="amount",
+    )
+
+
+@query(
+    "timeseries_gapfill",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, MIN(hr) AS hr_min, MAX(hr) AS hr_max FROM hourly
+      GROUP BY user_id
+    ),
+    spine AS (
+      SELECT s.user_id, g.hr
+      FROM span s, LATERAL (
+        SELECT unnest(generate_series(s.hr_min, s.hr_max,
+                                      INTERVAL 1 HOUR)) AS hr) g
+    )
+    SELECT sp.user_id, sp.hr, COALESCE(h.n_events, 0) AS n_events
+    FROM spine sp LEFT JOIN hourly h
+      ON sp.user_id = h.user_id AND sp.hr = h.hr
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a per-user hourly calendar spine
+    (``sequence`` + ``explode`` over each user's [first, last] hour) left-
+    joined to observed counts, absent hours coalesced to 0 — the densify
+    step before any rolling-window model over sparse event streams.
+
+    Scale shape: the spine is GENERATED, not shuffled — sequence/explode
+    fan out JVM-side from one tiny span row per user; the only shuffles
+    are the two user-keyed aggregations and the (user, hour) equi-join.
+    Span explosion is bounded by time range, not event count, so a 100 TB
+    events table with a 1-year horizon yields <=8784 spine rows per user
+    regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select("user_id", F.date_trunc("hour", "ts").alias("hr"))
+        .groupBy("user_id", "hr")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    span = hourly.groupBy("user_id").agg(
+        F.min("hr").alias("hr_min"), F.max("hr").alias("hr_max")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("hr_min", "hr_max", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr"),
+    )
+    return spine.join(hourly, ["user_id", "hr"], "left").select(
+        "user_id", "hr", F.coalesce("n_events", F.lit(0)).alias("n_events")
+    )
+
+
+@query(
     "events_ohlc_hourly",
     oracle=f"""
     SELECT date_trunc('hour', ts) AS bucket, event_type,
