@@ -1,0 +1,99 @@
+"""Curated-corpus sink: language-partitioned layout, doc_id-clustered
+files, partition-pruned read-back, and the manifest accounting path."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from distributed_video_analytics_flink_spark.operators.curation import (
+    curation_sample_stratified,
+)
+from distributed_video_analytics_flink_spark.sinks import (
+    read_curated_corpus,
+    read_manifest,
+    write_curated_corpus,
+)
+from distributed_video_analytics_flink_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_corpus_roundtrip_and_pruning(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents")
+    kept = docs.join(
+        curation_sample_stratified(spark, SF_DIR).select("doc_id"), "doc_id"
+    )
+    out = str(tmp_path / "corpus_out")
+    write_curated_corpus(kept, out, files_per_lang=4)
+
+    back = read_curated_corpus(spark, out)
+    assert back.count() == kept.count()
+    # round-trip is lossless per row, not just per count
+    assert (
+        back.select("doc_id", "lang", "n_chars").exceptAll(
+            kept.select("doc_id", "lang", "n_chars")
+        ).count() == 0
+    )
+
+    one_lang = read_curated_corpus(spark, out, lang="zh")
+    want_zh = kept.filter(F.col("lang") == "zh").count()
+    assert one_lang.count() == want_zh
+    plan = one_lang._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "lang=zh" in plan
+
+    # layout: lang directories; bounded file count per language
+    langs = {
+        d.split("=", 1)[1]
+        for d in os.listdir(os.path.join(out, "corpus"))
+        if d.startswith("lang=")
+    }
+    assert langs == {r["lang"] for r in kept.select("lang").distinct().collect()}
+    for lang in langs:
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, "corpus", f"lang={lang}"))
+            if f.endswith(".parquet")
+        ]
+        assert 1 <= len(files) <= 4
+
+
+def test_corpus_files_doc_id_clustered(spark, tmp_path):
+    """sortWithinPartitions gives doc_id-sorted row groups: parquet min/max
+    stats then let doc_id range probes skip row groups at read time."""
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "corpus_sorted")
+    write_curated_corpus(docs, out, files_per_lang=2)
+    lang_dir = next(
+        d
+        for d in os.listdir(os.path.join(out, "corpus"))
+        if d.startswith("lang=")
+    )
+    for f in os.listdir(os.path.join(out, "corpus", lang_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        col = pq.read_table(
+            os.path.join(out, "corpus", lang_dir, f), columns=["doc_id"]
+        )["doc_id"].to_pylist()
+        assert col == sorted(col), "doc_id not sorted within file"
+
+
+def test_manifest_accounting(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "corpus_manifest")
+    write_curated_corpus(docs, out)
+    m = {r["lang"]: r for r in read_manifest(spark, out).collect()}
+    want = {
+        r["lang"]: r
+        for r in docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("ws_tokens"),
+        )
+        .collect()
+    }
+    assert set(m) == set(want)
+    for lang in want:
+        assert m[lang]["n_docs"] == want[lang]["n_docs"]
+        assert m[lang]["ws_tokens"] == want[lang]["ws_tokens"]
