@@ -739,6 +739,36 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_distribution_funcs",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           NTILE(10) OVER w AS decile,
+           CUME_DIST() OVER w AS cd,
+           PERCENT_RANK() OVER w AS pr
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / cume_dist / percent_rank)
+    per order priority. The ORDER BY carries o_orderkey as a tiebreaker:
+    ntile assigns ties arbitrarily without it, which would make results
+    partitioning-dependent — the determinism rule every windowed query
+    here follows. cume_dist/percent_rank values are exact integer ratios,
+    safe to hash across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(10).over(w).alias("decile"),
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+
+
+@query(
     "window_topk_per_group",
     oracle="""
     SELECT * FROM (

@@ -114,3 +114,73 @@ def test_centroid_aggregation_is_partial(spark):
     assert hash_aggregate_count(df) >= 2  # partial+final around the exchange
     plan = formatted_plan(df)
     assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+def test_stratified_sample_is_scan_only(spark):
+    """curation_sample_stratified is a pure scan predicate: zero shuffles,
+    zero joins — the property that makes the sample reproducible and free
+    at any cluster size."""
+    from distributed_video_analytics_flink_spark.plans.inspect import exchange_count
+
+    df = _q(spark, "curation_sample_stratified")
+    assert exchange_count(df) == 0
+    assert not join_strategies(df)
+
+
+def test_unpivot_uses_expand_no_extra_shuffle(spark):
+    """Native unpivot plans an Expand node over the aggregated rows — one
+    exchange total (the groupBy), nothing added by the wide->long fanout."""
+    from distributed_video_analytics_flink_spark.plans.inspect import exchange_count
+
+    df = _q(spark, "unpivot_event_stats")
+    assert "Expand" in formatted_plan(df)
+    assert exchange_count(df) == 1
+    assert hash_aggregate_count(df) == 2  # partial + final
+
+
+def test_simhash64_single_shuffle_partial_agg(spark):
+    """64 conditional sums still plan as one partial+final HashAggregate
+    pair over one exchange — signature width never adds shuffles."""
+    from distributed_video_analytics_flink_spark.plans.inspect import exchange_count
+
+    df = _q(spark, "dedup_simhash64")
+    assert exchange_count(df) == 1
+    assert hash_aggregate_count(df) == 2
+
+
+def test_session_window_single_shuffle(spark):
+    """Native session_window sessionization: one exchange, partial+final
+    aggregation with a MergingSessions node — no window-function pass."""
+    from distributed_video_analytics_flink_spark.plans.inspect import exchange_count
+
+    df = _q(spark, "sessionize_session_window")
+    assert exchange_count(df) == 1
+    assert hash_aggregate_count(df) == 2
+    plan = formatted_plan(df)
+    assert "MergingSessions" in plan
+    assert "windowspecdefinition" not in plan  # no window-function pass
+
+
+def test_gapfill_spine_generated_not_shuffled(spark):
+    """timeseries_gapfill: the calendar spine comes from Generate
+    (sequence+explode) over one span row per user — at most the two
+    keyed aggregations plus the join shuffle, never a cartesian."""
+    from distributed_video_analytics_flink_spark.plans.inspect import exchange_count
+
+    df = _q(spark, "timeseries_gapfill")
+    plan = formatted_plan(df)
+    assert "Generate" in plan
+    assert exchange_count(df) <= 3
+    assert "CartesianProduct" not in join_strategies(df)
+
+
+def test_curation_pipeline_shuffle_budget(spark):
+    """The flagship curation pass stays within its shuffle budget (digest
+    dedup, token stats, doc_id join, final accounting) and every
+    aggregation partial-aggregates."""
+    from distributed_video_analytics_flink_spark.plans.inspect import exchange_count
+
+    df = _q(spark, "curation_pipeline")
+    assert exchange_count(df) <= 5
+    assert "CartesianProduct" not in join_strategies(df)
+    assert hash_aggregate_count(df) % 2 == 0  # every agg is a partial+final pair
