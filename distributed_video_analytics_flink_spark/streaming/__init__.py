@@ -3,6 +3,10 @@ pattern-subscribe, file replay, rate), the stateful motion operator
 (applyInPandasWithState), windowed FPS aggregation, and sinks (partitioned
 Parquet results table, PNG side-output, Kafka)."""
 
+from distributed_video_analytics_flink_spark.streaming.corpus import (
+    prepare_corpus_stream,
+    stream_curated_corpus,
+)
 from distributed_video_analytics_flink_spark.streaming.fps import camera_fps
 from distributed_video_analytics_flink_spark.streaming.joins import (
     dedup_frames_stream,
@@ -38,5 +42,7 @@ __all__ = [
     "file_frame_stream",
     "kafka_frame_stream",
     "parse_frames",
+    "prepare_corpus_stream",
     "rate_frame_stream",
+    "stream_curated_corpus",
 ]

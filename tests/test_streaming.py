@@ -496,3 +496,64 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert sorted((r["camId"], r["timestamp"]) for r in got) == sorted(
         (f["camId"], f["timestamp"].replace(tzinfo=None)) for f in fixture_frames()
     )
+
+
+def test_streaming_corpus_ingest_dedup(spark, tmp_path):
+    """Streaming corpus ingest (streaming/corpus.py): re-crawled duplicate
+    content across micro-batches is dropped by the watermark-bounded
+    fingerprint dedup; survivors land append-only in the batch sink's
+    lang-partitioned layout and per-language reads prune."""
+    import json as _json
+    from datetime import datetime, timedelta, timezone
+
+    t0 = datetime(2024, 6, 1, tzinfo=timezone.utc)
+    batch1 = [
+        {"doc_id": 1, "text": "alpha beta gamma", "lang": "en"},
+        {"doc_id": 2, "text": "uno dos tres", "lang": "es"},
+        {"doc_id": 3, "text": "alpha beta gamma", "lang": "en"},  # intra-batch dup
+    ]
+    batch2 = [
+        {"doc_id": 4, "text": "uno dos tres", "lang": "es"},      # cross-batch dup
+        {"doc_id": 5, "text": "neu und anders", "lang": "de"},
+    ]
+    data_dir = tmp_path / "docs_in"
+    data_dir.mkdir()
+    for i, batch in enumerate((batch1, batch2)):
+        p = data_dir / f"b{i}.jsonl"
+        p.write_text(
+            "\n".join(
+                _json.dumps(
+                    {**d, "ingest_ts": (t0 + timedelta(seconds=30 * i)).strftime(
+                        "%Y-%m-%dT%H:%M:%S.%f+00:00")}
+                )
+                for d in batch
+            )
+        )
+        os.utime(p, (1_700_000_000 + i * 100,) * 2)
+
+    from distributed_video_analytics_flink_spark.streaming import stream_curated_corpus
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, ingest_ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)  # force separate micro-batches
+        .json(str(data_dir))
+    )
+    q = stream_curated_corpus(
+        stream, str(tmp_path / "corpus_out"), str(tmp_path / "ck")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    back = spark.read.parquet(str(tmp_path / "corpus_out" / "corpus"))
+    rows = {r["doc_id"]: r for r in back.collect()}
+    # one survivor per distinct content: {1 or 3}, 2, 5 — dups 3/4 dropped
+    assert len(rows) == 3
+    assert set(back.select("lang").distinct().toPandas()["lang"]) == {"en", "es", "de"}
+    texts = sorted(r["text"] for r in rows.values())
+    assert texts == ["alpha beta gamma", "neu und anders", "uno dos tres"]
+    one_lang = back.filter(F.col("lang") == "es")
+    assert one_lang.count() == 1
+    plan = one_lang._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "lang=es" in plan
