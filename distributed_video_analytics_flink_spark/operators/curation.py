@@ -153,6 +153,57 @@ def curation_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "curation_pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tok,
+             CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tok
+      FROM toks
+    )
+    SELECT doc_id, lang, n_tok,
+           CAST(FLOOR((cum_tok - n_tok) / 512) AS BIGINT) AS bin_id
+    FROM packed
+    """,
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed token-budget bins (512
+    tokens here) — the batch-prep step that turns a curated corpus into
+    dense training sequences. Deterministic contiguous packing: documents
+    are packed per language in doc_id order, bin = floor(tokens-before /
+    budget), so a document whose span crosses a budget boundary opens the
+    next bin (the streaming-pack rule; first-fit-decreasing would need a
+    global sort by size and gains ~2% density for a full extra shuffle —
+    the knob a 100 TB run would only flip if sequence padding dominates).
+
+    Plan shape: one window pass partitioned by lang — the same single
+    shuffle as any per-language operator; bin assignment is pure
+    arithmetic on the running sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return packed.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.floor((F.col("cum_tok") - F.col("n_tok")) / 512).alias("bin_id"),
+    )
+
+
+@query(
     "curation_pipeline",
     oracle=f"""
     WITH {_DUCK_TSTATS},
