@@ -17,7 +17,9 @@ leaf boxes decoded per ISO/IEC 14496-12:
 - ``moof``/``traf``/``tfhd``/``trun``            -> fragmented-MP4 samples
   (fMP4 keeps an empty sample table in moov; frames arrive per fragment,
   so the probe sums trun sample counts/durations for the video track,
-  falling back to tfhd then trex default sample durations)
+  falling back to tfhd then trex default sample durations. The fragment
+  sums are a FALLBACK used only when moov's stsz count / mdhd duration is
+  zero — hybrid files populating both would otherwise double-count.)
 
 Frame rate falls out as n_samples * media_timescale / media_duration.
 At 100 TB this probe is the cheap planning pass a video corpus pipeline
@@ -53,39 +55,65 @@ def _iter_boxes(buf: bytes, start: int, end: int):
         off += size
 
 
-def _fullbox(buf: bytes, start: int) -> tuple[int, int]:
-    """(version, payload offset past version+flags)."""
+def _fullbox(buf: bytes, start: int, end: int) -> tuple[int, int] | None:
+    """(version, payload offset past version+flags), or None if the payload
+    is too short to even hold the fullbox header. Box framing (`_iter_boxes`)
+    only validates the outer [size:fourcc] envelope; a corrupt file can
+    declare a leaf box whose payload is shorter than its fixed layout, so
+    every leaf parser re-checks the bytes it is about to read."""
+    if end - start < 4:
+        return None
     return buf[start], start + 4
 
 
-def _parse_mvhd(buf: bytes, start: int, out: dict[str, Any]) -> None:
-    v, p = _fullbox(buf, start)
+def _parse_mvhd(buf: bytes, start: int, end: int, out: dict[str, Any]) -> None:
+    fb = _fullbox(buf, start, end)
+    if fb is None:
+        return
+    v, p = fb
     if v == 1:
+        if p + 28 > end:
+            return
         timescale = struct.unpack_from(">I", buf, p + 16)[0]
         duration = struct.unpack_from(">Q", buf, p + 20)[0]
     else:
+        if p + 16 > end:
+            return
         timescale = struct.unpack_from(">I", buf, p + 8)[0]
         duration = struct.unpack_from(">I", buf, p + 12)[0]
     out["movie_timescale"] = timescale
     out["movie_duration"] = duration
 
 
-def _parse_tkhd(buf: bytes, start: int, trak: dict[str, Any]) -> None:
-    v, p = _fullbox(buf, start)
+def _parse_tkhd(buf: bytes, start: int, end: int, trak: dict[str, Any]) -> None:
+    fb = _fullbox(buf, start, end)
+    if fb is None:
+        return
+    v, p = fb
+    # v0 body is 80 bytes, v1 is 92 (creation/mod/duration widen to 64-bit);
+    # width/height are the last 8 bytes of the body in both versions
+    body = 92 if v == 1 else 80
+    if p + body > end:
+        return
     trak["track_id"] = struct.unpack_from(">I", buf, p + (16 if v == 1 else 8))[0]
-    # width/height are the last 8 bytes of the box body in both versions:
-    # v0 body is 80 bytes, v1 is 92 (creation/mod/duration widen to 64-bit)
-    base = p + (92 if v == 1 else 80) - 8
+    base = p + body - 8
     trak["width"] = struct.unpack_from(">I", buf, base)[0] / 65536.0
     trak["height"] = struct.unpack_from(">I", buf, base + 4)[0] / 65536.0
 
 
-def _parse_mdhd(buf: bytes, start: int, trak: dict[str, Any]) -> None:
-    v, p = _fullbox(buf, start)
+def _parse_mdhd(buf: bytes, start: int, end: int, trak: dict[str, Any]) -> None:
+    fb = _fullbox(buf, start, end)
+    if fb is None:
+        return
+    v, p = fb
     if v == 1:
+        if p + 28 > end:
+            return
         trak["media_timescale"] = struct.unpack_from(">I", buf, p + 16)[0]
         trak["media_duration"] = struct.unpack_from(">Q", buf, p + 20)[0]
     else:
+        if p + 16 > end:
+            return
         trak["media_timescale"] = struct.unpack_from(">I", buf, p + 8)[0]
         trak["media_duration"] = struct.unpack_from(">I", buf, p + 12)[0]
 
@@ -98,25 +126,28 @@ def _parse_trak(buf: bytes, start: int, end: int) -> dict[str, Any]:
             if fourcc in _CONTAINERS:
                 walk(ps, pe)
             elif fourcc == b"tkhd":
-                _parse_tkhd(buf, ps, trak)
+                _parse_tkhd(buf, ps, pe, trak)
             elif fourcc == b"mdhd":
-                _parse_mdhd(buf, ps, trak)
+                _parse_mdhd(buf, ps, pe, trak)
             elif fourcc == b"hdlr":
                 trak["handler"] = buf[ps + 8 : ps + 12].decode("ascii", "replace")
-            elif fourcc == b"stsz":
+            elif fourcc == b"stsz" and pe - ps >= 12:
                 trak["n_samples"] = struct.unpack_from(">I", buf, ps + 8)[0]
-            elif fourcc == b"stsd":
+            elif fourcc == b"stsd" and pe - ps >= 16:
                 n = struct.unpack_from(">I", buf, ps + 4)[0]
-                if n >= 1 and pe - ps >= 16:
+                if n >= 1:
                     trak["codec"] = buf[ps + 12 : ps + 16].decode("ascii", "replace")
 
     walk(start, end)
     return trak
 
 
-def _parse_trex(buf: bytes, start: int) -> tuple[int, int]:
+def _parse_trex(buf: bytes, start: int, end: int) -> tuple[int, int] | None:
     """(track_id, default_sample_duration) from the mvex/trex box."""
-    _, p = _fullbox(buf, start)
+    fb = _fullbox(buf, start, end)
+    if fb is None or fb[1] + 12 > end:
+        return None
+    p = fb[1]
     track_id = struct.unpack_from(">I", buf, p)[0]
     default_dur = struct.unpack_from(">I", buf, p + 8)[0]
     return track_id, default_dur
@@ -133,15 +164,19 @@ def _parse_moof(
         track_id, tfhd_dur = None, 0
         for f2, p2, e2 in _iter_boxes(buf, ps, pe):
             if f2 == b"tfhd":
+                if p2 + 8 > e2:
+                    continue
                 flags = int.from_bytes(buf[p2 + 1 : p2 + 4], "big")
                 q = p2 + 4
                 track_id = struct.unpack_from(">I", buf, q)[0]
                 q += 4
                 q += 8 if flags & 0x01 else 0  # base-data-offset
                 q += 4 if flags & 0x02 else 0  # sample-description-index
-                if flags & 0x08:
+                if flags & 0x08 and q + 4 <= e2:
                     tfhd_dur = struct.unpack_from(">I", buf, q)[0]
             elif f2 == b"trun" and track_id == video_track:
+                if p2 + 8 > e2:
+                    continue
                 flags = int.from_bytes(buf[p2 + 1 : p2 + 4], "big")
                 count = struct.unpack_from(">I", buf, p2 + 4)[0]
                 n += count
@@ -154,8 +189,8 @@ def _parse_moof(
                     + (4 if flags & 0x400 else 0)
                     + (4 if flags & 0x800 else 0)
                 )
-                if flags & 0x100:  # per-sample durations present
-                    for i in range(count):
+                if flags & 0x100 and q + count * per <= e2:
+                    for i in range(count):  # per-sample durations present
                         dur += struct.unpack_from(">I", buf, q + i * per)[0]
                 else:
                     dur += count * (tfhd_dur or trex_dur)
@@ -171,30 +206,42 @@ def probe_mp4(content: bytes) -> dict[str, Any]:
     video: dict[str, Any] = {}
     trex_durs: dict[int, int] = {}
     moofs: list[tuple[int, int]] = []
-    for fourcc, ps, pe in _iter_boxes(content, 0, len(content)):
-        if fourcc == b"moov":
-            for f2, p2, e2 in _iter_boxes(content, ps, pe):
-                if f2 == b"mvhd":
-                    _parse_mvhd(content, p2, out)
-                elif f2 == b"trak":
-                    trak = _parse_trak(content, p2, e2)
-                    if trak.get("handler") == "vide" and not video:
-                        video = trak
-                elif f2 == b"mvex":
-                    for f3, p3, _e3 in _iter_boxes(content, p2, e2):
-                        if f3 == b"trex":
-                            tid, d = _parse_trex(content, p3)
-                            trex_durs[tid] = d
-        elif fourcc == b"moof":
-            moofs.append((ps, pe))
-    n_samples = video.get("n_samples") or 0
-    media_dur = video.get("media_duration") or 0
-    if moofs and video.get("track_id") is not None:
-        trex_dur = trex_durs.get(video["track_id"], 0)
-        for ps, pe in moofs:
-            n, d = _parse_moof(content, ps, pe, video["track_id"], trex_dur)
-            n_samples += n
-            media_dur += d
+    moof_n, moof_dur = 0, 0
+    try:
+        for fourcc, ps, pe in _iter_boxes(content, 0, len(content)):
+            if fourcc == b"moov":
+                for f2, p2, e2 in _iter_boxes(content, ps, pe):
+                    if f2 == b"mvhd":
+                        _parse_mvhd(content, p2, e2, out)
+                    elif f2 == b"trak":
+                        trak = _parse_trak(content, p2, e2)
+                        if trak.get("handler") == "vide" and not video:
+                            video = trak
+                    elif f2 == b"mvex":
+                        for f3, p3, e3 in _iter_boxes(content, p2, e2):
+                            if f3 == b"trex":
+                                trex = _parse_trex(content, p3, e3)
+                                if trex is not None:
+                                    trex_durs[trex[0]] = trex[1]
+            elif fourcc == b"moof":
+                moofs.append((ps, pe))
+        if moofs and video.get("track_id") is not None:
+            trex_dur = trex_durs.get(video["track_id"], 0)
+            for ps, pe in moofs:
+                n, d = _parse_moof(content, ps, pe, video["track_id"], trex_dur)
+                moof_n += n
+                moof_dur += d
+    except (struct.error, IndexError, OverflowError):
+        # Box framing claimed bytes a leaf layout then overran (a corrupt
+        # size field can lie in ways the per-leaf guards don't enumerate).
+        # Never-raises contract: keep whatever was parsed before the fault.
+        pass
+    # fMP4 keeps an *empty* sample table / zero media duration in moov and
+    # ships frames per fragment; hybrid muxers may populate both. Prefer
+    # moov's totals and fall back to the fragment sums — never add them,
+    # which would double-count files carrying both (ISO 14496-12 allows it).
+    n_samples = video.get("n_samples") or moof_n
+    media_dur = video.get("media_duration") or moof_dur
     duration_s = None
     if out.get("movie_timescale") and out.get("movie_duration"):
         duration_s = out["movie_duration"] / out["movie_timescale"]
