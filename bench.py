@@ -224,39 +224,56 @@ def main() -> None:
 
     # min-of-2 per query: single-run timings on this machine swing up to 3x
     # with background load; the minimum reflects the plan, not the noise.
-    timings: dict[str, float] = {}
+    # Each query is individually fenced: a single failing query records
+    # null + the error and the harness still emits its JSON line (r3's bench
+    # died at query 15/36 and produced no numbers at all — never again).
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = ops.QUERIES[name].fn
         best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            _force(fn(spark, SF_DIR))
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                _force(fn(spark, SF_DIR))
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — harness must survive any query
+            timings[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
-    motion_sec, motion_frames = bench_motion_fps(spark)
-    timings["motion_pipeline_640x480"] = round(motion_sec, 3)
-    motion_fps = round(motion_frames / motion_sec, 1)
+    motion_fps: float | None = None
+    try:
+        motion_sec, motion_frames = bench_motion_fps(spark)
+        timings["motion_pipeline_640x480"] = round(motion_sec, 3)
+        motion_fps = round(motion_frames / motion_sec, 1)
+    except Exception as exc:  # noqa: BLE001
+        timings["motion_pipeline_640x480"] = None
+        errors["motion_pipeline_640x480"] = f"{type(exc).__name__}: {exc}"[:300]
 
-    stream_sec, stream_frames = bench_motion_stream_fps(spark)
-    timings["motion_stream_640x480"] = round(stream_sec, 3)
-    motion_stream_fps = round(stream_frames / stream_sec, 1)
+    motion_stream_fps: float | None = None
+    try:
+        stream_sec, stream_frames = bench_motion_stream_fps(spark)
+        timings["motion_stream_640x480"] = round(stream_sec, 3)
+        motion_stream_fps = round(stream_frames / stream_sec, 1)
+    except Exception as exc:  # noqa: BLE001
+        timings["motion_stream_640x480"] = None
+        errors["motion_stream_640x480"] = f"{type(exc).__name__}: {exc}"[:300]
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t is not None), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "motion_fps_640x480": motion_fps,
-                "motion_stream_fps_640x480": motion_stream_fps,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "motion_fps_640x480": motion_fps,
+        "motion_stream_fps_640x480": motion_stream_fps,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -504,8 +504,14 @@ def dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .localCheckpoint()
     )
+    # Run to the star-graph FIXPOINT, not a guessed round count: two-star
+    # halves the component diameter per round, so 64 rounds cover any
+    # component with < 2^64 nodes — unreachable in practice. Hitting the cap
+    # without converging therefore indicates a logic bug, and returning a
+    # partially-contracted labeling would silently merge/split clusters; fail
+    # loudly instead.
     prev_sig = (-1, -1)
-    for _ in range(12):  # log2(n) rounds suffice; 12 covers n ~ 4000 docs/component chains
+    for _ in range(64):
         edges = _small_star(_large_star(edges)).localCheckpoint()
         sig_row = edges.agg(
             F.count(F.lit(1)).alias("n"),
@@ -515,6 +521,12 @@ def dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
         if sig == prev_sig:  # star-graph fixpoint: every edge already (node, component-min)
             break
         prev_sig = sig
+    else:
+        raise RuntimeError(
+            "two-star contraction did not reach a fixpoint in 64 rounds "
+            "(covers components < 2^64 nodes) — refusing to return a "
+            "partially-contracted clustering"
+        )
     return (
         docs.join(edges.groupBy("u").agg(F.min("v").alias("root")),
                   docs["doc_id"] == F.col("u"), "left")

@@ -240,15 +240,28 @@ def probe_mp4(content: bytes) -> dict[str, Any]:
     # ships frames per fragment; hybrid muxers may populate both. Prefer
     # moov's totals and fall back to the fragment sums — never add them,
     # which would double-count files carrying both (ISO 14496-12 allows it).
-    n_samples = video.get("n_samples") or moof_n
-    media_dur = video.get("media_duration") or moof_dur
+    # The fallback must be PAIRED: a hybrid file with moov sample counts but
+    # zero moov duration (or vice versa) would otherwise mix moov samples
+    # with moof duration and report a bogus fps.
+    paired = True
+    if video.get("n_samples") and video.get("media_duration"):
+        n_samples, media_dur = video["n_samples"], video["media_duration"]
+    elif moof_n and moof_dur:
+        n_samples, media_dur = moof_n, moof_dur
+    else:
+        # No self-consistent pair from either source: surface whatever
+        # partial counts exist, but any (samples, duration) combination here
+        # is cross-source, so fps must stay None.
+        n_samples = video.get("n_samples") or moof_n
+        media_dur = video.get("media_duration") or moof_dur
+        paired = False
     duration_s = None
     if out.get("movie_timescale") and out.get("movie_duration"):
         duration_s = out["movie_duration"] / out["movie_timescale"]
     elif video.get("media_timescale") and media_dur:
         duration_s = media_dur / video["media_timescale"]  # fMP4: mvhd says 0
     fps = None
-    if media_dur and n_samples and video.get("media_timescale"):
+    if paired and media_dur and n_samples and video.get("media_timescale"):
         fps = n_samples * video["media_timescale"] / media_dur
     return {
         "duration_s": duration_s,

@@ -22,22 +22,41 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (``{sf_dir}/{name}.parquet``).
 
-    Spark cannot natively read parquet TIMESTAMP(NANOS) columns (the events
-    table stores ns); ``nanosAsLong`` reads them as raw int64 and the loader
-    converts to microsecond timestamps (same truncation DuckDB applies), so
-    downstream operators always see TimestampType.
+    Timestamp policy: downstream operators always see ``TimestampType`` under
+    the UTC session time zone, regardless of how the parquet writer encoded
+    the column. Two encodings appear in the wild (and both have appeared in
+    this project's testdata across regenerations):
+
+    - TIMESTAMP(NANOS): Spark cannot read it natively; ``nanosAsLong`` reads
+      raw int64 and the loader converts to microsecond timestamps (same
+      truncation DuckDB applies).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) — the common pyarrow default:
+      Spark 4 infers ``TIMESTAMP_NTZ`` (``inferTimestampNTZ.enabled`` is on
+      by default), which breaks ``unix_micros``/``unix_millis`` arithmetic.
+      Disabling the inference restores ``TimestampType`` with identical
+      microsecond values under the UTC session TZ (wall-clock == instant).
+
+    A defensive NTZ→timestamp cast covers any remaining path (e.g. a conf
+    set after a reader was cached). ``tests/test_ntz_ingestion.py`` pins the
+    invariant for every testdata table.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            # exact integer division — double division loses precision at
-            # 1e18-ns magnitudes and lands 1us off
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    if ntz:
+        # NTZ wall-clock values equal UTC instants under the UTC session TZ,
+        # so the cast is value-preserving (microsecond-exact).
+        df = df.withColumns({c: F.col(c).cast(T.TimestampType()) for c in ntz})
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # exact integer division — double division loses precision at
+        # 1e18-ns magnitudes and lands 1us off
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

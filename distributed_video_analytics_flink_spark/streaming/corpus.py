@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
-def prepare_corpus_stream(docs: DataFrame, ts_col: str = "ingest_ts") -> DataFrame:
+def prepare_corpus_stream(docs: DataFrame) -> DataFrame:
     """Attach the content fingerprint (md5 of the body — the same digest
     the batch dedup operators key on) to a streaming documents frame."""
     return docs.withColumn("fingerprint", F.md5(F.col("text")))
@@ -38,7 +38,7 @@ def stream_curated_corpus(
     then append to the language-partitioned corpus via foreachBatch.
     ``docs`` must carry ``text``, ``lang``, and an event-time ``ts_col``."""
     deduped = (
-        prepare_corpus_stream(docs, ts_col)
+        prepare_corpus_stream(docs)
         .withWatermark(ts_col, dedup_within)
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )

@@ -36,7 +36,9 @@ def test_cli_probe_reference_videos(spark, capsys):
     import os
 
     if not os.path.isdir("/root/reference/dvaf/videos"):
-        return
+        import pytest
+
+        pytest.skip("reference videos not present in this environment")
     assert main(["probe", "/root/reference/dvaf/videos"], spark=spark) == 0
     out = capsys.readouterr().out
     assert "avc1" in out

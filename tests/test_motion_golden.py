@@ -146,3 +146,23 @@ def test_batch_pipeline_golden(spark):
             got = sorted((b["x"], b["y"], b["w"], b["h"]) for b in r["motion_boxes"])
             assert got == GOLDEN_BOXES[i], f"{cam} frame {i}"
             assert r["detection_count"] == len(GOLDEN_BOXES[i])
+
+
+def test_registered_query_matches_golden_counts(spark):
+    """The driver's rows-only check for the ``video_motion_batch`` QUERY says
+    only "runs"; this upgrades it locally to "runs and is right": the
+    registered query's per-frame detection counts and serialized boxes match
+    the kernel goldens (VERDICT r3 item 7)."""
+    import json
+
+    from distributed_video_analytics_flink_spark.operators import QUERIES
+
+    rows = QUERIES["video_motion_batch"].fn(spark, "unused").collect()
+    assert len(rows) == 40
+    for r in rows:
+        i = (r["ts_us"] % 1_000_000) // 33_000
+        assert r["detection_count"] == len(GOLDEN_BOXES[i]), (r["camId"], i)
+        got = sorted(
+            (b["x"], b["y"], b["w"], b["h"]) for b in json.loads(r["boxes_json"] or "[]")
+        )
+        assert got == GOLDEN_BOXES[int(i)], (r["camId"], i)
