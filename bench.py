@@ -56,6 +56,8 @@ HEADLINE = [
     "pivot_event_counts",
     "sessionize_session_window",
     "curation_pipeline",
+    "curation_decontaminate",
+    "text_repetition_stats",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

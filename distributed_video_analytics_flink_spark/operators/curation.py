@@ -251,3 +251,119 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),
     )
+
+
+@query(
+    "curation_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, n - 7),
+                    i -> md5(array_to_string(list_slice(t, i, i + 7), ' ')))) AS sh
+      FROM toks WHERE n >= 8
+    ),
+    eval_sh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT c.doc_id, COUNT(DISTINCT c.sh) AS n_hit_shingles
+      FROM sh c JOIN eval_sh e USING (sh)
+      WHERE c.doc_id % 97 <> 0
+      GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_hit_shingles, 0) AS BIGINT) AS n_hit_shingles,
+           CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 97 <> 0
+    """,
+)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    8-token shingle with the held-out eval set (docs with
+    ``doc_id % 97 == 0`` stand in for the benchmark — deterministic, so the
+    oracle sees the same split). The standard pre-training hygiene pass:
+    eval text that leaks into the corpus inflates downstream scores.
+
+    100 TB shape: eval sets are tiny (thousands of docs) while the corpus
+    is the 100 TB side, so the distinct eval-shingle set is broadcast and
+    the corpus side never shuffles its shingles — contamination detection
+    costs one corpus scan plus a map-side hash probe, and only (doc_id,
+    matched-shingle) pairs reach the one real shuffle (the per-doc count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 8
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 7),"
+                " i -> md5(concat_ws(' ', slice(t, i, 8))))"
+            )
+        ).alias("sh"),
+    )
+    eval_sh = sh.filter(F.col("doc_id") % 97 == 0).select("sh").distinct()
+    hits = (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").alias("n_hit_shingles"))
+    )
+    return (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hit_shingles", F.lit(0).cast("long")).alias("n_hit_shingles"),
+            F.col("n_hit_shingles").isNotNull().cast("int").alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "curation_source_mix",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    runs AS (
+      SELECT doc_id, source, n_tok,
+             CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+      FROM toks
+    )
+    SELECT doc_id, source, n_tok, cum_tok
+    FROM runs WHERE cum_tok - n_tok < 500
+    """,
+)
+def curation_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture sampling: take documents per source (in stable doc_id
+    order) until each source hits its token budget (500 here) — how a
+    training run enforces mixture weights ("X tokens of web, Y of code")
+    rather than document-count quotas. A doc that straddles the budget
+    boundary is kept (admission checks the budget before adding the doc),
+    so every source gets at least one document.
+
+    One shuffle total: the running token sum is a window over
+    (source, doc_id) — the same single-exchange shape as
+    curation_pack_sequences; the budget test is then a scan predicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = toks.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return runs.filter(F.col("cum_tok") - F.col("n_tok") < 500).select(
+        "doc_id", "source", "n_tok", "cum_tok"
+    )

@@ -313,3 +313,85 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_long_numbers"
         ),
     )
+
+
+@query(
+    "text_repetition_stats",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, n - 1),
+                    i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS gram
+      FROM base
+    ),
+    bicnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+    bistats AS (
+      SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS n_bi
+      FROM bicnt GROUP BY doc_id
+    ),
+    tri AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, n - 2),
+                    i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS gram
+      FROM base
+    ),
+    tristats AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
+             COUNT(DISTINCT gram) AS d_tri
+      FROM tri GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.top_c AS DOUBLE) / b.n_bi AS top_bigram_frac,
+           CAST(t.n_tri - t.d_tri AS DOUBLE) / t.n_tri AS dup_trigram_frac
+    FROM bistats b JOIN tristats t USING (doc_id)
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher-rules family): per document,
+    the token fraction covered by the single most frequent bigram and the
+    fraction of duplicate trigrams. Boilerplate, keyword-stuffed, and
+    looping generator text score high on both; corpus curation drops the
+    tail.
+
+    Shape: n-grams come from ``transform(sequence(...))`` over the split
+    array — JVM codegen, no Python — then two partial-aggregable groupBys
+    keyed on doc_id(+gram). Grams shuffle as short strings; at 100 TB
+    swap the gram text for ``xxhash64(gram)`` to shrink shuffle width
+    (kept as text here so the DuckDB oracle is hash-portable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    bi = base.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> concat_ws(' ', slice(t, i, 2)))")
+        ).alias("gram"),
+    )
+    bistats = (
+        bi.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bi"))
+    )
+    tri = base.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))")
+        ).alias("gram"),
+    )
+    tristats = tri.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tri"), F.countDistinct("gram").alias("d_tri")
+    )
+    return bistats.join(tristats, "doc_id").select(
+        "doc_id",
+        (F.col("top_c").cast("double") / F.col("n_bi")).alias("top_bigram_frac"),
+        ((F.col("n_tri") - F.col("d_tri")).cast("double") / F.col("n_tri")).alias(
+            "dup_trigram_frac"
+        ),
+    )
