@@ -41,6 +41,31 @@ _DUCK_SHINGLES = (
 )
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Compute a DataFrame once and reuse the result on every branch that
+    consumes it (self-join sides, size/aggregate legs).
+
+    Without this, Spark's lineage recomputes the full upstream pipeline
+    (tokenize -> md5 -> aggregate) once per consumer — plan inspection of
+    the signature self-joins showed 2 parquet scans and 2x the hash
+    aggregation, and no ReusedExchange rescue (the broadcast side compiles
+    to a different exchange). Materializing the narrow intermediate (one
+    signature/token row per document — exactly what a production pipeline
+    persists before an LSH join) is the 100 TB shape: on a cluster, swap
+    ``localCheckpoint`` for ``checkpoint`` or an explicit parquet write on
+    reliable storage. ``eager=False``: materialization happens on the
+    query's own first action, keeping query construction lazy.
+
+    Honest measurement note: at sf0.1 on local[32] an interleaved A/B
+    showed materialization ~5-10% SLOWER on most of these queries — the
+    duplicate branch runs in parallel on otherwise-idle cores and the
+    checkpoint costs an extra job + serialization barrier. It stays in
+    because the target is a saturated 1000-executor cluster reading 100 TB,
+    where "tokenize and md5 the corpus twice" is a real second scan of the
+    dominant stage, not free parallelism."""
+    return df.localCheckpoint(eager=False)
+
+
 def _duck_hex4_to_int(expr: str, start: int = 1) -> str:
     """Fold 4 hex chars of a md5 string (1-based ``start``) to an int
     (DuckDB side)."""
@@ -183,9 +208,13 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(N_BANDS)
     ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band")
-    ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+    bands = _materialize(
+        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
+            "doc_id",
+            F.col("band.band_id").alias("band_id"),
+            F.col("band.band_hash").alias("band_hash"),
+        )
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -230,8 +259,12 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition ('de') as the grouping key — the standard sharding trick that
     keeps the candidate blow-up bounded per shard."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    # tok feeds three consumers (sizes + both join sides) — materialize the
+    # inverted index once instead of re-tokenizing per consumer
+    tok = _materialize(
+        docs.select(
+            "doc_id", "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+        )
     )
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     a = tok.filter(F.col("lang") == "de").alias("a")
@@ -302,8 +335,12 @@ def dedup_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame
     largest posting list, the prefix join is bounded by rare-token lists."""
     t = 0.6
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    # tok feeds six consumers (df counts, prefix build, both verify legs,
+    # sizes) — materialize the inverted index once
+    tok = _materialize(
+        docs.select(
+            "doc_id", "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+        )
     )
     from pyspark.sql import Window as W
 
@@ -718,7 +755,7 @@ def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 16-bit bands give ~65k bucket values per band (vs 16 for the 4-bit
     bands of the 16-bit variant), keeping collision lists short on
     billion-document corpora."""
-    sig = _simhash64_signatures(spark, sf_dir)
+    sig = _materialize(_simhash64_signatures(spark, sf_dir))
     bands = sig.select(
         "doc_id",
         "sig0",
@@ -778,7 +815,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance 3 agrees on at least one whole band, so candidates come from a
     band-value equi-join (the 100 TB shape — no cross product) and the
     exact Hamming filter runs only on collisions."""
-    sig = _simhash_signatures(spark, sf_dir)
+    sig = _materialize(_simhash_signatures(spark, sf_dir))
     bands = sig.select(
         "doc_id",
         "simhash16",
