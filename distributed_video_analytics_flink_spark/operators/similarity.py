@@ -266,6 +266,20 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = [r["embedding"] for r in plane_rows]
     dots = _dots_q_udf(planes)
 
+    # The query vector's bucket/norm are computed driver-side with the SAME
+    # quantization as the distributed path (previously this collected from
+    # the full bucket pipeline, running the plane dot products over every
+    # vector twice — one extra full pass over the table at 100 TB). The
+    # vec_id = 0 lookup is a pushdown-filtered single-row scan.
+    qv = np.asarray(
+        emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]["embedding"],
+        dtype=np.float64,
+    )
+    R = np.asarray([np.asarray(v, dtype=np.float64) for v in planes])
+    qdots = _np_q(qv[None, :] * R * _Q).sum(axis=1)
+    qbucket = int(sum((1 << i) for i in range(_N_PLANES) if qdots[i] > 0))
+    qnorm = float(_np_q(qv * qv * _Q).sum())
+
     bucket = sum(
         F.when(F.col("ds")[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i in range(_N_PLANES)
@@ -279,8 +293,6 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm("embedding").alias("nq"),
     ).select("vec_id", "label", "embedding", "nq", bucket.alias("bucket"))
 
-    qrow = buckets.filter(F.col("vec_id") == 0).select("bucket", "embedding", "nq").collect()[0]
-    qv, qbucket, qnorm = qrow["embedding"], qrow["bucket"], qrow["nq"]
     qdot = _dots_q_udf([qv])
     return (
         buckets.filter((F.col("vec_id") != 0) & (F.col("bucket") == F.lit(int(qbucket))))
