@@ -201,22 +201,33 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-char digest, the shuffle is O(docs x bands), and no cross product
     ever materializes."""
     sig = _minhash_signature(spark, sf_dir)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.md5(F.concat(*[F.col(f"h{b * 4 + r}") for r in range(4)])).alias("band_hash"),
-        )
+    band_hashes = [
+        F.md5(F.concat(*[F.col(f"h{b * 4 + r}") for r in range(4)])).alias(f"bh{b}")
         for b in range(N_BANDS)
     ]
+    # Each exploded row carries ALL band hashes (an array column), not just
+    # its own: that makes "is this the pair's FIRST agreeing band" a
+    # row-local predicate, replacing the .distinct() shuffle over the pair
+    # set with a filter. The extra 3 digests widen the bands shuffle by
+    # ~96 bytes/row — O(docs x bands) — while distinct shuffles
+    # O(candidate pairs), the quantity LSH cannot bound below collisions.
     bands = _materialize(
-        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
+        sig.select("doc_id", F.array(*band_hashes).alias("bh"))
+        .select(
             "doc_id",
-            F.col("band.band_id").alias("band_id"),
-            F.col("band.band_hash").alias("band_hash"),
+            "bh",
+            F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band_id"),
         )
+        .select("doc_id", "bh", "band_id", F.col("bh")[F.col("band_id")].alias("band_hash"))
     )
     a = bands.alias("a")
     b = bands.alias("b")
+    first_match = F.expr(
+        "CASE a.band_id WHEN 0 THEN true"
+        " WHEN 1 THEN NOT (a.bh[0] = b.bh[0])"
+        " WHEN 2 THEN NOT (a.bh[0] = b.bh[0] OR a.bh[1] = b.bh[1])"
+        " ELSE NOT (a.bh[0] = b.bh[0] OR a.bh[1] = b.bh[1] OR a.bh[2] = b.bh[2]) END"
+    )
     return (
         a.join(
             b,
@@ -224,8 +235,8 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(first_match)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
 
 
@@ -775,6 +786,15 @@ def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bit_count(a.sig0 ^ b.sig0) + bit_count(a.sig1 ^ b.sig1)"
         " + bit_count(a.sig2 ^ b.sig2) + bit_count(a.sig3 ^ b.sig3)"
     ).cast("long")
+    # First-match-band emission (see dedup_simhash_pairs): emit each pair
+    # only from its lowest agreeing band — row-local predicate replaces the
+    # .distinct() shuffle over the pair set.
+    first_match = F.expr(
+        "CASE a.band_id WHEN 0 THEN true"
+        " WHEN 1 THEN NOT (a.sig0 = b.sig0)"
+        " WHEN 2 THEN NOT (a.sig0 = b.sig0 OR a.sig1 = b.sig1)"
+        " ELSE NOT (a.sig0 = b.sig0 OR a.sig1 = b.sig1 OR a.sig2 = b.sig2) END"
+    )
     return (
         a.join(
             b,
@@ -782,13 +802,13 @@ def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(first_match)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= 3)
-        .distinct()
     )
 
 
@@ -823,6 +843,20 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("band_val", F.expr("(simhash16 >> (4 * band_id)) & 15"))
     a, b = bands.alias("a"), bands.alias("b")
     hamming = F.expr("bit_count(a.simhash16 ^ b.simhash16)")
+    # First-match-band emission: a pair agreeing on k bands would surface k
+    # times from the equi-join; instead of paying a .distinct() shuffle over
+    # the full pair set, emit the pair only from its LOWEST matching band
+    # (no earlier band agrees — a row-local predicate, since both sides
+    # carry the whole signature). Dedup becomes free. The predicate is a
+    # statically-expanded CASE, not exists(sequence(...)): Catalyst
+    # interprets higher-order lambdas per row, which measured SLOWER than
+    # the distinct it replaced; the expanded form stays in codegen.
+    first_match = F.expr(
+        "CASE a.band_id WHEN 0 THEN true"
+        " WHEN 1 THEN NOT (((a.simhash16 >> 0) & 15) = ((b.simhash16 >> 0) & 15))"
+        " WHEN 2 THEN NOT (((a.simhash16 >> 0) & 15) = ((b.simhash16 >> 0) & 15) OR ((a.simhash16 >> 4) & 15) = ((b.simhash16 >> 4) & 15))"
+        " ELSE NOT (((a.simhash16 >> 0) & 15) = ((b.simhash16 >> 0) & 15) OR ((a.simhash16 >> 4) & 15) = ((b.simhash16 >> 4) & 15) OR ((a.simhash16 >> 8) & 15) = ((b.simhash16 >> 8) & 15)) END"
+    )
     return (
         a.join(
             b,
@@ -830,11 +864,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(first_match)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= 3)
-        .distinct()
     )
