@@ -1222,3 +1222,49 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+@query(
+    "window_sliding_counts",
+    oracle="""
+    WITH expanded AS (
+      SELECT event_type, value,
+             time_bucket(INTERVAL '2 seconds', ts) - o.off AS window_start
+      FROM events,
+           LATERAL (SELECT unnest([INTERVAL '0 seconds', INTERVAL '2 seconds'])
+                    AS off) o
+    )
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM expanded GROUP BY window_start, event_type
+    """,
+)
+def window_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time window: per event_type, event count and
+    value total over 4-second windows advancing every 2 seconds — the
+    tumbling/SLIDING/session triple's middle member (SURVEY §2.9 names all
+    three; tumbling and session are covered by window_tumbling_fps /
+    sessionize_session_window). Spark's window(size, slide) replicates each
+    event into size/slide = 2 buckets; the oracle expands the same two
+    bucket starts via time_bucket minus each slide offset. Value totals use
+    integer-cents arithmetic so the double sum is order-independent.
+
+    Scale: the expansion factor is size/slide (a small constant chosen by
+    the query), then one partial-aggregable groupBy — the same shuffle
+    shape as a tumbling window, 2x the rows in."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "4 seconds", "2 seconds")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")) / 100.0).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
