@@ -21,14 +21,15 @@ from distributed_video_analytics_flink_spark.operators.registry import (  # noqa
     queries,
 )
 
-# The driver checks only the FIRST 50 registered queries per round, so with
-# 88 registered queries a static order would leave ~38 permanently
+# The driver checks only the FIRST 50 registered queries per round; the
+# registry holds more than that (len(QUERIES) — README carries the current
+# count, test-enforced), so a static order would leave the rest permanently
 # unchecked. Worse, old evidence rots: the r03 testdata regeneration
 # (int64-nanos -> TIMESTAMP_NTZ) invalidated every r01 row. We therefore
 # key registration order on LEAST-RECENTLY-DRIVER-CHECKED, read dynamically
 # from the CORRECTNESS_r*.json files the driver leaves in the repo root:
 # queries never checked (or not checked for the most rounds) register first,
-# so every query re-earns a fresh driver row every ~2 rounds.
+# so every query re-earns a fresh driver row every few rounds.
 
 
 def _last_checked_round() -> dict[str, int]:

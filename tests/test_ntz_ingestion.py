@@ -59,8 +59,12 @@ def test_events_ts_is_utc_instant(spark):
 
 
 def test_no_ntz_in_any_registered_query_schema(spark):
-    """Every registered query's analyzed output schema is NTZ-free (schema
-    analysis only — no execution — so covering all 88 queries stays fast)."""
+    """Every registered query's analyzed output schema is NTZ-free. Most
+    queries only get plan-analyzed here, but a few execute driver-side
+    actions during construction (the similarity queries collect their
+    query/centroid rows; the cluster queries iterate) — acceptable at
+    sf0.001, and it means a failure here can also surface a construction
+    error rather than an NTZ leak; read the assertion message."""
     from distributed_video_analytics_flink_spark import operators as ops
 
     leaks = {}
