@@ -166,3 +166,26 @@ def test_registered_query_matches_golden_counts(spark):
             (b["x"], b["y"], b["w"], b["h"]) for b in json.loads(r["boxes_json"] or "[]")
         )
         assert got == GOLDEN_BOXES[int(i)], (r["camId"], i)
+
+
+def test_batch_pipeline_golden_tiny_arrow_batches(spark):
+    """Hostile Arrow batching: maxRecordsPerBatch=7 forces every per-camera
+    group to span multiple Arrow batches inside applyInPandas, so the
+    previous-frame carry must survive batch boundaries (a bug class the
+    default large batches never exercise — with 40 fixture rows a default
+    batch holds everything)."""
+    from distributed_video_analytics_flink_spark.schemas import FRAME_SCHEMA
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try:
+        frames = spark.createDataFrame(fixture_frames(), schema=FRAME_SCHEMA)
+        rows = detect_motion_batch(frames).collect()
+    finally:
+        spark.conf.set(key, old)
+    assert len(rows) == 40
+    for r in rows:
+        i = (r["ts_us"] % 1_000_000) // 33_000
+        got = sorted((b["x"], b["y"], b["w"], b["h"]) for b in r["motion_boxes"])
+        assert got == GOLDEN_BOXES[int(i)], (r["camId"], i)
