@@ -32,18 +32,21 @@ from distributed_video_analytics_flink_spark.operators.registry import (  # noqa
 # so every query re-earns a fresh driver row every few rounds.
 
 
-def _last_checked_round() -> dict[str, int]:
+def _last_checked_round(root: str | None = None) -> dict[str, int]:
     """Map query name -> highest round whose CORRECTNESS file has a
     fully-passing row for it (rows+schema green; hash green when an oracle
     exists). A FAILED row is not evidence — the query must re-enter the
     window next round, so failures don't count as "checked". Missing or
-    unreadable files degrade to {} (original order kept)."""
+    unreadable files degrade to {} (original order kept). ``root`` defaults
+    to the repo root (where the driver writes the files); injectable for
+    tests."""
     import glob
     import json
     import os
     import re
 
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
