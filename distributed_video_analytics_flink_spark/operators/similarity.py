@@ -521,3 +521,88 @@ def assemble_centroids(dims: DataFrame) -> DataFrame:
         ).alias("centroid"),
         F.first("n_vectors").alias("n_vectors"),
     )
+
+
+@query(
+    "sim_label_knn",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id, a.label, b.vec_id AS neighbor_id,
+             {_duck_cos_q(
+                 _duck_dot_q("a.embedding", "b.embedding"),
+                 _duck_dot_q("a.embedding", "a.embedding"),
+                 _duck_dot_q("b.embedding", "b.embedding"),
+             )} AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT vec_id, label, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT vec_id, label, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def sim_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph (k=3) within label blocks: for EVERY vector, its three
+    most-similar same-label neighbors — the all-vectors variant of
+    sim_cosine_topk and the building block for knn-graph dedup clustering
+    and retrieval evaluation. Ties break on the lower neighbor_id, matching
+    the oracle's ORDER BY cosine DESC, neighbor_id ASC exactly (cosines are
+    quantized-integer-derived, so equal means bit-equal).
+
+    Same scale shape as sim_neardup_pairs: one shuffle on the block key,
+    numpy-vectorized scoring inside Arrow-batched applyInPandas, chunked
+    outer products to bound memory. At 100 TB the block key is an LSH
+    bucket (bounding block size) and the inner top-k switches from full
+    lexsort to np.argpartition; each vector still scores only its own
+    block — never the full table."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    k = 3
+
+    def _q(t: "np.ndarray") -> "np.ndarray":
+        return (np.floor(np.abs(t) + 0.5) * np.sign(t)).astype(np.int64)
+
+    def _block_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "label": pd.Series(dtype="int32"),
+                "rank": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        label = int(pdf["label"].iloc[0])
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        sqrt_norms = np.sqrt(_q(V * V * _Q).sum(axis=1).astype(np.float64))
+        out = []
+        kk = min(k, n - 1)
+        chunk = max(1, (64 << 20) // max(1, n * V.shape[1] * 8))
+        for i0 in range(0, n, chunk):
+            A = V[i0 : i0 + chunk]
+            dots = _q(A[:, None, :] * V[None, :, :] * _Q).sum(axis=2)
+            cos = dots / (sqrt_norms[i0 : i0 + chunk, None] * sqrt_norms[None, :])
+            for li in range(A.shape[0]):
+                gi = i0 + li
+                c = cos[li].copy()
+                c[gi] = -np.inf  # exclude self; sorts last, kk <= n-1 keeps it out
+                order = np.lexsort((ids, -c))[:kk]
+                for r, j in enumerate(order, 1):
+                    out.append((int(ids[gi]), label, r, int(ids[j]), float(c[j])))
+        return pd.DataFrame(out, columns=["vec_id", "label", "rank", "neighbor_id", "cosine"])
+
+    return emb.groupBy("label").applyInPandas(
+        _block_knn, "vec_id long, label int, rank long, neighbor_id long, cosine double"
+    )
