@@ -58,6 +58,7 @@ HEADLINE = [
     "curation_pipeline",
     "curation_decontaminate",
     "text_repetition_stats",
+    "sim_label_knn",
 ]
 
 MOTION_FRAMES_PER_CAM = 32
