@@ -59,6 +59,7 @@ HEADLINE = [
     "curation_decontaminate",
     "text_repetition_stats",
     "sim_label_knn",
+    "sim_knn_bucketed",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

@@ -606,3 +606,148 @@ def sim_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.groupBy("label").applyInPandas(
         _block_knn, "vec_id long, label int, rank long, neighbor_id long, cosine double"
     )
+
+
+_KNN_BUCKET_PLANES = 2  # 4 buckets at test SF; production raises this (see below)
+
+
+def knn_bucketed(emb: DataFrame, planes: list, k: int = 3) -> DataFrame:
+    """Core of sim_knn_bucketed, factored out so tests can feed synthetic
+    skewed frames: k-NN within (label x hyperplane-LSH bucket) blocks.
+
+    This is the scale-hardened variant of sim_label_knn. That operator's
+    block key is the label alone, so one dominant label (90% of a corpus)
+    puts O(block^2) work in a single task. Composing the block key with the
+    sign-bucket of ``len(planes)`` random hyperplanes splits every label
+    into 2^planes cells — expected cell size = label_size / 2^planes
+    regardless of label skew (hyperplane signs are independent of the label)
+    — so per-task work is capped by choosing enough planes:
+    2^planes >= label_size / target_block. The recall trade is the standard
+    LSH one: only same-bucket neighbors are candidates.
+
+    Inner top-k selects via np.partition (O(n) threshold) + lexsort of the
+    tied tail, not a full O(n log n) sort of the block: the kth-value
+    threshold keeps every candidate that could tie across the boundary, and
+    the final lexsort on (cosine DESC, neighbor_id ASC) over that small
+    candidate set reproduces the oracle's deterministic tie-break exactly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    dots = _dots_q_udf(planes)
+    n_planes = len(planes)
+    bucket = sum(
+        F.when(F.col("ds")[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(n_planes)
+    )
+    bucketed = emb.select(
+        "vec_id", "label", "embedding", dots("embedding").alias("ds")
+    ).select("vec_id", "label", "embedding", bucket.cast("long").alias("bucket"))
+
+    def _q(t: "np.ndarray") -> "np.ndarray":
+        return (np.floor(np.abs(t) + 0.5) * np.sign(t)).astype(np.int64)
+
+    def _block_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "label": pd.Series(dtype="int32"),
+                "bucket": pd.Series(dtype="int64"),
+                "rank": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        label = int(pdf["label"].iloc[0])
+        bkt = int(pdf["bucket"].iloc[0])
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        sqrt_norms = np.sqrt(_q(V * V * _Q).sum(axis=1).astype(np.float64))
+        out = []
+        kk = min(k, n - 1)
+        chunk = max(1, (64 << 20) // max(1, n * V.shape[1] * 8))
+        for i0 in range(0, n, chunk):
+            A = V[i0 : i0 + chunk]
+            dots_blk = _q(A[:, None, :] * V[None, :, :] * _Q).sum(axis=2)
+            cos = dots_blk / (sqrt_norms[i0 : i0 + chunk, None] * sqrt_norms[None, :])
+            for li in range(A.shape[0]):
+                gi = i0 + li
+                c = cos[li].copy()
+                c[gi] = -np.inf  # exclude self
+                # kth-largest threshold in O(n); candidates = everything that
+                # could make the top-k including boundary ties.
+                kth = np.partition(c, n - kk)[n - kk]
+                cand = np.nonzero(c >= kth)[0]
+                order = cand[np.lexsort((ids[cand], -c[cand]))][:kk]
+                for r, j in enumerate(order, 1):
+                    out.append((int(ids[gi]), label, bkt, r, int(ids[j]), float(c[j])))
+        if not out:
+            return empty
+        return pd.DataFrame(
+            out, columns=["vec_id", "label", "bucket", "rank", "neighbor_id", "cosine"]
+        )
+
+    return bucketed.groupBy("label", "bucket").applyInPandas(
+        _block_knn,
+        "vec_id long, label int, bucket long, rank long, neighbor_id long, cosine double",
+    )
+
+
+@query(
+    "sim_knn_bucketed",
+    oracle=f"""
+    WITH planes AS (
+      SELECT vec_id AS plane_id, embedding AS pv FROM embeddings
+      WHERE vec_id BETWEEN 1 AND {_KNN_BUCKET_PLANES}
+    ),
+    buckets AS (
+      SELECT e.vec_id, e.label, e.embedding,
+             CAST(SUM(CASE WHEN {_duck_dot_q("e.embedding", "p.pv")} > 0
+                      THEN 1 << (p.plane_id - 1) ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings e, planes p
+      GROUP BY e.vec_id, e.label, e.embedding
+    ),
+    scored AS (
+      SELECT a.vec_id, a.label, a.bucket, b.vec_id AS neighbor_id,
+             {_duck_cos_q(
+                 _duck_dot_q("a.embedding", "b.embedding"),
+                 _duck_dot_q("a.embedding", "a.embedding"),
+                 _duck_dot_q("b.embedding", "b.embedding"),
+             )} AS cosine
+      FROM buckets a JOIN buckets b
+        ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT vec_id, label, bucket, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT vec_id, label, bucket, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def sim_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof k-NN graph (k=3): blocks are label x {_KNN_BUCKET_PLANES}-
+    plane LSH bucket instead of label alone — the bucketed variant
+    sim_label_knn's docstring promises. Planes are deterministic (embeddings
+    1..{_KNN_BUCKET_PLANES}, as in sim_ann_lsh); at this SF 2 planes keep
+    ~12-vector blocks so the k-NN graph stays dense; a 100 TB corpus raises
+    the plane count until 2^planes caps the hottest label's block at the
+    per-task budget (tests/test_skew_join.py pins the bound under a
+    90%-one-label distribution). Per-task work drops from O(label^2) to
+    O((label/2^planes)^2); recall is same-bucket only — the standard
+    LSH trade, measured against the exact sim_label_knn graph."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    plane_rows = (
+        emb.filter(F.col("vec_id").between(1, _KNN_BUCKET_PLANES))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    planes = [r["embedding"] for r in plane_rows]
+    return knn_bucketed(emb, planes, k=3)
