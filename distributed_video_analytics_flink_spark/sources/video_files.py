@@ -8,12 +8,17 @@ a 100 TB video corpus), then a ``mapInPandas`` extractor turns each file's
 bytes into wire-format frame rows (FRAME_SCHEMA: camId from the file stem,
 timestamps paced 33 ms apart, base64 BGR payloads).
 
-The codec step is a STUB: this container ships no cv2/ffmpeg, so
-``_decode_frames_stub`` synthesizes deterministic frames from the file
-bytes (content-seeded, reproducible). The binaryFile scan, partitioning,
-Arrow batching, schema, and pacing are the production path — swap the stub
-for a ``cv2.VideoCapture`` loop (decode, ``cv2.resize`` to 640x480
-INTER_CUBIC per VideoEventCreator.java:75,40-41) when codecs exist.
+Decode is REAL for uncompressed Y4M (YUV4MPEG2) files — pure byte-slicing
+header/frame parse + integer-exact YUV->BGR (sources/y4m.py) + the engine's
+own bicubic resize to the target dims (functions/resize.py, the analog of
+VideoEventCreator.java:75's cv2.resize) — so genuine video bytes flow
+end-to-end through the motion pipeline with zero codec dependency.
+
+COMPRESSED codecs remain a STUB: this container ships no cv2/ffmpeg, so for
+non-Y4M files ``_decode_frames_stub`` synthesizes deterministic frames from
+the file bytes (content-seeded, reproducible). The binaryFile scan,
+partitioning, Arrow batching, schema, and pacing are the production path —
+swap the stub for a ``cv2.VideoCapture`` loop when codecs exist.
 """
 
 from __future__ import annotations
@@ -28,6 +33,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from distributed_video_analytics_flink_spark.schemas import FRAME_SCHEMA
+from distributed_video_analytics_flink_spark.sources.y4m import (
+    Y4M_MAGIC,
+    Y4MError,
+    decode_y4m,
+)
 
 FRAME_INTERVAL_MS = 33  # ~30 fps pacing (VideoEventCreator.java:78)
 _EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z; deterministic base
@@ -55,17 +65,35 @@ def _decode_frames_stub(
         yield frame
 
 
+def _decode_frames_y4m(
+    content: bytes, rows: int, cols: int, max_frames: int
+) -> Iterator[np.ndarray]:
+    """REAL decoder for uncompressed Y4M bytes: frame slices -> BGR ->
+    bicubic resize to the pipeline dims when the container dims differ
+    (VideoEventCreator.java:75's resize step). Malformed tails end the
+    stream (PERMISSIVE)."""
+    from distributed_video_analytics_flink_spark.functions.resize import cubic_resize
+
+    _, frames = decode_y4m(content, max_frames=max_frames)
+    for bgr in frames:
+        if bgr.shape[:2] != (rows, cols):
+            bgr = cubic_resize(bgr, rows, cols)
+        yield bgr
+
+
 def read_video_files(
     spark: SparkSession,
     path: str,
-    glob: str = "*.mp4",
+    glob: str = "*.{mp4,y4m}",
     rows: int = 480,
     cols: int = 640,
     max_frames_per_file: int = 64,
 ) -> DataFrame:
     """Scan video files into wire-format frame rows. camId = file stem (the
     producer keys messages by camera id the same way), timestamps are paced
-    FRAME_INTERVAL_MS apart from a fixed deterministic epoch."""
+    FRAME_INTERVAL_MS apart from a fixed deterministic epoch. Dispatch is
+    by content magic, not extension: YUV4MPEG2 streams get the real decode
+    (sources/y4m.py); anything else falls to the compressed-codec stub."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
@@ -78,9 +106,15 @@ def read_video_files(
             out = []
             for p, content in zip(pdf["path"], pdf["content"]):
                 cam = os.path.splitext(os.path.basename(p))[0]
-                for i, frame in enumerate(
-                    _decode_frames_stub(bytes(content), rows, cols, max_frames_per_file)
-                ):
+                raw = bytes(content)
+                if raw.startswith(Y4M_MAGIC):
+                    try:
+                        decoded = _decode_frames_y4m(raw, rows, cols, max_frames_per_file)
+                    except Y4MError:
+                        decoded = iter(())  # corrupt header: no rows, no failure
+                else:
+                    decoded = _decode_frames_stub(raw, rows, cols, max_frames_per_file)
+                for i, frame in enumerate(decoded):
                     out.append(
                         (
                             cam,
@@ -107,17 +141,19 @@ VIDEO_META_SCHEMA = (
 
 
 def video_container_metadata(
-    spark: SparkSession, path: str, glob: str = "*.mp4"
+    spark: SparkSession, path: str, glob: str = "*.{mp4,y4m}"
 ) -> DataFrame:
     """REAL (no stub) container-metadata scan over video files: binaryFile
     scan + pure-stdlib ISO BMFF probe (sources/mp4.py) -> one row per file
     with duration, dimensions, frame count, codec fourcc, and fps —
-    including fragmented MP4s. This is the planning pass the reference
-    gets from OpenCV stream properties (VideoEventCreator.java:54-96),
-    with no codec dependency; tests drive it against the reference's own
-    sample videos. Corrupt/non-MP4 files yield null metadata columns, not
-    task failures (PERMISSIVE, like the JSON source)."""
+    including fragmented MP4s and Y4M streams. This is the planning pass
+    the reference gets from OpenCV stream properties
+    (VideoEventCreator.java:54-96), with no codec dependency; tests drive
+    it against the reference's own sample videos. Corrupt/unknown files
+    yield null metadata columns, not task failures (PERMISSIVE, like the
+    JSON source)."""
     from distributed_video_analytics_flink_spark.sources.mp4 import probe_mp4
+    from distributed_video_analytics_flink_spark.sources.y4m import probe_y4m
 
     files = (
         spark.read.format("binaryFile")
@@ -131,7 +167,15 @@ def video_container_metadata(
             rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
                 b = bytes(content)
-                meta = probe_mp4(b)
+                if b.startswith(Y4M_MAGIC):
+                    try:
+                        meta = probe_y4m(b)
+                    except Y4MError:
+                        meta = dict.fromkeys(
+                            ("duration_s", "width", "height", "n_frames", "codec", "fps")
+                        )
+                else:
+                    meta = probe_mp4(b)
                 rows.append(
                     (
                         os.path.splitext(os.path.basename(p))[0],
