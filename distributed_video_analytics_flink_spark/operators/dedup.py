@@ -175,6 +175,34 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select("doc_id", *bands)
 
 
+def _first_match_pred(band_expr, n_bands: int):
+    """First-match-band emission predicate, built programmatically from the
+    band count (ADVICE r4: a hardcoded 4-arm CASE silently re-emits
+    duplicate pairs from bands >= 4 if the banding is ever re-parameterized;
+    the ELSE arm here is an unreachable ``false`` — dropping, never
+    duplicating). ``band_expr(side, i)`` renders band i's value expression
+    for join side 'a'/'b'.
+
+    A pair agreeing on k bands surfaces k times from the band equi-join;
+    emitting it only from its LOWEST agreeing band makes dedup a row-local
+    filter instead of a .distinct() shuffle over the pair set. "Earlier
+    band agrees" uses null-SAFE agreement — ``coalesce(a = b, false)`` —
+    matching the join's own null semantics exactly: a NULL band value never
+    joins, so it must never count as an agreement either (ADVICE r4: plain
+    ``NOT (a = b)`` yields NULL and silently drops the genuine pair). The
+    predicate stays a statically-expanded CASE (codegen), not a
+    higher-order exists(sequence(...)) (interpreted per row, measured
+    slower than the distinct it replaces)."""
+    arms = []
+    for k in range(1, n_bands):
+        earlier = " OR ".join(
+            f"coalesce(({band_expr('a', i)}) = ({band_expr('b', i)}), false)"
+            for i in range(k)
+        )
+        arms.append(f" WHEN {k} THEN NOT ({earlier})")
+    return F.expr("CASE a.band_id WHEN 0 THEN true" + "".join(arms) + " ELSE false END")
+
+
 @query(
     "dedup_minhash_lsh_pairs",
     oracle=f"""
@@ -200,34 +228,10 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band_id, band_hash). This is the 100 TB shape — the join key is a
     32-char digest, the shuffle is O(docs x bands), and no cross product
     ever materializes."""
-    sig = _minhash_signature(spark, sf_dir)
-    band_hashes = [
-        F.md5(F.concat(*[F.col(f"h{b * 4 + r}") for r in range(4)])).alias(f"bh{b}")
-        for b in range(N_BANDS)
-    ]
-    # Each exploded row carries ALL band hashes (an array column), not just
-    # its own: that makes "is this the pair's FIRST agreeing band" a
-    # row-local predicate, replacing the .distinct() shuffle over the pair
-    # set with a filter. The extra 3 digests widen the bands shuffle by
-    # ~96 bytes/row — O(docs x bands) — while distinct shuffles
-    # O(candidate pairs), the quantity LSH cannot bound below collisions.
-    bands = _materialize(
-        sig.select("doc_id", F.array(*band_hashes).alias("bh"))
-        .select(
-            "doc_id",
-            "bh",
-            F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band_id"),
-        )
-        .select("doc_id", "bh", "band_id", F.col("bh")[F.col("band_id")].alias("band_hash"))
-    )
+    bands = _minhash_bands(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
-    first_match = F.expr(
-        "CASE a.band_id WHEN 0 THEN true"
-        " WHEN 1 THEN NOT (a.bh[0] = b.bh[0])"
-        " WHEN 2 THEN NOT (a.bh[0] = b.bh[0] OR a.bh[1] = b.bh[1])"
-        " ELSE NOT (a.bh[0] = b.bh[0] OR a.bh[1] = b.bh[1] OR a.bh[2] = b.bh[2]) END"
-    )
+    first_match = _first_match_pred(lambda s, i: f"{s}.bh[{i}]", N_BANDS)
     return (
         a.join(
             b,
@@ -238,6 +242,152 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(first_match)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
+
+
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized unpivoted band rows (doc_id, bh array, band_id,
+    band_hash). Each exploded row carries ALL band hashes (an array
+    column), not just its own: that makes "is this the pair's FIRST
+    agreeing band" a row-local predicate, replacing the .distinct() shuffle
+    over the pair set with a filter. The extra 3 digests widen the bands
+    shuffle by ~96 bytes/row — O(docs x bands) — while distinct shuffles
+    O(candidate pairs), the quantity LSH cannot bound below collisions."""
+    sig = _minhash_signature(spark, sf_dir)
+    band_hashes = [
+        F.md5(F.concat(*[F.col(f"h{b * 4 + r}") for r in range(4)])).alias(f"bh{b}")
+        for b in range(N_BANDS)
+    ]
+    return _materialize(
+        sig.select("doc_id", F.array(*band_hashes).alias("bh"))
+        .select(
+            "doc_id",
+            "bh",
+            F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band_id"),
+        )
+        .select("doc_id", "bh", "band_id", F.col("bh")[F.col("band_id")].alias("band_hash"))
+    )
+
+
+LSH_MAX_BUCKET = 16  # per-(band_id, band_hash) population cap, capped variant
+
+
+def minhash_lsh_pairs_capped(
+    spark: SparkSession, sf_dir: str, cap: int = LSH_MAX_BUCKET
+) -> DataFrame:
+    """Skew-hardened LSH pair join: buckets whose population exceeds ``cap``
+    are dropped from candidate generation entirely (VERDICT r4 item 4).
+
+    Near-dup corpora have hot band buckets — boilerplate headers, empty
+    documents, licence blocks — and a bucket of n docs contributes O(n^2)
+    candidate pairs to ONE join key, i.e. one task. A population cap turns
+    the worst case from quadratic-in-hottest-bucket to cap^2: a bucket that
+    hot is uninformative for near-dup detection anyway (its members
+    collide on a boilerplate fragment, not on document identity), which is
+    why production LSH dedup pipelines routinely drop or down-sample
+    oversized buckets. Pairs that also agree on a BELOW-cap band still
+    surface there, so capping only suppresses pairs whose every agreeing
+    band is hot.
+
+    Plan shape: bucket populations are one map-side-combinable aggregation
+    over the bands frame; buckets over the cap are collected to the driver
+    (a tiny aggregate by construction — each entry represents >cap
+    documents, so there are at most docs*bands/cap of them, and in practice
+    a handful of boilerplate values) and inlined as literal exclusion
+    lists, the same driver-side-constant pattern as the ANN planes. The
+    self-join then only ever sees buckets of <= cap rows — no task can
+    receive a quadratic blow-up, pinned by tests/test_lsh_hot_bucket.py.
+    First-match emission must likewise skip hot earlier bands (their rows
+    never joined), else a pair agreeing on a hot band would be dropped
+    everywhere."""
+    from functools import reduce as _reduce
+    from operator import or_ as _or
+
+    bands = _minhash_bands(spark, sf_dir)
+    hot_rows = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > cap)
+        .select("band_id", "band_hash")
+        .collect()
+    )
+    hot_by_band: dict[int, set] = {i: set() for i in range(N_BANDS)}
+    for r in hot_rows:
+        hot_by_band[r["band_id"]].add(r["band_hash"])
+
+    def _is_hot(side: str, i: int):
+        vals = hot_by_band[i]
+        if not vals:
+            return F.lit(False)
+        return F.expr(f"{side}.bh[{i}]").isin(*sorted(vals))
+
+    surviving = bands.filter(
+        ~_reduce(
+            _or,
+            [
+                (F.col("band_id") == i) & F.col("band_hash").isin(*sorted(v))
+                for i, v in hot_by_band.items()
+                if v
+            ],
+            F.lit(False),
+        )
+    )
+    a, b = surviving.alias("a"), surviving.alias("b")
+
+    def _agree_surviving(i: int):
+        eq = F.coalesce(
+            F.expr(f"a.bh[{i}]") == F.expr(f"b.bh[{i}]"), F.lit(False)
+        )
+        return eq & ~_is_hot("a", i)
+
+    first_match = F.when(F.expr("a.band_id") == 0, F.lit(True))
+    for k in range(1, N_BANDS):
+        first_match = first_match.when(
+            F.expr("a.band_id") == k,
+            ~_reduce(_or, [_agree_surviving(i) for i in range(k)]),
+        )
+    first_match = first_match.otherwise(F.lit(False))
+
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(first_match)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+
+
+@query(
+    "dedup_lsh_pairs_capped",
+    oracle=f"""
+    WITH {_duck_minhash_cte()},
+    bands AS (
+      SELECT doc_id, b.band_id, b.band_hash
+      FROM sigs, LATERAL (
+        SELECT * FROM (VALUES
+          (0, md5(h0 || h1 || h2 || h3)),
+          (1, md5(h4 || h5 || h6 || h7)),
+          (2, md5(h8 || h9 || h10 || h11)),
+          (3, md5(h12 || h13 || h14 || h15))) AS v(band_id, band_hash)
+      ) b
+    ),
+    surviving AS (
+      SELECT * FROM bands
+      QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_hash) <= {LSH_MAX_BUCKET}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM surviving a JOIN surviving b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_minhash_lsh_pairs with the hot-bucket population cap
+    ({LSH_MAX_BUCKET}) — the parameterization that survives boilerplate-
+    heavy corpora; see minhash_lsh_pairs_capped for the scale argument."""
+    return minhash_lsh_pairs_capped(spark, sf_dir)
 
 
 @query(
@@ -786,15 +936,10 @@ def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bit_count(a.sig0 ^ b.sig0) + bit_count(a.sig1 ^ b.sig1)"
         " + bit_count(a.sig2 ^ b.sig2) + bit_count(a.sig3 ^ b.sig3)"
     ).cast("long")
-    # First-match-band emission (see dedup_simhash_pairs): emit each pair
+    # First-match-band emission (see _first_match_pred): emit each pair
     # only from its lowest agreeing band — row-local predicate replaces the
     # .distinct() shuffle over the pair set.
-    first_match = F.expr(
-        "CASE a.band_id WHEN 0 THEN true"
-        " WHEN 1 THEN NOT (a.sig0 = b.sig0)"
-        " WHEN 2 THEN NOT (a.sig0 = b.sig0 OR a.sig1 = b.sig1)"
-        " ELSE NOT (a.sig0 = b.sig0 OR a.sig1 = b.sig1 OR a.sig2 = b.sig2) END"
-    )
+    first_match = _first_match_pred(lambda s, i: f"{s}.sig{i}", 4)
     return (
         a.join(
             b,
@@ -843,19 +988,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("band_val", F.expr("(simhash16 >> (4 * band_id)) & 15"))
     a, b = bands.alias("a"), bands.alias("b")
     hamming = F.expr("bit_count(a.simhash16 ^ b.simhash16)")
-    # First-match-band emission: a pair agreeing on k bands would surface k
-    # times from the equi-join; instead of paying a .distinct() shuffle over
-    # the full pair set, emit the pair only from its LOWEST matching band
-    # (no earlier band agrees — a row-local predicate, since both sides
-    # carry the whole signature). Dedup becomes free. The predicate is a
-    # statically-expanded CASE, not exists(sequence(...)): Catalyst
-    # interprets higher-order lambdas per row, which measured SLOWER than
-    # the distinct it replaced; the expanded form stays in codegen.
-    first_match = F.expr(
-        "CASE a.band_id WHEN 0 THEN true"
-        " WHEN 1 THEN NOT (((a.simhash16 >> 0) & 15) = ((b.simhash16 >> 0) & 15))"
-        " WHEN 2 THEN NOT (((a.simhash16 >> 0) & 15) = ((b.simhash16 >> 0) & 15) OR ((a.simhash16 >> 4) & 15) = ((b.simhash16 >> 4) & 15))"
-        " ELSE NOT (((a.simhash16 >> 0) & 15) = ((b.simhash16 >> 0) & 15) OR ((a.simhash16 >> 4) & 15) = ((b.simhash16 >> 4) & 15) OR ((a.simhash16 >> 8) & 15) = ((b.simhash16 >> 8) & 15)) END"
+    # First-match-band emission (see _first_match_pred): each pair only
+    # from its lowest agreeing band — dedup becomes a row-local filter.
+    first_match = _first_match_pred(
+        lambda s, i: f"(({s}.simhash16 >> {4 * i}) & 15)", 4
     )
     return (
         a.join(
