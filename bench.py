@@ -41,6 +41,7 @@ HEADLINE = [
     "sort_limit_topk",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
+    "dedup_lsh_pairs_capped",
     "dedup_token_jaccard",
     "dedup_simhash",
     "dedup_simhash_pairs",
@@ -237,6 +238,75 @@ def bench_motion_stream_fps(spark) -> tuple[float, int]:
     return sec, n
 
 
+def bench_corpus_stream_docs(spark) -> tuple[float, int]:
+    """Streaming LLM-corpus ingest throughput (docs/s): the sf documents
+    table replayed 4x as JSON-lines micro-batches through
+    stream_curated_corpus (watermark-bounded fingerprint dedup + language-
+    partitioned append). The 4 replicas share texts, so ~3/4 of arrivals
+    are duplicates the state store must drop — the realistic re-crawl
+    mix. Replay files, checkpoint, and sink all live on tmpfs (same
+    rationale as the motion stream bench); timed region = the query
+    end-to-end."""
+    import json
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from distributed_video_analytics_flink_spark.streaming.corpus import (
+        stream_curated_corpus,
+    )
+
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet")).to_pylist()
+    replicas, per_file = 4, 1250
+    docs = []
+    for rep in range(replicas):
+        for r in tbl:
+            docs.append(
+                {
+                    "doc_id": r["doc_id"] + rep * 1_000_000,
+                    "text": r["text"],
+                    "lang": r["lang"],
+                    "ingest_ts": f"2024-01-01T00:{rep:02d}:{(r['doc_id'] % 60):02d}.000+00:00",
+                }
+            )
+    n = len(docs)
+
+    tmp_dir = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="bench_corpus_", dir=tmp_dir)
+    data_dir = os.path.join(root, "docs")
+    os.makedirs(data_dir)
+    for fileno, i in enumerate(range(0, n, per_file)):
+        p = os.path.join(data_dir, f"d{fileno:04d}.json")
+        with open(p, "w") as fh:
+            fh.write("\n".join(json.dumps(d) for d in docs[i : i + per_file]))
+        os.utime(p, (1_700_000_000 + fileno, 1_700_000_000 + fileno))
+
+    schema = "doc_id long, text string, lang string, ingest_ts timestamp"
+
+    def _run(tag: str) -> float:
+        ck = os.path.join(root, f"ck_{tag}")
+        out = os.path.join(root, f"out_{tag}")
+        t0 = time.time()
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "4")
+            .json(data_dir)
+        )
+        q = stream_curated_corpus(stream, out, ck, dedup_within="1 hour")
+        q.processAllAvailable()
+        q.stop()
+        sec = time.time() - t0
+        shutil.rmtree(ck, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        return sec
+
+    _run("warmup")
+    sec = min(_run("t1"), _run("t2"), _run("t3"))
+    shutil.rmtree(root, ignore_errors=True)
+    return sec, n
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     from distributed_video_analytics_flink_spark import operators as ops
@@ -289,6 +359,15 @@ def main() -> None:
         timings["motion_stream_640x480"] = None
         errors["motion_stream_640x480"] = f"{type(exc).__name__}: {exc}"[:300]
 
+    corpus_docs_per_sec: float | None = None
+    try:
+        corpus_sec, corpus_docs = bench_corpus_stream_docs(spark)
+        timings["corpus_stream_ingest"] = round(corpus_sec, 3)
+        corpus_docs_per_sec = round(corpus_docs / corpus_sec, 1)
+    except Exception as exc:  # noqa: BLE001
+        timings["corpus_stream_ingest"] = None
+        errors["corpus_stream_ingest"] = f"{type(exc).__name__}: {exc}"[:300]
+
     total = round(sum(t for t in timings.values() if t is not None), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
@@ -302,6 +381,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "motion_fps_640x480": motion_fps,
         "motion_stream_fps_640x480": motion_stream_fps,
+        "corpus_stream_docs_per_sec": corpus_docs_per_sec,
     }
     if errors:
         payload["errors"] = errors
