@@ -557,6 +557,89 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_distinct_checked",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_suppliers,
+           TRUE AS parts_within_5pct,
+           TRUE AS suppliers_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_distinct_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-checked twin of agg_approx_distinct (VERDICT r4 item 6):
+    the HLL++ sketch value itself is engine-specific, but |approx - exact|
+    / exact <= 5% is an engine-independent BOOLEAN — so the driver's hash
+    compare now asserts the sketch's accuracy contract instead of skipping
+    it (the oracle emits literal TRUE; a sketch drifting past tolerance
+    hash-mismatches the round). 5% is the default rsd of
+    approx_count_distinct; HLL++ is hash-deterministic per dataset, so the
+    booleans are stable. The exact counts ride along as the value anchor.
+    At 100 TB the exact COUNT(DISTINCT) legs run only at validation SF —
+    production uses the sketch alone (see agg_approx_distinct)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_suppliers"),
+        F.approx_count_distinct("l_partkey").alias("ap_parts"),
+        F.approx_count_distinct("l_suppkey").alias("ap_supp"),
+    )
+
+    def _within(approx: str, exact: str):
+        return (
+            F.abs(F.col(approx) - F.col(exact)) <= 0.05 * F.col(exact)
+        )
+
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_suppliers",
+        _within("ap_parts", "exact_parts").alias("parts_within_5pct"),
+        _within("ap_supp", "exact_suppliers").alias("suppliers_within_5pct"),
+    )
+
+
+@query(
+    "agg_approx_percentile_checked",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS p50_in_rank_band,
+           TRUE AS p95_in_rank_band,
+           TRUE AS p99_in_rank_band
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_percentile_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-checked twin of agg_approx_percentile: the GK sketch's
+    guarantee is a RANK bound (error <= n/accuracy = 0.01% at accuracy
+    10000), so each approximate percentile must land between the exact
+    p±5% rank percentiles — an engine-independent boolean the driver can
+    hash-check against literal TRUE (see agg_approx_distinct_checked for
+    the pattern). The exact-percentile legs are the validation-SF anchor;
+    production keeps only the mergeable sketch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ap = "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+    ex = "percentile(l_extendedprice, array(0.45, 0.55, 0.93, 0.97, 1.0))"
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr(ap).alias("ap"),
+        F.expr(ex).alias("ex"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    band = lambda i, lo, hi: F.element_at("ap", i).between(  # noqa: E731
+        F.element_at("ex", lo), F.element_at("ex", hi)
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        band(1, 1, 2).alias("p50_in_rank_band"),
+        band(2, 3, 4).alias("p95_in_rank_band"),
+        band(3, 4, 5).alias("p99_in_rank_band"),
+    )
+
+
+@query(
     "agg_rollup",
     oracle="""
     WITH o AS (SELECT EXTRACT(year FROM o_orderdate)::INT AS order_year,
