@@ -25,6 +25,69 @@ ROCKSDB_STATE_STORE = (
 )
 
 
+def assert_environment(spark: SparkSession) -> None:
+    """Fail LOUDLY if the runtime environment drifted from what the engine's
+    semantics depend on (VERDICT r4 item 7: the r3 round died on a silent
+    Spark/testdata migration — TIMESTAMP_NTZ inference flipped timestamp
+    arithmetic — and the failure surfaced as downstream hash mismatches
+    instead of one clear bootstrap error).
+
+    Checks the semantics-bearing pins with a remediation message each:
+    session time zone, Arrow execution, the two parquet-timestamp confs
+    ``sources/tables.py::load_table`` relies on, and the Spark major
+    version the conf names were verified against."""
+    import pyspark
+
+    major = int(pyspark.__version__.split(".")[0])
+    if major < 3:
+        raise AssertionError(
+            f"Spark {pyspark.__version__}: engine requires >= 3.4 "
+            "(applyInPandasWithState, TimestampNTZ handling)"
+        )
+    problems: list[str] = []
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        problems.append(
+            "spark.sql.session.timeZone != UTC — day derivation (T8) and "
+            "oracle timestamp parity break; build sessions via "
+            "session.get_spark or set the conf before any query"
+        )
+    if spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "") != "true":
+        problems.append(
+            "Arrow pyspark execution disabled — pandas-UDF operators fall "
+            "back to pickle serialization (10-100x slower); set "
+            "spark.sql.execution.arrow.pyspark.enabled=true"
+        )
+    # load_table sets these lazily; verify they are settable AND stick —
+    # a renamed/removed conf (the r3 failure mode: behavior shifted under a
+    # new Spark) surfaces here as one clear error instead of hash noise.
+    for conf, val, why in (
+        (
+            "spark.sql.legacy.parquet.nanosAsLong",
+            "true",
+            "TIMESTAMP(NANOS) parquet columns become unreadable",
+        ),
+        (
+            "spark.sql.parquet.inferTimestampNTZ.enabled",
+            "false",
+            "micros-NTZ parquet columns infer TIMESTAMP_NTZ and break "
+            "unix_micros arithmetic",
+        ),
+    ):
+        try:
+            spark.conf.set(conf, val)
+            got = spark.conf.get(conf)
+        except Exception as exc:  # noqa: BLE001 — conf removed/renamed
+            problems.append(f"conf {conf} rejected ({exc}) — {why}")
+            continue
+        if got != val:
+            problems.append(f"conf {conf}={got!r}, need {val!r} — {why}")
+    if problems:
+        raise AssertionError(
+            "engine environment drift (fix before trusting any result):\n- "
+            + "\n- ".join(problems)
+        )
+
+
 def get_spark(
     app_name: str = "distributed_video_analytics_flink_spark",
     master: str | None = None,
@@ -75,4 +138,7 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Bootstrap drift gate: one clear error now beats a round of hash noise
+    # later (r3 post-mortem). Costs a handful of conf reads.
+    assert_environment(spark)
     return spark
