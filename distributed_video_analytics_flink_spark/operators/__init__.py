@@ -24,22 +24,51 @@ from distributed_video_analytics_flink_spark.operators.registry import (  # noqa
 # The driver checks only the FIRST 50 registered queries per round; the
 # registry holds more than that (len(QUERIES) — README carries the current
 # count, test-enforced), so a static order would leave the rest permanently
-# unchecked. Worse, old evidence rots: the r03 testdata regeneration
-# (int64-nanos -> TIMESTAMP_NTZ) invalidated every r01 row. We therefore
-# key registration order on LEAST-RECENTLY-DRIVER-CHECKED, read dynamically
-# from the CORRECTNESS_r*.json files the driver leaves in the repo root:
-# queries never checked (or not checked for the most rounds) register first,
-# so every query re-earns a fresh driver row every few rounds.
+# unchecked. Worse, old evidence rots two ways: environment shifts (the r03
+# testdata regeneration invalidated every r01 row) and CODE shifts (a
+# rewritten query keeps its pre-rewrite green rounds — ADVICE r4). We
+# therefore key registration order on LEAST-RECENTLY-DRIVER-CHECKED, read
+# dynamically from the CORRECTNESS_r*.json files the driver leaves in the
+# repo root, and bind each evidence row to the md5 of the query's source at
+# the time the evidence was first observed (QUERY_EVIDENCE_HASHES.json):
+# queries never checked, stale-checked, or REWRITTEN since their last check
+# register first and re-earn a fresh driver row.
+
+_SIDECAR = "QUERY_EVIDENCE_HASHES.json"
+
+
+def _query_source_hash(spec) -> str:
+    """md5 over the query function's source + its oracle SQL — the identity
+    a driver-green row certifies. A comment-only edit also invalidates
+    (conservative: triggers one extra re-check, never a stale pass)."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(spec.fn)
+    except (OSError, TypeError):  # source unavailable (REPL/frozen): name only
+        src = spec.fn.__qualname__
+    return hashlib.md5((src + "\n" + (spec.oracle or "")).encode()).hexdigest()
 
 
 def _last_checked_round(root: str | None = None) -> dict[str, int]:
     """Map query name -> highest round whose CORRECTNESS file has a
     fully-passing row for it (rows+schema green; hash green when an oracle
-    exists). A FAILED row is not evidence — the query must re-enter the
-    window next round, so failures don't count as "checked". Missing or
+    exists) AND whose recorded source hash still matches the query's
+    current source. A FAILED row is not evidence — the query must re-enter
+    the window next round, so failures don't count as "checked"; neither
+    does a green row for source that has since been rewritten. Missing or
     unreadable files degrade to {} (original order kept). ``root`` defaults
     to the repo root (where the driver writes the files); injectable for
-    tests."""
+    tests.
+
+    Side effect: newly-observed (name, round) evidence rows are recorded in
+    QUERY_EVIDENCE_HASHES.json with the query's CURRENT source hash. This
+    is sound because the registry is imported at round start, before any
+    in-round rewrite: the source now is the source the driver just tested.
+    Names absent from the registry (renamed/removed queries, synthetic test
+    fixtures) are counted without hash binding — they cannot affect the
+    ordering of real queries."""
     import glob
     import json
     import os
@@ -47,7 +76,7 @@ def _last_checked_round(root: str | None = None) -> dict[str, int]:
 
     if root is None:
         root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    last: dict[str, int] = {}
+    green_rows: list[tuple[str, int]] = []
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -74,7 +103,39 @@ def _last_checked_round(root: str | None = None) -> dict[str, int]:
                 if row.get("hash_match") is not None:
                     green = green and bool(row["hash_match"])
             if green:
-                last[name] = max(last.get(name, 0), rnd)
+                green_rows.append((name, rnd))
+
+    sidecar_path = os.path.join(root, _SIDECAR)
+    try:
+        with open(sidecar_path) as fh:
+            sidecar = json.load(fh)
+        if not isinstance(sidecar, dict):
+            sidecar = {}
+    except (OSError, ValueError):
+        sidecar = {}
+
+    last: dict[str, int] = {}
+    changed = False
+    for name, rnd in green_rows:
+        spec = QUERIES.get(name)
+        if spec is None:
+            last[name] = max(last.get(name, 0), rnd)
+            continue
+        cur = _query_source_hash(spec)
+        rec = sidecar.setdefault(name, {})
+        if str(rnd) not in rec:
+            rec[str(rnd)] = cur
+            changed = True
+        if rec[str(rnd)] == cur:
+            last[name] = max(last.get(name, 0), rnd)
+    if changed:
+        try:
+            tmp = sidecar_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(sidecar, fh, indent=1, sort_keys=True)
+            os.replace(tmp, sidecar_path)
+        except OSError:
+            pass  # read-only checkout: ordering still correct this run
     return last
 
 

@@ -65,3 +65,52 @@ def test_corrupt_file_degrades_gracefully(tmp_path):
 
 def test_missing_dir_returns_empty(tmp_path):
     assert _last_checked_round(str(tmp_path / "nope")) == {}
+
+
+# --- source-hash binding (ADVICE r4: a rewrite must invalidate evidence) ---
+
+from distributed_video_analytics_flink_spark.operators import (  # noqa: E402
+    _SIDECAR,
+    _query_source_hash,
+)
+from distributed_video_analytics_flink_spark.operators.registry import (  # noqa: E402
+    QUERIES,
+)
+
+REAL = "pricing_summary"  # any long-lived registered query
+
+
+def test_first_observation_records_current_hash_and_counts(tmp_path):
+    _write(tmp_path, 2, {REAL: GREEN})
+    last = _last_checked_round(str(tmp_path))
+    assert last[REAL] == 2
+    sidecar = json.loads((tmp_path / _SIDECAR).read_text())
+    assert sidecar[REAL]["2"] == _query_source_hash(QUERIES[REAL])
+
+
+def test_rewritten_query_loses_its_evidence(tmp_path):
+    _write(tmp_path, 2, {REAL: GREEN})
+    (tmp_path / _SIDECAR).write_text(
+        json.dumps({REAL: {"2": "hash-of-the-old-source"}})
+    )
+    last = _last_checked_round(str(tmp_path))
+    assert REAL not in last  # re-enters the window immediately
+    # and the stale record is NOT overwritten: the old round stays invalid
+    sidecar = json.loads((tmp_path / _SIDECAR).read_text())
+    assert sidecar[REAL]["2"] == "hash-of-the-old-source"
+
+
+def test_matching_hash_keeps_evidence(tmp_path):
+    _write(tmp_path, 3, {REAL: GREEN})
+    (tmp_path / _SIDECAR).write_text(
+        json.dumps({REAL: {"3": _query_source_hash(QUERIES[REAL])}})
+    )
+    assert _last_checked_round(str(tmp_path))[REAL] == 3
+
+
+def test_unregistered_names_count_without_hash_binding(tmp_path):
+    """Synthetic/renamed names can't be hash-bound (no source to hash) and
+    must not be dropped — they also must not create sidecar entries."""
+    _write(tmp_path, 2, {"q_not_registered": GREEN})
+    assert _last_checked_round(str(tmp_path)) == {"q_not_registered": 2}
+    assert not (tmp_path / _SIDECAR).exists()
