@@ -1351,3 +1351,282 @@ def window_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-grade composite queries (Q7/Q10/Q17/Q18/Q19/Q22 analogs)
+# --------------------------------------------------------------------------
+@query(
+    "join_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+               AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate <  TIMESTAMP '1997-10-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def join_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog: revenue lost to returns, per customer and nation.
+    Join order the optimizer should pick (and the broadcast hints pin):
+    lineitem filtered on returnflag is the fact side; orders joins on its
+    key; customer and nation broadcast. One fact shuffle (on l_orderkey to
+    meet orders), then the customer-side group-agg; the quarter-wide
+    orderdate predicate prunes the orders scan before the join. LIMIT rides
+    a total order (revenue, custkey tie-break) so top-20 is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-07-01")) & (F.col("o_orderdate") < _ts("1997-10-01"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_cents = cents("l_extendedprice") * _disc_bp()
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum(rev_cents) / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "subquery_correlated_avg",
+    oracle="""
+    SELECT SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0
+           AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT (SUM(CAST(round(l2.l_quantity * 100) AS BIGINT)) / 100.0
+                / COUNT(*)) / 5.0
+        FROM lineitem l2 WHERE l2.l_partkey = l_partkey)
+    """,
+)
+def subquery_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analog: small-quantity order revenue — lineitems below 20%
+    of their part's average quantity. Declared through the SQL surface so
+    Catalyst's subquery decorrelation runs: the correlated scalar subquery
+    rewrites to an aggregate-then-join on l_partkey (one shuffle over the
+    filtered fact, not a per-row subquery execution — the shape that holds
+    at 100 TB). Exact-cents average and /5.0 (not *0.2) keep the cut
+    bit-deterministic across engines. Divisions cast through DOUBLE: in
+    Spark SQL text ``100.0`` is a DECIMAL(4,1) literal (unlike DataFrame
+    ``F.lit(100.0)``), and decimal division's fixed result scale breaks
+    bit-parity with the oracle's double arithmetic."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+               / CAST(100 AS DOUBLE) / CAST(7 AS DOUBLE) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < (
+            SELECT (SUM(CAST(round(l2.l_quantity * 100) AS BIGINT))
+                    / CAST(100 AS DOUBLE) / COUNT(*)) / CAST(5 AS DOUBLE)
+            FROM lineitem l2 WHERE l2.l_partkey = l_partkey)
+        """
+    )
+
+
+@query(
+    "agg_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0
+             AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 > 300
+    )
+    SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+           o_totalprice, sum_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    """,
+)
+def agg_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog: customers with any order totaling >300 units.
+    Aggregate-then-join: the HAVING cut runs on the lineitem aggregate
+    BEFORE any join (at 100 TB the survivor set is tiny — 46 rows at
+    sf0.01), so the joins against orders and customer see a filtered,
+    broadcastable left side rather than the raw fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg((F.sum(cents("l_quantity")) / 100.0).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        F.broadcast(big)
+        .join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+
+
+@query(
+    "join_disjunctive_parts",
+    oracle="""
+    SELECT SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+           AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def join_disjunctive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog: OR-of-ANDs join predicate mixing both sides.
+    Catalyst splits the disjunction: the single-side implications
+    (p_brand IN (...), p_size <= 35, l_quantity <= 40) are inferred and
+    pushed to the scans while the cross-side residual evaluates post-join —
+    the part side stays a broadcast. Declared as one boolean expression;
+    no manual union-of-three-joins (which would scan the fact three
+    times)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    pred = arm("Brand#12", 15, 1, 21) | arm("Brand#23", 25, 10, 30) | arm("Brand#34", 35, 20, 40)
+    rev_cents = cents("l_extendedprice") * _disc_bp()
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(pred)
+        .agg((F.sum(rev_cents) / 10000.0).alias("revenue"))
+    )
+
+
+@query(
+    "subquery_decorrelated_balance",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_cust,
+           SUM(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT SUM(CAST(round(c2.c_acctbal * 100) AS BIGINT)) / 100.0
+               / COUNT(*)
+        FROM customer c2 WHERE c2.c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def subquery_decorrelated_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog: well-funded customers with no recent orders
+    (dormant accounts). Combines an uncorrelated scalar subquery (global
+    positive-balance average — computed once, broadcast as a literal into
+    the filter) with a NOT EXISTS
+    anti-join. At scale the anti join shuffles on custkey once; the scalar
+    subquery is a two-column scan-aggregate, not a per-row probe.
+
+    NOTE: in Spark SQL text a ``100.0`` literal is DECIMAL(4,1), not DOUBLE
+    (DataFrame-side ``F.lit(100.0)`` is DOUBLE) — decimal division truncates
+    to a fixed scale and breaks bit-parity with the oracle, so every
+    SQL-surface division here casts through DOUBLE explicitly."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_cust,
+               SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS total_bal
+        FROM customer c
+        WHERE c_acctbal > (
+            SELECT SUM(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+                   / CAST(100 AS DOUBLE) / COUNT(*)
+            FROM customer c2 WHERE c2.c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "join_nation_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+               AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS INTEGER)
+    """,
+)
+def join_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog: bilateral trade volume between two nations by ship
+    year — a 6-table join with a cross-side disjunctive nation predicate.
+    Shape at 100 TB: supplier/customer/nation broadcast (nation twice,
+    under different aliases); lineitem shuffles once to meet orders; the
+    two-year shipdate range prunes the fact scan. The nation-pair
+    disjunction evaluates post-join on broadcast columns — no fact-side
+    re-scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    rev_cents = cents("l_extendedprice") * _disc_bp()
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg((F.sum(rev_cents) / 10000.0).alias("revenue"))
+    )
