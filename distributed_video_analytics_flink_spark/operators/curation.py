@@ -367,3 +367,83 @@ def curation_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runs.filter(F.col("cum_tok") - F.col("n_tok") < 500).select(
         "doc_id", "source", "n_tok", "cum_tok"
     )
+
+
+@query(
+    "curation_keep_best_dup",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source, n_chars, md5(text) AS fingerprint
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_chars, fingerprint,
+             ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY fingerprint) AS dup_count
+      FROM fp
+    )
+    SELECT doc_id, source, n_chars, dup_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def curation_keep_best_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a keep-best policy: among byte-identical documents
+    (md5 fingerprint groups) retain the single best representative —
+    longest document, doc_id as the deterministic tie-break — instead of
+    dropDuplicates' arbitrary first-seen row. This is the dedup form a
+    curation pipeline actually wants: the canonical copy survives with a
+    ``dup_count`` provenance column for downstream weighting.
+
+    One shuffle on the 32-hex digest (uniform — no skew by construction);
+    bodies never shuffle: the window runs over (doc_id, n_chars,
+    fingerprint) projections only. At 100 TB swap row_number for a
+    max_by-style aggregate if the window sort's per-group spill shows up;
+    the groupBy form is partial-aggregable."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "source", "n_chars", F.md5(F.col("text")).alias("fingerprint")
+    )
+    w = Window.partitionBy("fingerprint").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        fp.withColumn("rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(Window.partitionBy("fingerprint")))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_chars", "dup_count")
+    )
+
+
+@query(
+    "sample_weighted_hash",
+    oracle="""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT)
+          < CAST(least(n_chars, 2000) AS BIGINT) * 4294967296 // 2000
+    """,
+)
+def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic length-weighted Bernoulli sampling: each document is
+    kept with probability min(n_chars, 2000)/2000 — longer documents are
+    proportionally likelier to survive, the standard length-debiasing
+    draw for token-budgeted corpus construction. The coin is the first 8
+    hex digits of md5(doc_id) compared against the weight rescaled to
+    2^32 — pure integer arithmetic, so the decision is bit-identical on
+    any engine, any cluster size, any retry (same contract as
+    sample_hash_bernoulli, plus a per-row weight).
+
+    Scan-level predicate: no shuffle, no RNG state; the md5 and the
+    comparison whole-stage-codegen. At 100 TB this composes with
+    partition pruning — the filter commutes with any upstream
+    projection. The threshold uses INTEGER division on both engines
+    (Spark ``div`` / DuckDB ``//``) — a double divide would leave a
+    fractional gap the two engines could round differently."""
+    docs = load_table(spark, sf_dir, "documents")
+    coin = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    threshold = F.expr(
+        "CAST(least(n_chars, 2000) AS BIGINT) * CAST(4294967296 AS BIGINT) div 2000"
+    )
+    return docs.filter(coin < threshold).select("doc_id", "source", "n_chars")

@@ -679,35 +679,20 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup_clusters_twostar", oracle=_DUCK_CLUSTERS_ORACLE)
-def dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate clusters via alternating large-star / small-star rounds —
-    the O(log n)-round connected-components algorithm (Kiveris et al.),
-    versus dedup_clusters' O(diameter) min-label propagation. Identical
-    output contract (every doc labeled with the min doc_id in its
-    component; singletons label themselves) and the same oracle.
-
-    Why it exists: LSH near-dup clusters are usually dense blobs where
-    label propagation converges in 2-3 rounds, but adversarial corpora
-    (chained boilerplate, quote-of-a-quote threads) produce long path
-    components where O(diameter) means hundreds of rounds at 100 TB.
-    Two-star contracts any component to a star in O(log n) rounds
-    regardless of diameter. Each half-round is one min-aggregate plus one
-    equi-join, both keyed on the node id; ``localCheckpoint`` truncates
-    lineage per round exactly as in dedup_clusters (on a real cluster,
-    swap for ``checkpoint`` on reliable storage)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .localCheckpoint()
-    )
-    # Run to the star-graph FIXPOINT, not a guessed round count: two-star
-    # halves the component diameter per round, so 64 rounds cover any
-    # component with < 2^64 nodes — unreachable in practice. Hitting the cap
-    # without converging therefore indicates a logic bug, and returning a
-    # partially-contracted labeling would silently merge/split clusters; fail
-    # loudly instead.
+def twostar_components(nodes: DataFrame, edges: DataFrame, id_col: str) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds,
+    reusable over any undirected pair graph (``nodes``: one ``id_col``
+    column; ``edges``: ``u``/``v``). Returns every node labeled with the
+    minimum id in its component (``cluster_id``); singletons label
+    themselves. Runs to the star-graph FIXPOINT, not a guessed round
+    count: two-star halves the component diameter per round, so 64 rounds
+    cover any component with < 2^64 nodes — unreachable in practice.
+    Hitting the cap without converging therefore indicates a logic bug,
+    and returning a partially-contracted labeling would silently
+    merge/split clusters; fail loudly instead. The per-round 2-value
+    ``collect`` is the convergence signature — a legitimate driver-side
+    scalar, not a data collect."""
+    edges = edges.localCheckpoint()
     prev_sig = (-1, -1)
     for _ in range(64):
         edges = _small_star(_large_star(edges)).localCheckpoint()
@@ -726,10 +711,35 @@ def dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "partially-contracted clustering"
         )
     return (
-        docs.join(edges.groupBy("u").agg(F.min("v").alias("root")),
-                  docs["doc_id"] == F.col("u"), "left")
-        .select("doc_id", F.coalesce("root", "doc_id").alias("cluster_id"))
+        nodes.join(edges.groupBy("u").agg(F.min("v").alias("root")),
+                   nodes[id_col] == F.col("u"), "left")
+        .select(id_col, F.coalesce("root", id_col).alias("cluster_id"))
     )
+
+
+@query("dedup_clusters_twostar", oracle=_DUCK_CLUSTERS_ORACLE)
+def dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters via alternating large-star / small-star rounds —
+    the O(log n)-round connected-components algorithm (Kiveris et al.),
+    versus dedup_clusters' O(diameter) min-label propagation. Identical
+    output contract (every doc labeled with the min doc_id in its
+    component; singletons label themselves) and the same oracle.
+
+    Why it exists: LSH near-dup clusters are usually dense blobs where
+    label propagation converges in 2-3 rounds, but adversarial corpora
+    (chained boilerplate, quote-of-a-quote threads) produce long path
+    components where O(diameter) means hundreds of rounds at 100 TB.
+    Two-star contracts any component to a star in O(log n) rounds
+    regardless of diameter. Each half-round is one min-aggregate plus one
+    equi-join, both keyed on the node id; ``localCheckpoint`` truncates
+    lineage per round exactly as in dedup_clusters (on a real cluster,
+    swap for ``checkpoint`` on reliable storage). The contraction loop
+    lives in :func:`twostar_components` (shared with the embedding-graph
+    clustering in similarity.py)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    return twostar_components(docs, edges, "doc_id")
 
 
 _DUCK_SIMHASH_CTE = f"""

@@ -751,3 +751,52 @@ def sim_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     planes = [r["embedding"] for r in plane_rows]
     return knn_bucketed(emb, planes, k=3)
+
+
+@query(
+    "sim_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_duck_cos_q(
+                 _duck_dot_q("a.embedding", "b.embedding"),
+                 _duck_dot_q("a.embedding", "a.embedding"),
+                 _duck_dot_q("b.embedding", "b.embedding"),
+             )} >= 0.35
+    ),
+    edges AS (
+      SELECT vec_a AS u, vec_b AS v FROM pairs
+      UNION
+      SELECT vec_b AS u, vec_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS vec_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+    """,
+)
+def sim_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate clusters: connected components over the
+    embedding near-duplicate graph (cosine >= 0.35 within label blocks —
+    the sim_neardup_pairs edge set), labeling every vector with the
+    minimum vec_id reachable from it. This closes the semantic-dedup
+    pipeline: pairs tell you *who* collides, clusters give the keeper set
+    (one representative per component) that a curation pass actually
+    drops against — the embedding-space analog of
+    dedup_clusters_twostar's lexical pipeline, sharing its
+    ``twostar_components`` contraction (O(log n) rounds regardless of
+    component diameter; see dedup.py).
+
+    Scale: the edge set is the bounded-block pair join (never all-pairs);
+    contraction rounds shuffle on the node id only — labels, never
+    embeddings, move between stages."""
+    from distributed_video_analytics_flink_spark.operators.dedup import twostar_components
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = sim_neardup_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("vec_a").alias("u"), F.col("vec_b").alias("v"))
+    return twostar_components(emb, edges, "vec_id")

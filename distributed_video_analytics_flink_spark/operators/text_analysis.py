@@ -395,3 +395,112 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_trigram_frac"
         ),
     )
+
+
+@query(
+    "text_unigram_lm_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS total FROM tok),
+    per_doc AS (
+      SELECT t.doc_id, COUNT(*) AS n_tok,
+             SUM(tf.cnt) AS freq_sum,
+             COUNT(*) FILTER (WHERE tf.cnt <= 2) AS n_rare
+      FROM tok t JOIN tf ON t.token = tf.token
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tok,
+           CAST(freq_sum AS DOUBLE) / n_tok / (SELECT total FROM n)
+               AS mean_token_prob,
+           CAST(n_rare AS DOUBLE) / n_tok AS rare_token_ratio
+    FROM per_doc
+    """,
+)
+def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model document score — the likelihood-under-corpus
+    signal behind perplexity filtering (e.g. CCNet-style quality buckets),
+    in the engine's exact-rational form: per-doc mean token probability
+    (SUM of integer corpus counts, divided once) and rare-token density
+    (corpus count <= 2 — the OOV/typo proxy). Deliberately no log():
+    libm builds differ in the last ulp and would break the cross-engine
+    hash (same stance as the rational tf-idf form); the log of a ratio of
+    these integers is a monotone transform downstream consumers can apply.
+
+    Scale shape: the unigram table is a token-keyed aggregate (Zipf: small
+    relative to the corpus) joined back to the exploded token stream on the
+    token key — at 100 TB broadcast the high-frequency head and
+    shuffle-join the long tail, or pre-bucket both sides by token."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # corpus token total as a broadcast 1-row aggregate of the (small) tf
+    # table — keeps the plan lazy; no extra pass over the exploded stream
+    total = tf.agg(F.sum("cnt").alias("total"))
+    per_doc = (
+        tok.join(F.broadcast(tf), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("cnt").alias("freq_sum"),
+            F.count(F.when(F.col("cnt") <= 2, 1)).alias("n_rare"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tok",
+        (F.col("freq_sum").cast("double") / F.col("n_tok") / F.col("total")).alias(
+            "mean_token_prob"
+        ),
+        (F.col("n_rare").cast("double") / F.col("n_tok")).alias("rare_token_ratio"),
+    )
+
+
+@query(
+    "text_bigram_topk",
+    oracle="""
+    WITH arr AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(2, len(t)),
+                                   i -> t[i - 1] || ' ' || t[i])) AS bigram
+      FROM arr
+    )
+    SELECT bigram, COUNT(*) AS total_freq,
+           COUNT(DISTINCT doc_id) AS doc_freq
+    FROM bi GROUP BY bigram
+    ORDER BY total_freq DESC, bigram ASC
+    LIMIT 25
+    """,
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-25 bigrams (collocation mining / boilerplate
+    discovery). Bigrams are assembled array-side with one HOF transform
+    per document (interpreted, but amortized over the whole row — NOT
+    per-pair work) and exploded once; the aggregate is a token-keyed
+    count with partial combine, and the top-k is a TakeOrdered over
+    (count, bigram) — no global sort materialized. Total order via the
+    bigram tie-break keeps the LIMIT deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    bi = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(split(text, ' ')) - 1), "
+                   "i -> concat_ws(' ', slice(split(text, ' '), i, 2)))")
+        ).alias("bigram"),
+    )
+    return (
+        bi.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("total_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("total_freq"), F.asc("bigram"))
+        .limit(25)
+    )
