@@ -31,9 +31,13 @@ N_BANDS = 4  # 4 rows per band
 # both engines' lambda dialects. The Spark form expects a pre-projected
 # words array column `w`: split() inside the lambda body is NOT hoisted by
 # Catalyst and re-tokenizes the document once per shingle (measured 3.4x).
+# The short-doc guard must be an if(), not greatest(..., 0): Spark's
+# sequence(1, 0) DESCENDS ([1, 0]) and the 0 index makes slice() throw —
+# DuckDB's generate_series(1, 0) is empty. A <3-token document must yield
+# an empty shingle list (explode drops it), matching the oracle.
 _SPARK_SHINGLES = (
-    "transform(sequence(1, greatest(size(w) - 2, 0)),"
-    " i -> concat_ws(' ', slice(w, i, 3)))"
+    "if(size(w) < 3, array(), transform(sequence(1, size(w) - 2),"
+    " i -> concat_ws(' ', slice(w, i, 3))))"
 )
 _DUCK_SHINGLES = (
     "list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),"

@@ -58,12 +58,15 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         f"size(filter(split(t, ' '), x -> array_contains({_STOP_ARRAY}, x)))"
         " / cast(size(split(t, ' ')) as double)",
     ),
-    # word-3-gram shingles (the MinHash unit in dedup.py)
+    # word-3-gram shingles (the MinHash unit in dedup.py). if() guard, not
+    # greatest(..., 0): Spark's sequence(1, 0) descends and slice() throws
+    # on index 0 — short inputs must return an empty array.
     "dvaf_shingles": (
         "t STRING",
         "ARRAY<STRING>",
-        "transform(sequence(1, greatest(size(split(t, ' ')) - 2, 0)),"
-        " i -> concat_ws(' ', slice(split(t, ' '), i, 3)))",
+        "if(size(split(t, ' ')) < 3, array(),"
+        " transform(sequence(1, size(split(t, ' ')) - 2),"
+        " i -> concat_ws(' ', slice(split(t, ' '), i, 3))))",
     ),
     # exact-integer quantized dot product (similarity.py::_dot_q, Q=1e12)
     "dvaf_dot_q": (

@@ -488,11 +488,16 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count, bigram) — no global sort materialized. Total order via the
     bigram tie-break keeps the LIMIT deterministic."""
     docs = load_table(spark, sf_dir, "documents")
-    bi = docs.select(
+    # pre-project the words array: split() inside the lambda body is not
+    # hoisted and would re-tokenize per bigram; the if() guard keeps
+    # 1-token docs at an empty list (Spark's sequence(1, 0) descends and
+    # slice() throws on index 0 — DuckDB's generate_series is empty)
+    base = docs.select("doc_id", F.split("text", " ").alias("t"))
+    bi = base.select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(1, size(split(text, ' ')) - 1), "
-                   "i -> concat_ws(' ', slice(split(text, ' '), i, 2)))")
+            F.expr("if(size(t) < 2, array(), transform(sequence(1, size(t) - 1), "
+                   "i -> concat_ws(' ', slice(t, i, 2))))")
         ).alias("bigram"),
     )
     return (

@@ -102,3 +102,49 @@ def test_sql_motion_boxes_matches_batch_pipeline(spark):
     }
     assert got == exp
     assert any(boxes for boxes in exp.values())  # scenario actually has motion
+
+
+def test_short_docs_yield_empty_shingles_not_errors(spark):
+    """Documents shorter than the n-gram width must produce EMPTY shingle
+    lists, exactly like DuckDB's generate_series(1, 0). The broken idiom —
+    sequence(1, greatest(size - k, 0)) — descends ([1, 0]) and makes
+    slice() throw INVALID_PARAMETER_VALUE on index 0, killing a whole
+    query over one 2-token document (regression test for the guard in
+    _SPARK_SHINGLES / dvaf_shingles / text_bigram_topk)."""
+    register_functions(spark)
+    rows = spark.sql(
+        "SELECT dvaf_shingles('one two') AS a, dvaf_shingles('one') AS b, "
+        "dvaf_shingles('') AS c, dvaf_shingles('a b c d') AS d"
+    ).collect()[0]
+    assert rows["a"] == [] and rows["b"] == [] and rows["c"] == []
+    assert rows["d"] == ["a b c", "b c d"]
+
+
+def test_minhash_and_bigram_paths_survive_short_docs(spark, tmp_path):
+    """End-to-end: a corpus containing 0/1/2-token documents flows through
+    the MinHash-signature and bigram-topk pipelines without raising, and
+    the short docs simply contribute no shingles/bigrams."""
+    import pandas as pd
+
+    from distributed_video_analytics_flink_spark.operators.dedup import (
+        _minhash_signature,
+    )
+    from distributed_video_analytics_flink_spark.operators.text_analysis import (
+        text_bigram_topk,
+    )
+
+    sf = str(tmp_path)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["solo", "two words", "now three tokens", "a longer doc here ok"],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [4, 9, 16, 20],
+        }
+    ).to_parquet(f"{sf}/documents.parquet")
+    sigs = _minhash_signature(spark, sf).collect()
+    assert {r["doc_id"] for r in sigs} == {3, 4}  # <3-token docs: no shingles
+    grams = text_bigram_topk(spark, sf).collect()
+    seen = {r["bigram"] for r in grams}
+    assert "two words" in seen and "solo" not in seen
