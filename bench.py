@@ -61,6 +61,17 @@ HEADLINE = [
     "text_repetition_stats",
     "sim_label_knn",
     "sim_knn_bucketed",
+    # round 5: TPC-H-grade composites + curation/semantic-dedup additions
+    "join_returned_items",
+    "agg_large_orders",
+    "join_nation_volume",
+    "subquery_correlated_avg",
+    "join_disjunctive_parts",
+    "text_unigram_lm_score",
+    "text_bigram_topk",
+    "curation_keep_best_dup",
+    "sample_weighted_hash",
+    "sim_neardup_clusters",
 ]
 
 MOTION_FRAMES_PER_CAM = 32
