@@ -1630,3 +1630,90 @@ def join_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
         .agg((F.sum(rev_cents) / 10000.0).alias("revenue"))
     )
+
+
+@query(
+    "subquery_not_in_nulls",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_not_in,
+           COUNT(CASE WHEN o_custkey NOT IN
+                 (SELECT NULLIF(c_custkey, c_custkey) FROM customer
+                  WHERE c_acctbal < 0)
+                 THEN 1 END) AS n_null_poisoned
+    FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    GROUP BY o_orderstatus
+    """,
+)
+def subquery_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN three-valued logic, pinned: the WHERE leg is a null-free NOT
+    IN (orders whose customer never dipped below zero — Catalyst plans a
+    null-aware anti join), while the n_null_poisoned column runs the same
+    predicate against an all-NULL subquery and must count ZERO rows on
+    every engine — x NOT IN (NULL, ...) is never TRUE under SQL 3VL.
+    Engines (and hand-rolled rewrites to plain anti joins) classically get
+    this wrong; the driver hash locks it. At scale the null-aware anti
+    join broadcasts the (small, deduplicated) subquery side."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_not_in,
+               COUNT(CASE WHEN o_custkey NOT IN
+                     (SELECT NULLIF(c_custkey, c_custkey) FROM customer
+                      WHERE c_acctbal < 0)
+                     THEN 1 END) AS n_null_poisoned
+        FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "agg_hll_union_checked",
+    oracle="""
+    WITH per_seg AS (
+      SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS nations
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT c_custkey) FROM customer) AS BIGINT)
+               AS exact_global,
+           CAST((SELECT COUNT(*) FROM per_seg) AS BIGINT) AS n_segments,
+           TRUE AS union_within_5pct
+    """,
+)
+def agg_hll_union_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting: per-segment Apache DataSketches
+    HLL sketches (``hll_sketch_agg``) unioned into a global estimate
+    (``hll_union_agg`` + ``hll_sketch_estimate``) — THE 100 TB pattern for
+    distinct counts over partitioned/incremental data: build sketches per
+    partition/day, merge bytes, never rescan. The driver-checked contract
+    is the engine-independent boolean |union_estimate - exact|/exact <= 5%
+    (lgK=12 → ~1.6% rse; deterministic per dataset), with the exact global
+    count and segment count as value anchors. Production keeps only the
+    sketch legs; the exact leg exists at validation SF."""
+    cust = load_table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("customer")
+    out = spark.sql(
+        """
+        WITH sk AS (
+          SELECT c_mktsegment, hll_sketch_agg(c_custkey) AS s
+          FROM customer GROUP BY c_mktsegment
+        ),
+        u AS (
+          SELECT hll_sketch_estimate(hll_union_agg(s)) AS est,
+                 COUNT(*) AS n_segments
+          FROM sk
+        ),
+        ex AS (SELECT COUNT(DISTINCT c_custkey) AS exact_global FROM customer)
+        SELECT ex.exact_global,
+               u.n_segments,
+               abs(u.est - ex.exact_global) <= 0.05 * ex.exact_global
+                   AS union_within_5pct
+        FROM u CROSS JOIN ex
+        """
+    )
+    return out
