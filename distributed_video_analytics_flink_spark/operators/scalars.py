@@ -250,3 +250,34 @@ def scalar_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(utf8).alias("content_md5"),
         F.substring(F.base64(utf8), 1, 24).alias("b64_prefix"),
     )
+
+
+@query(
+    "scalar_variant_shred",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) // 25 AS k_bucket,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           COUNT(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                 THEN 1 END) AS n_missing
+    FROM events GROUP BY 1
+    """,
+)
+def scalar_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads through Spark 4's VARIANT type:
+    ``parse_json`` once into a binary variant, then typed ``variant_get``
+    paths — the engine's modern replacement for repeated get_json_object string
+    re-parsing (one parse, many typed extractions; at 100 TB the parse
+    cost dominates and variant shredding amortizes it; missing paths
+    yield NULL, not errors). The oracle states the same result in plain
+    JSON-string semantics — VARIANT is an encoding choice, not a
+    semantics change."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    k = F.expr("variant_get(v, '$.k', 'int')")
+    missing = F.expr("variant_get(v, '$.missing', 'string')")
+    return v.groupBy((k / F.lit(25)).cast("int").alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(missing.isNull(), 1)).alias("n_missing"),
+    )
