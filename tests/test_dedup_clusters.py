@@ -69,3 +69,52 @@ def test_twostar_matches_propagation_on_corpus(spark):
         for r in dedup_clusters_twostar(spark, SF_DIR).collect()
     }
     assert a == b
+
+
+def test_twostar_components_matches_union_find_on_random_graphs(spark):
+    """The shared twostar_components helper (now also behind
+    sim_neardup_clusters) must agree with a pure-Python union-find on
+    random graphs — including isolated nodes, which the helper labels as
+    their own singleton clusters."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randrange(12, 60)
+        nodes = list(range(n))
+        m = rng.randrange(0, n * 2)
+        edge_list = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edge_list = [(u, v) for u, v in edge_list if u != v]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edge_list:
+            parent[find(u)] = find(v)
+        # canonical: min node id per component
+        comp_min = {}
+        for x in nodes:
+            r = find(x)
+            comp_min[r] = min(comp_min.get(r, x), x)
+        want = {x: comp_min[find(x)] for x in nodes}
+
+        from distributed_video_analytics_flink_spark.operators.dedup import (
+            twostar_components,
+        )
+
+        nodes_df = spark.createDataFrame([(x,) for x in nodes], "id long")
+        edges_df = spark.createDataFrame(
+            edge_list or [(0, 0)], "u long, v long"
+        ).filter(F.col("u") != F.col("v"))
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in twostar_components(nodes_df, edges_df, "id").collect()
+        }
+        assert got == want, f"trial {trial}: n={n} m={len(edge_list)}"
