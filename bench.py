@@ -72,6 +72,11 @@ HEADLINE = [
     "curation_keep_best_dup",
     "sample_weighted_hash",
     "sim_neardup_clusters",
+    "join_sole_late_supplier",
+    "events_funnel_steps",
+    "subquery_not_in_nulls",
+    "agg_hll_union_checked",
+    "scalar_variant_shred",
 ]
 
 MOTION_FRAMES_PER_CAM = 32
