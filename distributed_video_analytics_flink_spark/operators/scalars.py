@@ -257,7 +257,10 @@ def scalar_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS INT) // 25 AS k_bucket,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           -- CAST: DuckDB SUM over ints is HUGEINT -> pandas float64; the
+           -- driver would hash 3.0 against Spark's 3 (see test_driver_canon)
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+               AS sum_k,
            COUNT(CASE WHEN json_extract_string(props, '$.missing') IS NULL
                  THEN 1 END) AS n_missing
     FROM events GROUP BY 1
