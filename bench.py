@@ -77,6 +77,7 @@ HEADLINE = [
     "subquery_not_in_nulls",
     "agg_hll_union_checked",
     "scalar_variant_shred",
+    "dedup_containment",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

@@ -1022,3 +1022,77 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 3)
     )
+
+
+CONTAINMENT_DF_CAP = 50  # stop-shingle document-frequency cap
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh0 AS (
+      SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS sh
+      FROM documents
+    ),
+    df AS (SELECT sh, COUNT(*) AS dfreq FROM sh0 GROUP BY sh),
+    sh AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN df USING (sh)
+           WHERE dfreq <= {CONTAINMENT_DF_CAP}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / sa.n_sh AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE n_inter * 2 >= sa.n_sh
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: doc_a is (half-)contained in doc_b
+    when >= 50% of a's distinct 3-gram shingles also appear in b —
+    the quote-of / boilerplate-wrapper / superset-page relation that
+    symmetric Jaccard misses (a tiny doc quoted inside a huge one has
+    near-zero Jaccard but containment ~1). Emits both directions with the
+    denominator on the CONTAINED side.
+
+    Scale shape: shingles above document frequency {CONTAINMENT_DF_CAP}
+    are dropped first (the standard stop-shingle cut — navigation chrome
+    and license boilerplate would otherwise pair everything with
+    everything); after the cut, the shingle-keyed self-join generates at
+    most df_cap^2 pair rows per shingle — bounded per-task work on the
+    same key the document-frequency aggregate already shuffled on. The
+    >= threshold is evaluated as integer n_inter*2 >= n_sh (no float
+    boundary); the reported containment ratio is one division at the
+    end."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh0 = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("sh"))
+        .distinct()
+    )
+    sh0 = _materialize(sh0)
+    dfreq = sh0.groupBy("sh").agg(F.count(F.lit(1)).alias("dfreq"))
+    sh = _materialize(
+        sh0.join(dfreq.filter(F.col("dfreq") <= CONTAINMENT_DF_CAP), "sh").select(
+            "doc_id", "sh"
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .filter(F.col("n_inter") * 2 >= F.col("n_sh"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_inter").cast("double") / F.col("n_sh")).alias("containment"),
+        )
+    )
