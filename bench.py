@@ -78,6 +78,7 @@ HEADLINE = [
     "agg_hll_union_checked",
     "scalar_variant_shred",
     "dedup_containment",
+    "events_retention_cohorts",
 ]
 
 MOTION_FRAMES_PER_CAM = 32
