@@ -252,3 +252,33 @@ def test_keep_best_dup_shuffles_digests_not_bodies(spark):
     # above the exchange doesn't reference the body column
     window_part = plan[:ex]
     assert "text#" not in window_part, "document body shuffled through the window"
+
+
+def test_containment_bounded_exchanges_no_cartesian(spark):
+    """dedup_containment: the stop-shingle cut + inverted-index join must
+    stay a pure equi-join pipeline — no cartesian, bounded exchanges, and
+    every aggregate a partial+final pair."""
+    from distributed_video_analytics_flink_spark.plans.inspect import exchange_count
+
+    df = _q(spark, "dedup_containment")
+    assert "CartesianProduct" not in join_strategies(df)
+    assert exchange_count(df) <= 4
+    assert hash_aggregate_count(df) % 2 == 0
+
+
+def test_funnel_and_retention_partial_aggregate(spark):
+    """The product-analytics queries keep every aggregate partial and
+    never plan a cartesian — all legs are user_id equi-joins."""
+    for name in ("events_funnel_steps", "events_retention_cohorts"):
+        df = _q(spark, name)
+        assert "CartesianProduct" not in join_strategies(df), name
+        assert hash_aggregate_count(df) % 2 == 0, name
+
+
+def test_not_in_plans_null_aware_anti_join(spark):
+    """subquery_not_in_nulls: NOT IN must plan Spark's null-aware anti
+    join (BroadcastNestedLoopJoin over the broadcast subquery side) — a
+    plain hash anti join would silently drop the NULL poisoning semantics
+    the query exists to pin."""
+    joins = join_strategies(_q(spark, "subquery_not_in_nulls"))
+    assert "BroadcastNestedLoopJoin" in joins, joins
