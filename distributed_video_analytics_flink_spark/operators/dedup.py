@@ -1073,12 +1073,18 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sh0 = _materialize(sh0)
-    dfreq = sh0.groupBy("sh").agg(F.count(F.lit(1)).alias("dfreq"))
-    sh = _materialize(
-        sh0.join(dfreq.filter(F.col("dfreq") <= CONTAINMENT_DF_CAP), "sh").select(
-            "doc_id", "sh"
-        )
+    # The stop-shingle cut is an ANTI join against the HOT set, not an
+    # inner join against the full document-frequency table: shingles above
+    # the cap are by definition few (each needs > CAP documents), so the
+    # hot set broadcasts and the corpus-sized shingle stream never
+    # shuffles for the cut — only the df aggregate itself shuffles once.
+    hot = (
+        sh0.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .filter(F.col("dfreq") > CONTAINMENT_DF_CAP)
+        .select("sh")
     )
+    sh = _materialize(sh0.join(F.broadcast(hot), "sh", "left_anti"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
