@@ -1074,10 +1074,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh0 = _materialize(sh0)
     # The stop-shingle cut is an ANTI join against the HOT set, not an
-    # inner join against the full document-frequency table: shingles above
-    # the cap are by definition few (each needs > CAP documents), so the
-    # hot set broadcasts and the corpus-sized shingle stream never
-    # shuffles for the cut — only the df aggregate itself shuffles once.
+    # inner join against the full document-frequency table: each hot
+    # shingle needs > CAP occurrences, so |hot| <= total_shingles/CAP and
+    # Zipf concentrates it far below that bound in practice — it
+    # broadcasts, and the corpus-sized shingle stream never shuffles for
+    # the cut (only the df aggregate itself shuffles once). If a corpus
+    # ever outgrows the broadcast threshold here, fall back to the
+    # shuffle inner-join form — same semantics, one more fact shuffle.
     hot = (
         sh0.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("dfreq"))
