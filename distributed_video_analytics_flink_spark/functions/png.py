@@ -95,3 +95,94 @@ def annotate_png(
         return None
     frame = np.frombuffer(pixels, dtype=np.uint8).reshape(rows, cols, 3)
     return encode_png_bgr(draw_boxes_bgr(frame, boxes))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """General 8-bit PNG decode over stdlib zlib: color types 0 (gray),
+    2 (RGB), 6 (RGBA — alpha dropped), all five scanline filters
+    (None/Sub/Up/Average/Paeth), non-interlaced. Returns (H, W, 3) uint8
+    BGR — the pipeline's frame format. This closes the multimodal ingest
+    loop: the engine can re-read its own annotated side-output PNGs (CV7)
+    and arbitrary externally-produced 8-bit PNGs with zero codec
+    dependency. Filters None/Sub/Up unfilter vectorized per scanline
+    (Sub is a wrapping uint8 prefix-sum per channel lane); Average/Paeth
+    fall back to a per-pixel loop on just the scanlines that use them —
+    encoders emit them on a minority of rows, and correctness beats
+    micro-speed in a 1-frame-per-file ingest path.
+
+    Raises ValueError on non-PNG bytes or unsupported subsets (16-bit,
+    palette, interlaced) — callers treat that as PERMISSIVE skip."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    color_type = None
+    idat = b""
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload[:13]
+            )
+            if bit_depth != 8:
+                raise ValueError(f"unsupported bit depth {bit_depth}")
+            if color_type not in (0, 2, 6):
+                raise ValueError(f"unsupported color type {color_type}")
+            if interlace != 0:
+                raise ValueError("interlaced PNG unsupported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    stride = w * ch
+    raw = zlib.decompress(idat)
+    if len(raw) < h * (1 + stride):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row = raw[y * (1 + stride) : (y + 1) * (1 + stride)]
+        f, line = row[0], np.frombuffer(row[1:], dtype=np.uint8)
+        if f == 0:  # None
+            cur = line.copy()
+        elif f == 1:  # Sub: wrapping prefix-sum per channel lane
+            lanes = line.reshape(w, ch)
+            cur = np.add.accumulate(lanes, axis=0, dtype=np.uint8).reshape(stride)
+        elif f == 2:  # Up
+            cur = line + prior  # uint8 wraps
+        elif f in (3, 4):  # Average / Paeth: sequential in x
+            cur = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prior[x])
+                if f == 3:
+                    cur[x] = (int(line[x]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prior[x - ch]) if x >= ch else 0
+                    cur[x] = (int(line[x]) + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {f}")
+        out[y] = cur
+        prior = cur
+    px = out.reshape(h, w, ch)
+    if ch == 1:
+        rgb = np.repeat(px, 3, axis=2)
+    elif ch == 4:
+        rgb = px[:, :, :3]
+    else:
+        rgb = px
+    return rgb[:, :, ::-1].copy()  # RGB -> BGR

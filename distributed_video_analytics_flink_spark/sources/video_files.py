@@ -65,6 +65,28 @@ def _decode_frames_stub(
         yield frame
 
 
+def _decode_frame_png(content: bytes, rows: int, cols: int) -> Iterator[np.ndarray]:
+    """REAL decoder for PNG images (single frame per file): the general
+    stdlib decoder (functions/png.py::decode_png — all five scanline
+    filters, gray/RGB/RGBA) + the engine's bicubic resize to the pipeline
+    dims. Closes the multimodal loop: the engine's own annotated
+    side-output PNGs (CV7) and externally produced 8-bit images ingest as
+    pixel rows. Unsupported subsets (16-bit, palette, interlaced) yield
+    no rows, not failures (PERMISSIVE)."""
+    import zlib
+
+    from distributed_video_analytics_flink_spark.functions.png import decode_png
+    from distributed_video_analytics_flink_spark.functions.resize import cubic_resize
+
+    try:
+        bgr = decode_png(content)
+    except (ValueError, zlib.error):
+        return
+    if bgr.shape[:2] != (rows, cols):
+        bgr = cubic_resize(bgr, rows, cols)
+    yield bgr
+
+
 def _decode_frames_y4m(
     content: bytes, rows: int, cols: int, max_frames: int
 ) -> Iterator[np.ndarray]:
@@ -112,6 +134,8 @@ def read_video_files(
                         decoded = _decode_frames_y4m(raw, rows, cols, max_frames_per_file)
                     except Y4MError:
                         decoded = iter(())  # corrupt header: no rows, no failure
+                elif raw.startswith(b"\x89PNG"):
+                    decoded = _decode_frame_png(raw, rows, cols)
                 else:
                     decoded = _decode_frames_stub(raw, rows, cols, max_frames_per_file)
                 for i, frame in enumerate(decoded):

@@ -92,3 +92,138 @@ def test_video_file_source_plumbing(spark, tmp_path):
     )
     assert cam_a[0]["detection_count"] == 0  # first frame: no previous
     assert cam_a[1]["detection_count"] >= 1  # moving block detected
+
+
+def _encode_png_with_filters(img_rgb, color_type, filters):
+    """Test-side PNG encoder applying a CHOSEN filter per scanline (the
+    spec's filter functions, forward direction) — exercises the decoder's
+    unfiltering for every filter type, which the engine's own encoder
+    (always filter 0) cannot."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = img_rgb.shape[:2]
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    px = img_rgb.reshape(h, w * ch).astype(np.int32)
+    stride = w * ch
+    raw = bytearray()
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = px[y]
+        line = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = int(cur[x - ch]) if x >= ch else 0
+            b = int(prior[x])
+            c = int(prior[x - ch]) if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line[x] = (int(cur[x]) - pred) & 0xFF
+        raw.append(f)
+        raw.extend(line.astype(np.uint8).tobytes())
+        prior = cur
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_all_filters_and_color_types():
+    """decode_png must unfilter every scanline filter (None/Sub/Up/
+    Average/Paeth) and normalize gray and RGBA to 3-channel BGR."""
+    import numpy as np
+
+    from distributed_video_analytics_flink_spark.functions.png import decode_png
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        data = _encode_png_with_filters(rgb, 2, filters)
+        got = decode_png(data)
+        assert (got == rgb[:, :, ::-1]).all(), f"filters {filters}"
+
+    gray = rng.integers(0, 256, size=(9, 11, 1), dtype=np.uint8)
+    got = decode_png(_encode_png_with_filters(gray, 0, [0, 1, 2, 3, 4]))
+    assert (got == np.repeat(gray, 3, axis=2)[:, :, ::-1]).all()
+
+    rgba = rng.integers(0, 256, size=(8, 10, 4), dtype=np.uint8)
+    got = decode_png(_encode_png_with_filters(rgba, 6, [4, 3, 2, 1, 0]))
+    assert (got == rgba[:, :, :3][:, :, ::-1]).all()
+
+
+def test_decode_png_rejects_unsupported():
+    import numpy as np
+    import pytest
+
+    from distributed_video_analytics_flink_spark.functions.png import decode_png
+
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    # 16-bit depth header
+    import struct
+    import zlib
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    bad = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(bad)
+
+
+def test_png_files_ingest_as_real_pixels(spark, tmp_path):
+    """Multimodal loop closure: PNG files (incl. the engine's own encoder
+    output) flow through read_video_files as REAL decoded pixels —
+    exact bytes when dims match, bicubic-resized otherwise; corrupt PNGs
+    skip PERMISSIVE-style."""
+    import base64
+
+    from distributed_video_analytics_flink_spark.functions.png import encode_png_bgr
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(5)
+    exact = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    (d / "camX.png").write_bytes(encode_png_bgr(exact))
+    big = rng.integers(0, 256, size=(96, 128, 3), dtype=np.uint8)
+    (d / "camY.png").write_bytes(encode_png_bgr(big))
+    (d / "camZ.png").write_bytes(b"\x89PNG\r\n\x1a\n" + b"garbage")
+
+    frames = read_video_files(spark, str(d), glob="*.png", rows=48, cols=64)
+    rows = {r["camId"]: r for r in frames.collect()}
+    assert set(rows) == {"camX", "camY"}  # corrupt camZ skipped, not failed
+    got = np.frombuffer(
+        base64.b64decode(rows["camX"]["data"]), dtype=np.uint8
+    ).reshape(48, 64, 3)
+    assert (got == exact).all()  # dims match -> byte-exact decode
+    assert rows["camY"]["rows"] == 48 and rows["camY"]["cols"] == 64  # resized
