@@ -79,6 +79,7 @@ HEADLINE = [
     "scalar_variant_shred",
     "dedup_containment",
     "events_retention_cohorts",
+    "multimodal_image_roundtrip",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

@@ -386,3 +386,80 @@ def decode_image_stub(payload: bytes) -> np.ndarray:
         "image decode requires a codec library (cv2/PIL) not present in this "
         "environment; multimodal_binary_features uses byte statistics instead"
     )
+
+
+@query(
+    "multimodal_image_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(CEIL(CAST(strlen(text) AS DOUBLE) / 192) AS INTEGER) AS img_h,
+           64 AS img_w,
+           md5(text) AS recovered_md5,
+           TRUE AS roundtrip_ok
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def multimodal_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec roundtrip under the multimodal column model — and
+    it is oracle-checked, unlike the byte-stats plumbing query: each
+    sampled document's utf-8 bytes are packed into a (h, 64, 3) BGR
+    frame, encoded to an actual PNG (functions/png.py), decoded back with
+    the general all-filters decoder, and the recovered bytes are hashed.
+    The DuckDB oracle can't run a PNG codec, but it doesn't need to: a
+    correct roundtrip means recovered bytes == original bytes, so the
+    md5 must equal md5(text) and roundtrip_ok must be literally TRUE —
+    any codec corruption (filter bug, channel swap, padding leak)
+    hash-mismatches the driver row.
+
+    Scale shape: embarrassingly parallel mapInPandas over the sampled
+    scan — no shuffle; the codec runs where the rows already are (the
+    100 TB image-preprocessing posture: decode on the partition, move
+    features not pixels)."""
+    from distributed_video_analytics_flink_spark.functions.png import (
+        decode_png,
+        encode_png_bgr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("img_h", T.IntegerType()),
+            T.StructField("img_w", T.IntegerType()),
+            T.StructField("recovered_md5", T.StringType()),
+            T.StructField("roundtrip_ok", T.BooleanType()),
+        ]
+    )
+
+    def _roundtrip(batches):
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                buf = bytes(row["payload"])
+                w, ch = 64, 3
+                per_row = w * ch
+                h = max(1, -(-len(buf) // per_row))
+                padded = np.zeros(h * per_row, dtype=np.uint8)
+                padded[: len(buf)] = np.frombuffer(buf, dtype=np.uint8)
+                frame = padded.reshape(h, w, ch)
+                recovered = decode_png(encode_png_bgr(frame))
+                trimmed = recovered.reshape(-1)[: len(buf)].tobytes()
+                rows.append(
+                    (
+                        row["doc_id"],
+                        h,
+                        w,
+                        hashlib.md5(trimmed).hexdigest(),
+                        trimmed == buf,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "img_h", "img_w", "recovered_md5", "roundtrip_ok"],
+            )
+
+    return payloads.mapInPandas(_roundtrip, out_schema)
