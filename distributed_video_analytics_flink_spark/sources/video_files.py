@@ -198,6 +198,19 @@ def video_container_metadata(
                         meta = dict.fromkeys(
                             ("duration_s", "width", "height", "n_frames", "codec", "fps")
                         )
+                elif b.startswith(b"\x89PNG") and len(b) >= 24:
+                    # IHDR is always the first chunk: width/height at 16/20
+                    import struct as _struct
+
+                    w, h = _struct.unpack(">II", b[16:24])
+                    meta = {
+                        "duration_s": None,
+                        "width": float(w),
+                        "height": float(h),
+                        "n_frames": 1,
+                        "codec": "png",
+                        "fps": None,
+                    }
                 else:
                     meta = probe_mp4(b)
                 rows.append(

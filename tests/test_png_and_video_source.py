@@ -227,3 +227,20 @@ def test_png_files_ingest_as_real_pixels(spark, tmp_path):
     ).reshape(48, 64, 3)
     assert (got == exact).all()  # dims match -> byte-exact decode
     assert rows["camY"]["rows"] == 48 and rows["camY"]["cols"] == 64  # resized
+
+
+def test_container_metadata_probes_png(spark, tmp_path):
+    from distributed_video_analytics_flink_spark.functions.png import encode_png_bgr
+    from distributed_video_analytics_flink_spark.sources.video_files import (
+        video_container_metadata,
+    )
+
+    d = tmp_path / "m"
+    d.mkdir()
+    img = np.zeros((24, 40, 3), dtype=np.uint8)
+    (d / "shotA.png").write_bytes(encode_png_bgr(img))
+    meta = {r["camId"]: r for r in video_container_metadata(
+        spark, str(d), glob="*.png"
+    ).collect()}
+    m = meta["shotA"]
+    assert (m["width"], m["height"], m["n_frames"], m["codec"]) == (40.0, 24.0, 1, "png")
