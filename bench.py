@@ -80,6 +80,7 @@ HEADLINE = [
     "dedup_containment",
     "events_retention_cohorts",
     "multimodal_image_roundtrip",
+    "sim_kmeans_lloyd",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

@@ -800,3 +800,145 @@ def sim_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = sim_neardup_pairs(spark, sf_dir)
     edges = pairs.select(F.col("vec_a").alias("u"), F.col("vec_b").alias("v"))
     return twostar_components(emb, edges, "vec_id")
+
+
+@query(
+    "sim_kmeans_lloyd",
+    oracle=f"""
+    WITH cents0 AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 10
+    ),
+    s1 AS (
+      SELECT e.vec_id, c.cent_id,
+             {_duck_cos_q(
+                 _duck_dot_q("e.embedding", "c.cv"),
+                 _duck_dot_q("e.embedding", "e.embedding"),
+                 _duck_dot_q("c.cv", "c.cv"),
+             )} AS cosine
+      FROM embeddings e, cents0 c
+    ),
+    a1 AS (
+      SELECT vec_id, cent_id AS cell1 FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cosine DESC, cent_id ASC) AS rn
+        FROM s1) WHERE rn = 1
+    ),
+    m AS (
+      SELECT a1.cell1 AS cent_id, u.pos,
+             SUM(CAST(round(u.val * 1e6) AS BIGINT)) AS sq,
+             COUNT(*) AS n
+      FROM a1 JOIN embeddings e ON a1.vec_id = e.vec_id,
+           LATERAL (SELECT unnest(e.embedding) AS val,
+                           generate_subscripts(e.embedding, 1) AS pos) u
+      GROUP BY 1, 2
+    ),
+    cnorm AS (
+      SELECT cent_id,
+             SUM(CAST(round((sq / 1e6 / n) * (sq / 1e6 / n) * {_Q}) AS BIGINT))
+                 AS nc
+      FROM m GROUP BY cent_id
+    ),
+    ev AS (
+      SELECT e.vec_id, u.pos, u.val,
+             {_duck_dot_q("e.embedding", "e.embedding")} AS ne
+      FROM embeddings e,
+           LATERAL (SELECT unnest(e.embedding) AS val,
+                           generate_subscripts(e.embedding, 1) AS pos) u
+    ),
+    s2 AS (
+      SELECT ev.vec_id, m.cent_id,
+             SUM(CAST(round(ev.val * (m.sq / 1e6 / m.n) * {_Q}) AS BIGINT))
+                 AS dot,
+             ANY_VALUE(ev.ne) AS ne
+      FROM ev JOIN m ON ev.pos = m.pos
+      GROUP BY ev.vec_id, m.cent_id
+    ),
+    a2 AS (
+      SELECT vec_id, cent_id AS cell2 FROM (
+        SELECT s2.vec_id, s2.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s2.vec_id
+                 ORDER BY s2.dot / (sqrt(CAST(s2.ne AS DOUBLE))
+                                    * sqrt(CAST(cn.nc AS DOUBLE))) DESC,
+                          s2.cent_id ASC) AS rn
+        FROM s2 JOIN cnorm cn ON s2.cent_id = cn.cent_id) WHERE rn = 1
+    )
+    SELECT a2.cell2 AS cent_id, COUNT(*) AS cell_size,
+           COUNT(CASE WHEN a1.cell1 <> a2.cell2 THEN 1 END) AS n_moved_in
+    FROM a2 JOIN a1 ON a2.vec_id = a1.vec_id
+    GROUP BY a2.cell2
+    """,
+)
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One FULL k-means Lloyd iteration, oracle-checked end to end:
+    assignment to 10 deterministic seeds (E-step), a DISTRIBUTED centroid
+    update (M-step: posexplode + per-(cell, dim) exact-integer mean — one
+    row per cell x dim shuffles, vector-count independent), then
+    re-assignment against the updated centroids with per-cell sizes and
+    migration counts. This is the iterative-ML pattern the engine's IVF
+    index build runs in production, and the whole loop body is pinned by
+    the driver hash — assignment ties, quantized arithmetic, and the
+    M-step mean all have to agree with the SQL oracle bit-for-bit.
+
+    Determinism: every dot/norm quantizes per-term to integers before
+    summing (summation-order free); centroid means divide an exact
+    integer sum once; round-2 ties break (cosine DESC, cent_id ASC) on
+    both engines. The 10 x 64 updated centroid matrix is driver-collected
+    (a legitimate tiny constant, like the LSH planes); at 100 TB each
+    additional Lloyd round repeats the same two shuffles (assignment
+    groupBy + M-step groupBy) — rounds compose linearly, nothing grows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.filter(F.col("vec_id") < 10).orderBy("vec_id").select("embedding").collect()
+    )
+    C0 = np.asarray([np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows])
+    c0_norm = np.sqrt(_np_q(C0 * C0 * _Q).sum(axis=1).astype(np.float64))
+
+    @F.pandas_udf("int")
+    def _assign0(embs: pd.Series) -> pd.Series:
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in embs])
+        dots = _np_q(V[:, None, :] * C0[None, :, :] * _Q).sum(axis=2)
+        vn = np.sqrt(_np_q(V * V * _Q).sum(axis=1).astype(np.float64))
+        return pd.Series(np.argmax(dots / (vn[:, None] * c0_norm[None, :]), axis=1).astype(np.int32))
+
+    # round-1 assignment feeds both the M-step and the final migration
+    # count — compute it once (lazy local checkpoint, dedup.py's
+    # _materialize pattern)
+    assigned = emb.select(
+        "vec_id", "embedding", _assign0("embedding").alias("cell1")
+    ).localCheckpoint(eager=False)
+
+    # M-step: distributed exact-integer per-dimension means
+    mstep = (
+        assigned.select("cell1", F.posexplode("embedding").alias("pos", "val"))
+        .select("cell1", "pos", F.expr("cast(round(val * 1e6) as bigint)").alias("qv"))
+        .groupBy("cell1", "pos")
+        .agg(F.sum("qv").alias("sq"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    cells = sorted({r["cell1"] for r in mstep})
+    dim = max(r["pos"] for r in mstep) + 1
+    C1 = np.zeros((len(cells), dim), dtype=np.float64)
+    idx = {c: i for i, c in enumerate(cells)}
+    for r in mstep:
+        C1[idx[r["cell1"]], r["pos"]] = r["sq"] / 1e6 / r["n"]
+    c1_norm = np.sqrt(_np_q(C1 * C1 * _Q).sum(axis=1).astype(np.float64))
+    cell_ids = np.asarray(cells, dtype=np.int32)
+
+    @F.pandas_udf("int")
+    def _assign1(embs: pd.Series) -> pd.Series:
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in embs])
+        dots = _np_q(V[:, None, :] * C1[None, :, :] * _Q).sum(axis=2)
+        vn = np.sqrt(_np_q(V * V * _Q).sum(axis=1).astype(np.float64))
+        best = np.argmax(dots / (vn[:, None] * c1_norm[None, :]), axis=1)
+        return pd.Series(cell_ids[best])
+
+    return (
+        assigned.select("cell1", _assign1("embedding").alias("cent_id"))
+        .groupBy("cent_id")
+        .agg(
+            F.count(F.lit(1)).alias("cell_size"),
+            F.count(F.when(F.col("cell1") != F.col("cent_id"), 1)).alias("n_moved_in"),
+        )
+    )
