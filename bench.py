@@ -81,6 +81,7 @@ HEADLINE = [
     "events_retention_cohorts",
     "multimodal_image_roundtrip",
     "sim_kmeans_lloyd",
+    "sim_ivf_recall_checked",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

@@ -942,3 +942,114 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("cell1") != F.col("cent_id"), 1)).alias("n_moved_in"),
         )
     )
+
+
+@query(
+    "sim_ivf_recall_checked",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 10
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probes AS (
+      SELECT cent_id FROM cents, q
+      ORDER BY {_duck_cos_q(
+          _duck_dot_q("cv", "qv"),
+          _duck_dot_q("cv", "cv"),
+          _duck_dot_q("qv", "qv"),
+      )} DESC, cent_id ASC
+      LIMIT {_N_PROBE}
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             {_duck_cos_q(
+                 _duck_dot_q("e.embedding", "q.qv"),
+                 _duck_dot_q("e.embedding", "e.embedding"),
+                 _duck_dot_q("q.qv", "q.qv"),
+             )} AS qcos
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+    ),
+    assigned AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_duck_cos_q(
+                     _duck_dot_q("e.embedding", "c.cv"),
+                     _duck_dot_q("e.embedding", "e.embedding"),
+                     _duck_dot_q("c.cv", "c.cv"),
+                 )} DESC, c.cent_id ASC) AS rn
+        FROM embeddings e, cents c WHERE e.vec_id <> 0) WHERE rn = 1
+    ),
+    brute AS (
+      SELECT vec_id FROM scored ORDER BY qcos DESC, vec_id ASC LIMIT 10
+    ),
+    ivf AS (
+      SELECT s.vec_id FROM scored s
+      JOIN assigned a ON a.vec_id = s.vec_id
+      JOIN probes p ON p.cent_id = a.cent_id
+      ORDER BY s.qcos DESC, s.vec_id ASC LIMIT 10
+    )
+    SELECT (SELECT COUNT(*) FROM assigned a JOIN probes p
+            ON p.cent_id = a.cent_id) AS n_scanned,
+           (SELECT COUNT(*) FROM ivf JOIN brute USING (vec_id)) AS n_overlap,
+           (SELECT COUNT(*) FROM ivf JOIN brute USING (vec_id)) / 10.0
+               AS recall_at_10
+    """,
+)
+def sim_ivf_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement as a first-class query: recall@10 of the
+    nprobe-{_N_PROBE} IVF search against the brute-force ground truth for
+    the same query vector, plus the scanned-candidate count that bought
+    it. Both top-10 sets are fully deterministic (quantized cosine, fixed
+    tie-breaks), so the driver hash pins the EXACT recall value — an
+    index-quality regression (bad assignment, wrong probe order, probe
+    filter dropping rows) changes the number and fails the round. This is
+    the recall/cost curve measurement a production ANN deployment runs
+    per index build; at 100 TB the brute leg runs on a sampled validation
+    slice while the IVF leg is the production path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 10).orderBy("vec_id").select("embedding").collect()
+    )
+    C = np.asarray([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
+    cn = np.sqrt(_np_q(C * C * _Q).sum(axis=1).astype(np.float64))
+    qv = np.asarray(
+        emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]["embedding"],
+        dtype=np.float64,
+    )
+    qn = float(np.sqrt(_np_q(qv * qv * _Q).sum()))
+    probe_cos = _np_q(C * qv[None, :] * _Q).sum(axis=1) / (cn * qn)
+    order = np.lexsort((np.arange(len(C)), -probe_cos))
+    probes = [int(i) for i in order[:_N_PROBE]]
+
+    @F.pandas_udf("struct<cent_id: int, cosine: double>")
+    def _assign_and_score(embs: pd.Series) -> pd.DataFrame:
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in embs])
+        vn = np.sqrt(_np_q(V * V * _Q).sum(axis=1).astype(np.float64))
+        ccos = _np_q(V[:, None, :] * C[None, :, :] * _Q).sum(axis=2) / (
+            vn[:, None] * cn[None, :]
+        )
+        qcos = _np_q(V * qv[None, :] * _Q).sum(axis=1) / (vn * qn)
+        return pd.DataFrame(
+            {"cent_id": np.argmax(ccos, axis=1).astype(np.int32), "cosine": qcos}
+        )
+
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", _assign_and_score("embedding").alias("s"))
+        .select("vec_id", F.col("s.cent_id").alias("cent_id"), F.col("s.cosine").alias("qcos"))
+        .localCheckpoint(eager=False)  # one scan feeds brute, ivf, and n_scanned
+    )
+    brute = scored.orderBy(F.desc("qcos"), F.asc("vec_id")).limit(10).select("vec_id")
+    in_probes = scored.filter(F.col("cent_id").isin(probes))
+    ivf = in_probes.orderBy(F.desc("qcos"), F.asc("vec_id")).limit(10).select("vec_id")
+    n_scanned = in_probes.agg(F.count(F.lit(1)).alias("n_scanned"))
+    n_overlap = ivf.join(brute, "vec_id").agg(F.count(F.lit(1)).alias("n_overlap"))
+    return (
+        n_scanned.crossJoin(F.broadcast(n_overlap))
+        .select(
+            "n_scanned",
+            "n_overlap",
+            (F.col("n_overlap") / F.lit(10.0)).alias("recall_at_10"),
+        )
+    )
