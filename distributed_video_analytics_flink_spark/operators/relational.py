@@ -1896,3 +1896,50 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).alias("n_active")
     )
+
+
+@query(
+    "recursive_date_spine",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+      FROM events
+    ),
+    spine(day, hi) AS (
+      SELECT lo, hi FROM bounds
+      UNION ALL
+      SELECT day + 1, hi FROM spine WHERE day < hi
+    )
+    SELECT s.day, COUNT(e.event_id) AS n_events
+    FROM spine s LEFT JOIN events e ON CAST(e.ts AS DATE) = s.day
+    GROUP BY s.day
+    """,
+)
+def recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive common table expression — Spark 4's WITH RECURSIVE —
+    generating a gap-free calendar spine from the data's own bounds, then
+    left-joining per-day event counts (zero-filled on silent days). The
+    recursion carries its own bound (``hi`` rides along in the working
+    table) since Spark's recursive step supports UNION ALL only and no
+    correlated subqueries; each iteration adds one day, so the row count
+    is the date span — bounded, acyclic, deterministic. This pins the
+    recursive-SQL surface itself; for unbounded-iteration workloads
+    (connected components) the engine uses the two-star DataFrame loop
+    (dedup.py), which converges by fixpoint rather than a depth cap."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+          SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+          FROM events
+        ),
+        spine(day, hi) AS (
+          SELECT lo, hi FROM bounds
+          UNION ALL
+          SELECT date_add(day, 1), hi FROM spine WHERE day < hi
+        )
+        SELECT s.day, COUNT(e.event_id) AS n_events
+        FROM spine s LEFT JOIN events e ON CAST(e.ts AS DATE) = s.day
+        GROUP BY s.day
+        """
+    )
