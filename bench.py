@@ -82,6 +82,7 @@ HEADLINE = [
     "multimodal_image_roundtrip",
     "sim_kmeans_lloyd",
     "sim_ivf_recall_checked",
+    "recursive_date_spine",
 ]
 
 MOTION_FRAMES_PER_CAM = 32
