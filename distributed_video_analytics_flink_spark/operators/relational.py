@@ -1943,3 +1943,297 @@ def recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY s.day
         """
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-grade composite queries, block 2 (Q2/Q8/Q13/Q14/Q15/Q16 analogs)
+# --------------------------------------------------------------------------
+@query(
+    "join_customer_orders_histogram",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM per_cust
+    GROUP BY n_orders
+    ORDER BY n_customers DESC, n_orders DESC
+    """,
+)
+def join_customer_orders_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analog: distribution of order counts per customer,
+    including zero-order customers (the reason this is an OUTER join — an
+    inner join would silently drop the n_orders=0 bucket). The filter on
+    the orders side lives in the join condition, not a WHERE (a WHERE on
+    the right side of a left join would turn it inner).
+
+    Scale: orders pre-aggregates per custkey AFTER the join, but the first
+    groupBy is on the join key itself so Catalyst reuses the join exchange
+    (one shuffle on custkey total); the second aggregation's input is one
+    row per customer and its key space (distinct order counts) is tiny, so
+    the final shuffle is negligible. No broadcast: both sides are fact-
+    scale at 100 TB, and the join key is the natural partitioning."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+@query(
+    "agg_promo_revenue_share",
+    oracle="""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           (100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                 ELSE 0 END))
+             / SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             AS promo_share_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY ship_month
+    ORDER BY ship_month
+    """,
+)
+def agg_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog, widened to a monthly series: percentage of
+    discounted revenue coming from promo-type parts. The conditional
+    aggregate (CASE inside SUM) computes both the numerator and the
+    denominator in ONE pass over the joined fact — the naive two-query
+    formulation would scan lineitem twice.
+
+    Scale: part broadcasts (dimension); the year-wide shipdate predicate
+    is pushed to the parquet scan; the group key space is 12 months so the
+    final exchange is trivial. Share arithmetic: both sums are exact
+    integer cents x basis points, and the single double division at the
+    end is bit-identical cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = cents("l_extendedprice") * _disc_bp()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("long"))
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            ((F.lit(100.0) * F.sum(promo)) / F.sum(rev)).alias("promo_share_pct")
+        )
+        .orderBy("ship_month")
+    )
+
+
+@query(
+    "join_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS rev_cents_bp
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-10-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, rev_cents_bp / 10000.0 AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE rev_cents_bp = (SELECT MAX(rev_cents_bp) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def join_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analog: the supplier(s) with maximum revenue over a
+    quarter. The revenue view is computed ONCE and reused for both the
+    max-scalar and the final filter (Q15's CREATE VIEW discipline): here
+    the per-supplier aggregate is a DataFrame reused on both sides, with
+    the 1-row global max broadcast into an equi-join — no second scan of
+    lineitem, no window over the whole aggregate. Ties: the integer
+    revenue comparison keeps ALL maximal suppliers (Q15 semantics), and
+    the unique-key ORDER BY makes the output deterministic regardless.
+
+    Scale: the quarter predicate prunes the fact scan; one shuffle on
+    l_suppkey for the aggregate; the max side is one row (broadcast); the
+    supplier dimension joins broadcast. Revenue compares in exact integer
+    cents x bp — a double comparison could split engines on ties."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-10-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(cents("l_extendedprice") * _disc_bp()).alias("rev_cents_bp")
+    )
+    mx = rev.agg(F.max("rev_cents_bp").alias("mx"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("rev_cents_bp") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_cents_bp") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "join_market_share",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+           (100.0 * SUM(CASE WHEN n2.n_name = 'NATION_3'
+                 THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                 ELSE 0 END))
+             / SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             AS mkt_share_pct
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'EUROPE'
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def join_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analog: NATION_3 suppliers' share of revenue sold into
+    EUROPE-region customers, per order year. Six joins, but only ONE is
+    fact-fact (lineitem-orders); customer, supplier, region and BOTH
+    nation roles (customer's nation for the region gate, supplier's nation
+    for the share split) broadcast under distinct aliases. The region
+    predicate semi-reduces customers before the fact join ever sees them.
+
+    Scale: one shuffle (l_orderkey vs o_orderkey); everything else is a
+    map-side hash probe. The share is a conditional-aggregate ratio in
+    exact integer units with one final double division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").alias("n1")
+    n2 = load_table(spark, sf_dir, "nation").alias("n2")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    rev = cents("l_extendedprice") * _disc_bp()
+    share = F.when(F.col("n2.n_name") == "NATION_3", rev).otherwise(
+        F.lit(0).cast("long")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(((F.lit(100.0) * F.sum(share)) / F.sum(rev)).alias("mkt_share_pct"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "join_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#23'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def join_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog: how many distinct suppliers ship each surviving
+    (brand, type, size) part group, excluding suppliers in deficit. The
+    NOT IN subquery is declared as an explicit broadcast ANTI join on a
+    provably-null-free key (s_suppkey is a primary key), sidestepping the
+    three-valued-logic trap that `subquery_not_in_nulls` pins.
+
+    Scale: the three part-side predicates prune the part scan (dimension,
+    broadcast); the deficit-supplier exclusion list is far smaller than
+    supplier itself (broadcast anti). One fact shuffle for the distinct
+    aggregate — Spark's two-level distinct expansion keeps it partial-
+    aggregable map-side."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#23")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    deficit = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(deficit), F.col("l_suppkey") == F.col("s_suppkey"), "anti")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "subquery_best_balance_supplier",
+    oracle="""
+    SELECT r_name, n_name, s_name, s.s_acctbal AS s_acctbal
+    FROM supplier s
+    JOIN nation ON s.s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE CAST(round(s.s_acctbal * 100) AS BIGINT) = (
+      SELECT MAX(CAST(round(s2.s_acctbal * 100) AS BIGINT))
+      FROM supplier s2
+      WHERE s2.s_nationkey = s.s_nationkey)
+    ORDER BY r_name, n_name, s_name
+    """,
+)
+def subquery_best_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog (partsupp-free schema): per nation, the supplier(s)
+    holding the nation's maximum account balance, dressed with region and
+    nation names. Declared through the SQL surface so Catalyst's
+    decorrelation handles the SELF-correlated scalar subquery (the probe
+    and the aggregate read the same table — a different decorrelation
+    shape from `subquery_correlated_avg`'s cross-table case): it rewrites
+    to one per-nation max aggregate plus one equi-join, not a per-row
+    re-scan of supplier.
+
+    Scale: supplier scans twice (once aggregated to 25 rows, once as the
+    probe side); nation/region broadcast. Balance compares in exact
+    integer cents so max-ties resolve identically cross-engine."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("region")
+    return spark.sql(
+        """
+        SELECT r_name, n_name, s_name, s.s_acctbal AS s_acctbal
+        FROM supplier s
+        JOIN nation ON s.s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE CAST(round(s.s_acctbal * 100) AS BIGINT) = (
+          SELECT MAX(CAST(round(s2.s_acctbal * 100) AS BIGINT))
+          FROM supplier s2
+          WHERE s2.s_nationkey = s.s_nationkey)
+        ORDER BY r_name, n_name, s_name
+        """
+    )
