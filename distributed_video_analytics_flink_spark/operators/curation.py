@@ -447,3 +447,46 @@ def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(least(n_chars, 2000) AS BIGINT) * CAST(4294967296 AS BIGINT) div 2000"
     )
     return docs.filter(coin < threshold).select("doc_id", "source", "n_chars")
+
+
+@query(
+    "curation_corpus_report",
+    oracle="""
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS dup_copies,
+           (100.0 * (COUNT(*) - COUNT(DISTINCT md5(text)))) / COUNT(*)
+             AS dup_pct
+    FROM documents
+    GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+)
+def curation_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus observability report — the per-(source, language) health
+    table a curation pipeline publishes after every run: document and
+    token volumes plus the exact-duplicate rate (copies beyond the first
+    of each content fingerprint). The numbers that drive mixture-weight
+    and dedup-policy decisions, computed in ONE pass.
+
+    Scale: a single groupBy over (source, lang) — a tiny key space — with
+    all measures partial-aggregable map-side except COUNT(DISTINCT md5),
+    which rides Spark's two-level distinct expansion keyed by the 32-byte
+    digest (document bodies never shuffle). Token totals come from
+    size(split(...)) codegen'd at the scan, no explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = F.count(F.lit(1))
+    n_fp = F.countDistinct(F.md5("text"))
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            n_docs.alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            (n_docs - n_fp).alias("dup_copies"),
+            ((F.lit(100.0) * (n_docs - n_fp)) / n_docs).alias("dup_pct"),
+        )
+        .orderBy("source", "lang")
+    )

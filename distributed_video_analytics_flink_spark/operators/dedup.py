@@ -1105,3 +1105,134 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_inter").cast("double") / F.col("n_sh")).alias("containment"),
         )
     )
+
+
+def _duck_sig_match_expr() -> str:
+    return " + ".join(f"CAST(x.h{i} = y.h{i} AS INT)" for i in range(N_HASHES))
+
+
+@query(
+    "dedup_minhash_estimate_checked",
+    oracle=f"""
+    WITH {_duck_minhash_cte()},
+    bands AS (
+      SELECT doc_id, b.band_id, b.band_hash
+      FROM sigs, LATERAL (
+        SELECT * FROM (VALUES
+          (0, md5(h0 || h1 || h2 || h3)),
+          (1, md5(h4 || h5 || h6 || h7)),
+          (2, md5(h8 || h9 || h10 || h11)),
+          (3, md5(h12 || h13 || h14 || h15))) AS v(band_id, band_hash)
+      ) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    dsh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(sb.shingle) AS n_inter
+      FROM pairs p
+      JOIN dsh sa ON sa.doc_id = p.doc_a
+      LEFT JOIN dsh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT p.doc_a, p.doc_b,
+           ({_duck_sig_match_expr()}) / {N_HASHES}.0 AS est_jaccard,
+           i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) AS true_jaccard,
+           abs(({_duck_sig_match_expr()}) / {N_HASHES}.0
+               - i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter)) <= 0.5
+             AS within_bound
+    FROM pairs p
+    JOIN sigs x ON x.doc_id = p.doc_a
+    JOIN sigs y ON y.doc_id = p.doc_b
+    JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    ORDER BY p.doc_a, p.doc_b
+    """,
+)
+def dedup_minhash_estimate_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash accuracy contract, driver-hash-checked: for every LSH
+    candidate pair, the signature-agreement Jaccard ESTIMATE
+    (matching components / 16) next to the TRUE shingle-set Jaccard, plus
+    a tolerance boolean (|est - true| <= 0.5 — loose because 16 hashes
+    have stderr up to 0.125; the bound is the contract that the estimator
+    is not garbage, the exact est/true values are what the driver hashes).
+    This is the same checked-sketch pattern as `sim_ivf_recall_checked` /
+    `agg_approx_distinct_checked`, applied to the dedup path.
+
+    Scale: pairs come from the banded equi-join (O(docs x bands) shuffle,
+    never all-pairs); true-Jaccard intersection joins the distinct-shingle
+    postings on (doc, shingle) — only candidate pairs' shingles are
+    compared, so the cost is bounded by candidate count x shingles/doc,
+    not corpus^2. All counts integer; the two divisions are single double
+    ops, bit-identical cross-engine."""
+    sig = _materialize(_minhash_signature(spark, sf_dir))
+    band_hashes = [
+        F.md5(F.concat(*[F.col(f"h{b * 4 + r}") for r in range(4)])).alias(f"bh{b}")
+        for b in range(N_BANDS)
+    ]
+    bands = (
+        sig.select("doc_id", F.array(*band_hashes).alias("bh"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band_id"),
+            F.col("bh"),
+        )
+        .select("doc_id", "band_id", F.col("bh")[F.col("band_id")].alias("band_hash"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    dsh = _materialize(
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
+        .distinct()
+    )
+    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa, sb = dsh.alias("sa"), dsh.alias("sb")
+    inter = (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+            "left",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.col("sb.shingle")).alias("n_inter"))
+    )
+    x, y = sig.alias("x"), sig.alias("y")
+    n_match = sum(
+        (F.col(f"x.h{i}") == F.col(f"y.h{i}")).cast("int") for i in range(N_HASHES)
+    )
+    true_j = F.col("n_inter") / (F.col("na.n_sh") + F.col("nb.n_sh") - F.col("n_inter"))
+    est_j = n_match / float(N_HASHES)
+    return (
+        pairs.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(y, F.col("y.doc_id") == F.col("doc_b"))
+        .join(inter, ["doc_a", "doc_b"])
+        .join(sizes.alias("na"), F.col("na.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("nb"), F.col("nb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            est_j.alias("est_jaccard"),
+            true_j.alias("true_jaccard"),
+            (F.abs(est_j - true_j) <= 0.5).alias("within_bound"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -2237,3 +2237,62 @@ def subquery_best_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFram
         ORDER BY r_name, n_name, s_name
         """
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH st AS (
+      SELECT event_id, event_type, value,
+             CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS c,
+             CAST(COUNT(*) OVER w AS HUGEINT) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w
+                  AS HUGEINT) AS s,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) OVER w
+                  AS HUGEINT) AS q
+      FROM events
+      WINDOW w AS (PARTITION BY event_type)
+    )
+    SELECT event_id, event_type, value
+    FROM st
+    WHERE (c * n - s) * (c * n - s) > 9 * (q * n - s * s)
+    ORDER BY event_id
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection: events more than 3 population standard deviations
+    from their event_type's mean. The 3-sigma test runs in EXACT integer
+    arithmetic — |c - S/n| > 3*sqrt((Qn - S^2)/n^2) is algebraically
+    (cn - S)^2 > 9(Qn - S^2) with c = value-cents, S/Q/n the per-type
+    sum / sum-of-squares / count — so boundary events classify identically
+    on any engine and any partitioning (a double mean/stddev comparison
+    can flip within an ulp of the cut). The squared terms ride 38-digit
+    decimals (Spark) / HUGEINT (DuckDB): cents^2 x n^2 overflows BIGINT at
+    ~billion-row types, 128-bit holds to beyond 100 TB.
+
+    Scale: the per-type moments come from one unbounded window over the
+    type partitioning — a single shuffle on event_type (5 values here;
+    for a skewed type universe the same algebra works as a two-pass
+    groupBy-then-broadcast join, trading the window's sort for a tiny
+    dimension join). The filter then runs codegen'd per row."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    c = cents("value")
+    w = W.partitionBy("event_type")
+    st = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        c.cast(dec).alias("c"),
+        F.count(F.lit(1)).over(w).cast(dec).alias("n"),
+        F.sum(c).over(w).cast(dec).alias("s"),
+        F.sum(c * c).over(w).cast(dec).alias("q"),
+    )
+    dev = F.col("c") * F.col("n") - F.col("s")
+    var_n2 = F.col("q") * F.col("n") - F.col("s") * F.col("s")
+    return (
+        st.filter(dev * dev > F.lit(9).cast(dec) * var_n2)
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    )

@@ -1053,3 +1053,78 @@ def sim_ivf_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_overlap") / F.lit(10.0)).alias("recall_at_10"),
         )
     )
+
+
+@query(
+    "emb_quantize_int8",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, scale,
+           list_transform(embedding, x -> CAST(
+               floor(abs(CAST(x AS DOUBLE) * 127.0 / scale) + 0.5)
+               * sign(CAST(x AS DOUBLE) * 127.0 / scale) AS INT)) AS q,
+           list_max(list_transform(embedding, x -> abs(
+               CAST(x AS DOUBLE)
+               - floor(abs(CAST(x AS DOUBLE) * 127.0 / scale) + 0.5)
+                 * sign(CAST(x AS DOUBLE) * 127.0 / scale)
+                 * scale / 127.0))) AS max_err,
+           list_max(list_transform(embedding, x -> abs(
+               CAST(x AS DOUBLE)
+               - floor(abs(CAST(x AS DOUBLE) * 127.0 / scale) + 0.5)
+                 * sign(CAST(x AS DOUBLE) * 127.0 / scale)
+                 * scale / 127.0)))
+             <= scale / 254.0 * 1.0000001 AS within_bound
+    FROM b
+    WHERE scale > 0
+    ORDER BY vec_id
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the standard
+    4x storage/bandwidth compression for vector serving (scale = per-vector
+    max |x|, q_i = round(x_i * 127 / scale)). Emits the reconstruction
+    error and a per-vector accuracy-contract boolean (max error within the
+    half-step bound scale/254, with an ulp-slop factor), so the driver's
+    value hash checks the quantizer's CONTRACT, not just its output shape.
+
+    All arithmetic is double with round-half-away-from-zero (the repo's
+    `_np_q` convention; DuckDB's round() cannot be used on the oracle side
+    here because the rounding happens inside a lambda where the same
+    floor(abs+0.5)*sign form keeps the two engines textually aligned).
+    numpy's np.round is round-half-EVEN and would split engines on exact
+    .5 quotients.
+
+    Scale: pure map — one Arrow-batched pandas UDF pass, no shuffle; at
+    rest the int8 arrays write back 4x smaller, and downstream ANN scans
+    (sim_ann_lsh / sim_ivf_topk) can score against q * scale / 127
+    without touching the float column."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    @F.pandas_udf("scale: double, q: array<int>, max_err: double, within_bound: boolean")
+    def _quant(embs: pd.Series) -> pd.DataFrame:
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in embs])
+        mx = np.abs(V).max(axis=1)
+        safe = np.where(mx > 0, mx, 1.0)
+        t = V * 127.0 / safe[:, None]
+        q = np.floor(np.abs(t) + 0.5) * np.sign(t)
+        err = np.abs(V - q * safe[:, None] / 127.0).max(axis=1)
+        return pd.DataFrame(
+            {
+                "scale": mx,
+                "q": list(q.astype(np.int32)),
+                "max_err": err,
+                "within_bound": err <= mx / 254.0 * 1.0000001,
+            }
+        )
+
+    return (
+        emb.select("vec_id", _quant("embedding").alias("z"))
+        .select("vec_id", "z.scale", "z.q", "z.max_err", "z.within_bound")
+        .filter(F.col("scale") > 0)
+        .orderBy("vec_id")
+    )
