@@ -83,6 +83,16 @@ HEADLINE = [
     "sim_kmeans_lloyd",
     "sim_ivf_recall_checked",
     "recursive_date_spine",
+    # round 5, session 2: TPC-H block 2 + checked sketches/quantization
+    "join_customer_orders_histogram",
+    "join_market_share",
+    "join_top_supplier",
+    "join_supplier_variety",
+    "agg_promo_revenue_share",
+    "events_anomaly_zscore",
+    "emb_quantize_int8",
+    "dedup_minhash_estimate_checked",
+    "curation_corpus_report",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

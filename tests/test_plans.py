@@ -282,3 +282,50 @@ def test_not_in_plans_null_aware_anti_join(spark):
     the query exists to pin."""
     joins = join_strategies(_q(spark, "subquery_not_in_nulls"))
     assert "BroadcastNestedLoopJoin" in joins, joins
+
+
+def test_market_share_single_fact_shuffle(spark):
+    """join_market_share: six joins but only lineitem-orders is fact-fact;
+    customer/supplier/region and both nation roles must broadcast, leaving
+    at most one shuffled join in the plan."""
+    joins = join_strategies(_q(spark, "join_market_share"))
+    shuffled = [j for j in joins if j != "BroadcastHashJoin"]
+    assert joins and len(shuffled) <= 1, joins
+
+
+def test_customer_histogram_keeps_left_outer(spark):
+    """join_customer_orders_histogram: the order-side filter lives in the
+    join condition, so the plan must still be a LEFT OUTER join (a WHERE
+    would have let Catalyst rewrite it inner, silently dropping the
+    zero-order customers bucket)."""
+    plan = formatted_plan(_q(spark, "join_customer_orders_histogram"))
+    assert "LeftOuter" in plan, plan[:2000]
+
+
+def test_quantize_is_pure_map(spark):
+    """emb_quantize_int8: Arrow-batched pandas UDF over a scan — the only
+    exchange allowed is the final presentation sort."""
+    from distributed_video_analytics_flink_spark.plans.inspect import exchange_count
+
+    df = _q(spark, "emb_quantize_int8")
+    assert exchange_count(df) <= 1, formatted_plan(df)[:3000]
+    assert "ArrowEvalPython" in formatted_plan(df)
+
+
+def test_top_supplier_broadcasts_scalar_max(spark):
+    """join_top_supplier: the global-max side is one row and the supplier
+    dim is small — every join must be broadcast; the only shuffle is the
+    per-supplier revenue aggregate (plus the presentation sort)."""
+    df = _q(spark, "join_top_supplier")
+    joins = join_strategies(df)
+    assert joins and all(j == "BroadcastHashJoin" for j in joins), joins
+
+
+def test_anomaly_zscore_single_type_shuffle(spark):
+    """events_anomaly_zscore: one window over event_type = one hash
+    exchange (plus the presentation sort); the 3-sigma filter itself is
+    row-local."""
+    from distributed_video_analytics_flink_spark.plans.inspect import exchange_count
+
+    df = _q(spark, "events_anomaly_zscore")
+    assert exchange_count(df) <= 2, formatted_plan(df)[:3000]
