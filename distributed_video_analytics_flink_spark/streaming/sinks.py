@@ -171,3 +171,101 @@ def kafka_frame_sink(
         .options(**kafka_writer_options(bootstrap_servers, topic, checkpoint_dir))
         .start()
     )
+
+
+# --------------------------------------------------------------------------
+# Keyed upsert sink (Cassandra's ACTUAL write semantic)
+# --------------------------------------------------------------------------
+RESULTS_UPSERT_KEYS = ("camera_id", "day", "frame_timestamp")
+
+
+def merge_results_batch(
+    batch_df: DataFrame,
+    path: str,
+    keys: tuple = RESULTS_UPSERT_KEYS,
+    partition_cols: tuple = ("camera_id", "day"),
+) -> None:
+    """Merge one (micro-)batch into the results table with last-write-wins
+    per primary key — the semantic a Cassandra INSERT actually has
+    (CassandraService.java:125-166 writes by PRIMARY KEY ((camera_id, day),
+    frame_timestamp): a re-delivered frame OVERWRITES, it never
+    duplicates). The parquet append sink (`write_results_stream`) is the
+    faithful-at-a-distance layout twin; this is the faithful-semantics
+    twin for at-least-once upstreams.
+
+    Mechanics (the bounded read-merge-overwrite a lakehouse MERGE compiles
+    to, without requiring a table format):
+      1. collapse the batch to one row per key (latest processing_timestamp
+         wins inside a batch);
+      2. read back ONLY the partitions the batch touches (partition-pruned
+         scan — per micro-batch that is cameras x current day, not the
+         table);
+      3. anti-join out superseded rows, union the batch;
+      4. dynamic-partition overwrite of just those partitions.
+
+    Scale: the overwrite scope is bounded by the batch's partition
+    footprint, so a 100 TB table pays only for its hot partitions; the
+    anti-join keys on the (camera_id, day, frame_timestamp) triple —
+    digests and timestamps, never pixels. localCheckpoint breaks lineage
+    so the read side is fully materialized before its partitions are
+    replaced (Spark otherwise refuses read-then-overwrite of one path);
+    on a cluster use a reliable checkpoint or a staging dir + atomic
+    rename. Re-running the same batch (foreachBatch retry after a crash)
+    converges to the same table — the merge is idempotent."""
+    from pyspark.sql import Window
+
+    spark = batch_df.sparkSession
+    key_list = list(keys)
+    w = Window.partitionBy(*key_list).orderBy(F.desc("processing_timestamp"))
+    latest = (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    touched = [tuple(r) for r in latest.select(*partition_cols).distinct().collect()]
+    if not touched:
+        return
+    merged = latest
+    if os.path.exists(path) and any(
+        not e.startswith(("_", ".")) for e in os.listdir(path)
+    ):
+        pred = None
+        for vals in touched:
+            clause = F.lit(True)
+            for col, v in zip(partition_cols, vals):
+                clause = clause & (F.col(col) == F.lit(v))
+            pred = clause if pred is None else (pred | clause)
+        existing = spark.read.parquet(path).filter(pred)
+        keep = existing.join(
+            F.broadcast(latest.select(*key_list)), key_list, "left_anti"
+        ).localCheckpoint(eager=True)
+        merged = keep.unionByName(latest)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def upsert_results_stream(
+    results: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    keys: tuple = RESULTS_UPSERT_KEYS,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """O2 with upsert semantics: foreachBatch merge into the
+    (camera_id, day)-partitioned results table, last write per
+    (camera_id, day, frame_timestamp) wins — checkpointed, so restart
+    re-merges (idempotently) instead of re-appending (duplicating)."""
+    writer = (
+        results.writeStream.foreachBatch(
+            lambda batch_df, _bid: merge_results_batch(batch_df, path, keys)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -557,3 +557,107 @@ def test_streaming_corpus_ingest_dedup(spark, tmp_path):
     assert one_lang.count() == 1
     plan = one_lang._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "lang=es" in plan
+
+
+# --------------------------------------------------------------------------
+# Keyed upsert sink (merge_results_batch / upsert_results_stream)
+# --------------------------------------------------------------------------
+_UPSERT_SCHEMA = (
+    "camera_id string, day string, frame_timestamp timestamp, "
+    "processing_timestamp timestamp, detection_count int"
+)
+
+
+def _upsert_rows(spark, rows):
+    return spark.createDataFrame(rows, schema=_UPSERT_SCHEMA)
+
+
+def test_upsert_stream_last_write_wins(spark, tmp_path):
+    """Cassandra-semantics sink: a re-delivered (camera_id, day,
+    frame_timestamp) key OVERWRITES the earlier row instead of appending a
+    duplicate; fresh keys insert; untouched partitions survive the dynamic
+    overwrite; within one batch the later processing_timestamp wins."""
+    import datetime as dt
+
+    from distributed_video_analytics_flink_spark.streaming.sinks import (
+        merge_results_batch,
+        upsert_results_stream,
+    )
+
+    t = lambda s: dt.datetime.fromisoformat(s)
+    src = tmp_path / "src"
+    src.mkdir()
+    batch1 = [
+        ("cam0", "2024-01-01", t("2024-01-01T00:00:01"), t("2024-01-01T00:00:10"), 1),
+        ("cam0", "2024-01-01", t("2024-01-01T00:00:02"), t("2024-01-01T00:00:10"), 1),
+        ("cam1", "2024-01-02", t("2024-01-02T00:00:01"), t("2024-01-01T00:00:10"), 1),
+    ]
+    batch2 = [
+        # re-delivery of cam0/t1 -> must overwrite detection_count 1 -> 7
+        ("cam0", "2024-01-01", t("2024-01-01T00:00:01"), t("2024-01-01T00:00:20"), 7),
+        # same key twice within the batch: later processing_timestamp wins
+        ("cam0", "2024-01-01", t("2024-01-01T00:00:03"), t("2024-01-01T00:00:19"), 5),
+        ("cam0", "2024-01-01", t("2024-01-01T00:00:03"), t("2024-01-01T00:00:21"), 9),
+    ]
+
+    def _write_file(name, rows, mtime):
+        p = src / name
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(
+                    json.dumps(
+                        {
+                            "camera_id": r[0],
+                            "day": r[1],
+                            "frame_timestamp": r[2].isoformat(),
+                            "processing_timestamp": r[3].isoformat(),
+                            "detection_count": r[4],
+                        }
+                    )
+                    + "\n"
+                )
+        os.utime(p, (mtime, mtime))
+
+    _write_file("b1.json", batch1, 1_700_000_000)
+    _write_file("b2.json", batch2, 1_700_000_100)
+
+    out = str(tmp_path / "table")
+    stream = (
+        spark.readStream.schema(_UPSERT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = upsert_results_stream(stream, out, str(tmp_path / "ck"))
+    q.processAllAvailable()
+    q.stop()
+
+    back = spark.read.parquet(out)
+    rows = {
+        (r["camera_id"], str(r["day"]), r["frame_timestamp"].isoformat()): r[
+            "detection_count"
+        ]
+        for r in back.collect()
+    }
+    assert rows == {
+        ("cam0", "2024-01-01", "2024-01-01T00:00:01"): 7,  # overwritten
+        ("cam0", "2024-01-01", "2024-01-01T00:00:02"): 1,  # untouched key
+        ("cam0", "2024-01-01", "2024-01-01T00:00:03"): 9,  # within-batch latest
+        ("cam1", "2024-01-02", "2024-01-02T00:00:01"): 1,  # untouched partition
+    }, rows
+
+    # foreachBatch retry model: re-merging the SAME last batch is a no-op
+    merge_results_batch(_upsert_rows(spark, batch2), out)
+    again = {
+        (r["camera_id"], str(r["day"]), r["frame_timestamp"].isoformat()): r[
+            "detection_count"
+        ]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == rows
+
+    # layout preserved: partition directories + pruning-capable read path
+    assert (tmp_path / "table" / "camera_id=cam0" / "day=2024-01-01").exists()
+    one = spark.read.parquet(out).filter(
+        (F.col("camera_id") == "cam1") & (F.col("day") == "2024-01-02")
+    )
+    assert one.count() == 1
