@@ -64,23 +64,20 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _fold_group(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
+def _fold_batch(
+    cam: str,
+    batch: pd.DataFrame,
+    prev: tuple | None,
     annotate: bool = False,
-) -> Iterator[pd.DataFrame]:
-    cam = key[0]
-    rows_acc: list[pd.DataFrame] = [pdf for pdf in pdfs]
-    if state.hasTimedOut:
-        state.remove()
-        return
-    batch = pd.concat(rows_acc, ignore_index=True)
+) -> tuple[list, tuple]:
+    """Fold one micro-batch's frames for one camera against the carried
+    previous-frame state. Returns (output rows, new state tuple). Shared by
+    both stateful APIs (applyInPandasWithState and the Spark 4
+    transformWithStateInPandas twin) so their semantics cannot drift."""
     # CV8 made real: fold in event-time order within the micro-batch.
     batch = batch.sort_values("timestamp", kind="stable")
-
-    if state.exists:
-        prev_r, prev_c, prev_gray, prev_ts = state.get
+    if prev is not None:
+        prev_r, prev_c, prev_gray, prev_ts = prev
     else:
         prev_r = prev_c = -1
         prev_gray, prev_ts = None, -1
@@ -118,11 +115,32 @@ def _fold_group(
             )
             row = row + (png,)
         out.append(row)
-    state.update((prev_r, prev_c, prev_gray, prev_ts))
+    return out, (prev_r, prev_c, prev_gray, prev_ts)
+
+
+def _out_columns(annotate: bool) -> list[str]:
     cols = ["camId", "ts_us", "motion_boxes", "detection_count"]
     if annotate:
         cols.append("png")
-    yield pd.DataFrame(out, columns=cols)
+    return cols
+
+
+def _fold_group(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    annotate: bool = False,
+) -> Iterator[pd.DataFrame]:
+    cam = key[0]
+    rows_acc: list[pd.DataFrame] = [pdf for pdf in pdfs]
+    if state.hasTimedOut:
+        state.remove()
+        return
+    batch = pd.concat(rows_acc, ignore_index=True)
+    prev = tuple(state.get) if state.exists else None
+    out, new_state = _fold_batch(cam, batch, prev, annotate=annotate)
+    state.update(new_state)
+    yield pd.DataFrame(out, columns=_out_columns(annotate))
 
 
 def detect_motion_stream(
@@ -158,4 +176,70 @@ def detect_motion_stream(
     schema = MOTION_STREAM_ANNOTATED_SCHEMA if annotate else MOTION_STREAM_SCHEMA
     return decoded.groupBy("camId").applyInPandasWithState(
         fold, schema, _STATE_SCHEMA, "append", timeout
+    )
+
+
+def detect_motion_stream_tws(
+    frames: DataFrame,
+    state_ttl_ms: int | None = None,
+    annotate: bool = False,
+) -> DataFrame:
+    """Spark 4-native twin of `detect_motion_stream`, on the
+    `transformWithStateInPandas` StatefulProcessor API (SPARK-46815,
+    "Arbitrary State API v2") instead of `applyInPandasWithState`. Same
+    single camId shuffle, same fold (`_fold_batch` is shared — the two
+    APIs cannot drift), same output schema; equivalence against the batch
+    operator is pinned by the streaming tests.
+
+    What the v2 API buys at scale: typed per-key state handles (the gray
+    plane lives in a named ValueState; additional states — per-camera
+    counters, box histories — compose as further handles instead of one
+    widening tuple), native TTL on the state itself (`ttlDurationMs`
+    replaces the manual ProcessingTimeTimeout dance and is enforced by
+    the store, not the fold), and first-class timers for future
+    session-gap logic. Requires the RocksDB state-store provider —
+    which IS the 100 TB posture (state larger than heap).
+
+    State value: (rows, cols, gray, ts_us) — identical to
+    `_STATE_SCHEMA`.
+
+    Environment note: executing this path needs ``google.protobuf`` (the
+    v2 API's Python<->JVM state wire protocol). This container ships
+    without it, so the full-equivalence test auto-skips and a plan/schema
+    contract test pins the build instead — the applyInPandasWithState
+    path above remains the executed-and-benchmarked default."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    decoded = frames.select(
+        "camId", "timestamp", "rows", "cols", F.unbase64("data").alias("pix")
+    )
+
+    class _MotionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._prev = handle.getValueState(
+                "prevFrame", _STATE_SCHEMA, ttlDurationMs=state_ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            cam = key[0]
+            batch = pd.concat(list(rows), ignore_index=True)
+            got = self._prev.get()
+            out, new_state = _fold_batch(
+                cam, batch, tuple(got) if got is not None else None, annotate=annotate
+            )
+            self._prev.update(new_state)
+            yield pd.DataFrame(out, columns=_out_columns(annotate))
+
+        def close(self) -> None:
+            pass
+
+    schema = MOTION_STREAM_ANNOTATED_SCHEMA if annotate else MOTION_STREAM_SCHEMA
+    return decoded.groupBy("camId").transformWithStateInPandas(
+        statefulProcessor=_MotionProcessor(),
+        outputStructType=schema,
+        outputMode="Append",
+        timeMode="ProcessingTime" if state_ttl_ms is not None else "None",
     )
