@@ -93,6 +93,8 @@ HEADLINE = [
     "emb_quantize_int8",
     "dedup_minhash_estimate_checked",
     "curation_corpus_report",
+    "sim_ann_multiprobe",
+    "sim_multiprobe_recall_checked",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

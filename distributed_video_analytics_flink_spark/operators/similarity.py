@@ -1128,3 +1128,273 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("scale") > 0)
         .orderBy("vec_id")
     )
+
+
+_N_PROBES_EXTRA = 3  # bit-flip probes beyond the home bucket
+
+
+@query(
+    "sim_ann_multiprobe",
+    oracle=f"""
+    WITH planes AS (
+      SELECT vec_id AS plane_id, embedding AS pv FROM embeddings
+      WHERE vec_id BETWEEN 1 AND {_N_PLANES}
+    ),
+    buckets AS (
+      SELECT e.vec_id, e.label, e.embedding,
+             SUM(CASE WHEN {_duck_dot_q("e.embedding", "p.pv")} > 0
+                      THEN 1 << (p.plane_id - 1) ELSE 0 END) AS bucket
+      FROM embeddings e, planes p
+      GROUP BY e.vec_id, e.label, e.embedding
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qd AS (
+      SELECT p.plane_id, {_duck_dot_q("q.qv", "p.pv")} AS d
+      FROM planes p, q
+    ),
+    qb AS (
+      SELECT CAST(SUM(CASE WHEN d > 0 THEN 1 << (plane_id - 1) ELSE 0 END)
+                  AS BIGINT) AS qbucket
+      FROM qd
+    ),
+    flips AS (
+      SELECT plane_id FROM qd
+      ORDER BY abs(d) ASC, plane_id ASC LIMIT {_N_PROBES_EXTRA}
+    ),
+    probes AS (
+      SELECT qbucket AS bucket FROM qb
+      UNION ALL
+      SELECT xor(qb.qbucket, CAST(1 << (f.plane_id - 1) AS BIGINT))
+      FROM qb, flips f
+    )
+    SELECT b.vec_id, b.label,
+           {_duck_cos_q(
+               _duck_dot_q("b.embedding", "q.qv"),
+               _duck_dot_q("b.embedding", "b.embedding"),
+               _duck_dot_q("q.qv", "q.qv"),
+           )} AS cosine
+    FROM buckets b JOIN probes pr ON b.bucket = pr.bucket, q
+    WHERE b.vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC LIMIT 5
+    """,
+)
+def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH (Lv et al., VLDB'07): search the query's home
+    bucket PLUS the buckets reached by flipping the query's
+    lowest-confidence hyperplane bits (smallest |margin| — the planes the
+    query sits closest to, where true neighbors most likely landed on the
+    other side). Recovers most of the recall lost to single-bucket LSH
+    while scanning only (1 + {_N_PROBES_EXTRA})/2^{_N_PLANES} of the
+    table, instead of multiplying index tables.
+
+    Probe selection is driver-side integer arithmetic on the query's
+    QUANTIZED plane dots (exact — margin ties break on plane index
+    identically in both engines); candidate generation stays a pushdown
+    `bucket IN (...)` scan predicate, so at rest a `partitionBy(bucket)`
+    table prunes to 4 partitions. Scoring is the same one-Arrow-batch
+    vectorized pass as `sim_ann_lsh`."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plane_rows = (
+        emb.filter(F.col("vec_id").between(1, _N_PLANES))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    planes = [r["embedding"] for r in plane_rows]
+    dots = _dots_q_udf(planes)
+
+    qv = np.asarray(
+        emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]["embedding"],
+        dtype=np.float64,
+    )
+    R = np.asarray([np.asarray(v, dtype=np.float64) for v in planes])
+    qdots = _np_q(qv[None, :] * R * _Q).sum(axis=1)
+    qbucket = int(sum((1 << i) for i in range(_N_PLANES) if qdots[i] > 0))
+    flip_order = sorted(range(_N_PLANES), key=lambda i: (abs(int(qdots[i])), i))
+    probes = [qbucket] + [qbucket ^ (1 << i) for i in flip_order[:_N_PROBES_EXTRA]]
+    qnorm = float(_np_q(qv * qv * _Q).sum())
+
+    bucket = sum(
+        F.when(F.col("ds")[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(_N_PLANES)
+    )
+    norm = _self_norm_q_udf()
+    buckets = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        dots("embedding").alias("ds"),
+        norm("embedding").alias("nq"),
+    ).select("vec_id", "label", "embedding", "nq", bucket.alias("bucket"))
+
+    qdot = _dots_q_udf([qv])
+    return (
+        buckets.filter(
+            (F.col("vec_id") != 0) & (F.col("bucket").isin([int(p) for p in probes]))
+        )
+        .select(
+            "vec_id",
+            "label",
+            (
+                qdot("embedding")[0]
+                / (F.sqrt(F.col("nq").cast("double")) * F.lit(float(np.sqrt(qnorm))))
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+@query(
+    "sim_multiprobe_recall_checked",
+    oracle=f"""
+    WITH planes AS (
+      SELECT vec_id AS plane_id, embedding AS pv FROM embeddings
+      WHERE vec_id BETWEEN 1 AND {_N_PLANES}
+    ),
+    buckets AS (
+      SELECT e.vec_id, e.embedding,
+             SUM(CASE WHEN {_duck_dot_q("e.embedding", "p.pv")} > 0
+                      THEN 1 << (p.plane_id - 1) ELSE 0 END) AS bucket
+      FROM embeddings e, planes p
+      GROUP BY e.vec_id, e.embedding
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qd AS (
+      SELECT p.plane_id, {_duck_dot_q("q.qv", "p.pv")} AS d
+      FROM planes p, q
+    ),
+    qb AS (
+      SELECT CAST(SUM(CASE WHEN d > 0 THEN 1 << (plane_id - 1) ELSE 0 END)
+                  AS BIGINT) AS qbucket
+      FROM qd
+    ),
+    flips AS (
+      SELECT plane_id FROM qd
+      ORDER BY abs(d) ASC, plane_id ASC LIMIT {_N_PROBES_EXTRA}
+    ),
+    probes AS (
+      SELECT qbucket AS bucket FROM qb
+      UNION ALL
+      SELECT xor(qb.qbucket, CAST(1 << (f.plane_id - 1) AS BIGINT))
+      FROM qb, flips f
+    ),
+    scored AS (
+      SELECT b.vec_id, b.bucket,
+             {_duck_cos_q(
+                 _duck_dot_q("b.embedding", "q.qv"),
+                 _duck_dot_q("b.embedding", "b.embedding"),
+                 _duck_dot_q("q.qv", "q.qv"),
+             )} AS cosine
+      FROM buckets b, q
+      WHERE b.vec_id <> 0
+    ),
+    brute AS (SELECT vec_id FROM scored ORDER BY cosine DESC, vec_id LIMIT 5),
+    single AS (
+      SELECT s.vec_id FROM scored s, qb
+      WHERE s.bucket = qb.qbucket
+      ORDER BY s.cosine DESC, s.vec_id LIMIT 5
+    ),
+    multi AS (
+      SELECT s.vec_id FROM scored s JOIN probes p ON s.bucket = p.bucket
+      ORDER BY s.cosine DESC, s.vec_id LIMIT 5
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM single JOIN brute USING (vec_id)) AS BIGINT)
+        AS hits_single,
+      CAST((SELECT COUNT(*) FROM multi JOIN brute USING (vec_id)) AS BIGINT)
+        AS hits_multi,
+      (SELECT COUNT(*) FROM multi JOIN brute USING (vec_id))
+        >= (SELECT COUNT(*) FROM single JOIN brute USING (vec_id))
+        AS multi_not_worse
+    """,
+)
+def sim_multiprobe_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for multi-probe LSH, driver-hash-checked: top-5
+    overlap with brute-force ground truth for the single home bucket vs
+    the {1 + _N_PROBES_EXTRA}-bucket probe set, plus the invariant the
+    probe design guarantees (multi-probe recall can never be worse —
+    its candidate set contains the single-bucket one). Same pattern as
+    `sim_ivf_recall_checked`.
+
+    Scale: one scored pass over the table feeds all three top-5 legs
+    (localCheckpoint — on a cluster the scored scan would be the
+    persisted ANN index itself); each leg is a TakeOrderedAndProject
+    per-partition heap, no global sort.
+
+    Honesty note: on THIS synthetic corpus absolute recall is low for any
+    sub-linear method — the embeddings are iid random, so the true top-5
+    are barely separated from the bulk and sign-LSH has little signal to
+    exploit (bucket balance is fine: ~209/256 buckets occupied at
+    sf0.01). The hash-checked claims are the exact overlap counts and the
+    containment invariant, which hold on any distribution; on clustered
+    real embeddings the same plan's recall rises with cluster
+    structure."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plane_rows = (
+        emb.filter(F.col("vec_id").between(1, _N_PLANES))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    planes = [r["embedding"] for r in plane_rows]
+    dots = _dots_q_udf(planes)
+
+    qv = np.asarray(
+        emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]["embedding"],
+        dtype=np.float64,
+    )
+    R = np.asarray([np.asarray(v, dtype=np.float64) for v in planes])
+    qdots = _np_q(qv[None, :] * R * _Q).sum(axis=1)
+    qbucket = int(sum((1 << i) for i in range(_N_PLANES) if qdots[i] > 0))
+    flip_order = sorted(range(_N_PLANES), key=lambda i: (abs(int(qdots[i])), i))
+    probes = [qbucket] + [qbucket ^ (1 << i) for i in flip_order[:_N_PROBES_EXTRA]]
+    qnorm = float(_np_q(qv * qv * _Q).sum())
+
+    bucket = sum(
+        F.when(F.col("ds")[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(_N_PLANES)
+    )
+    qdot = _dots_q_udf([qv])
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            dots("embedding").alias("ds"),
+            (
+                qdot("embedding")[0]
+                / (
+                    F.sqrt(_self_norm_q_udf()("embedding").cast("double"))
+                    * F.lit(float(np.sqrt(qnorm)))
+                )
+            ).alias("cosine"),
+        )
+        .select("vec_id", "cosine", bucket.alias("bucket"))
+        .localCheckpoint(eager=False)
+    )
+    brute = scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(5).select("vec_id")
+    single = (
+        scored.filter(F.col("bucket") == qbucket)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+        .select("vec_id")
+    )
+    multi = (
+        scored.filter(F.col("bucket").isin([int(p) for p in probes]))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+        .select("vec_id")
+    )
+    hits_single = single.join(brute, "vec_id").agg(
+        F.count(F.lit(1)).alias("hits_single")
+    )
+    hits_multi = multi.join(brute, "vec_id").agg(F.count(F.lit(1)).alias("hits_multi"))
+    return hits_single.crossJoin(F.broadcast(hits_multi)).select(
+        "hits_single",
+        "hits_multi",
+        (F.col("hits_multi") >= F.col("hits_single")).alias("multi_not_worse"),
+    )
