@@ -95,6 +95,7 @@ HEADLINE = [
     "curation_corpus_report",
     "sim_ann_multiprobe",
     "sim_multiprobe_recall_checked",
+    "curation_shard_manifest",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

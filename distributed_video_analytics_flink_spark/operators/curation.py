@@ -490,3 +490,107 @@ def curation_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+SHARD_TOKEN_BUDGET = 16384
+
+
+@query(
+    "curation_shard_manifest",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, md5(text) AS fp,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(ascii(substring(md5(text), 1, 1)) AS INT) AS bucket
+      FROM documents
+    ),
+    local AS (
+      SELECT doc_id, fp, n_tok, bucket,
+             SUM(n_tok) OVER (PARTITION BY bucket ORDER BY fp, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS local_cum
+      FROM d
+    ),
+    btot AS (SELECT bucket, SUM(n_tok) AS btok FROM d GROUP BY bucket),
+    boff AS (
+      SELECT bucket,
+             COALESCE(SUM(btok) OVER (ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS off
+      FROM btot
+    ),
+    assigned AS (
+      -- integer floor division: CAST(double AS BIGINT) ROUNDS in DuckDB
+      -- but truncates in Spark; // and DIV are exact on both
+      SELECT l.doc_id, l.n_tok,
+             CAST((CAST(b.off AS BIGINT) + l.local_cum - l.n_tok)
+                  // {SHARD_TOKEN_BUDGET} AS BIGINT) AS shard
+      FROM local l JOIN boff b ON l.bucket = b.bucket
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(MAX(n_tok) AS BIGINT) AS max_doc_tokens,
+           SUM(n_tok) < {SHARD_TOKEN_BUDGET} + MAX(n_tok) AS within_bound
+    FROM assigned
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def curation_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced output-shard assignment — the step that turns a
+    curated corpus into fixed-budget training shards (~{SHARD_TOKEN_BUDGET}
+    tokens each). Placement is start-offset binning over a DETERMINISTIC
+    global document order (md5 fingerprint, doc_id tie-break — shuffles
+    the same corpus into the same shards on any cluster), so each shard's
+    total can exceed the budget only by its own largest document; the
+    per-shard `within_bound` boolean pins exactly that guarantee for the
+    driver hash.
+
+    Scale — the distributed prefix sum, NOT a global-window cumsum: a
+    naive SUM OVER (ORDER BY fp) collapses the corpus into ONE window
+    partition (single-task sort of 100 TB — the classic silent killer).
+    Instead: (1) docs bucket by their fingerprint's first byte (256
+    buckets); (2) per-bucket running sums are windows PARTITIONED BY
+    bucket — fully parallel; (3) bucket token subtotals (256 rows)
+    prefix-sum in one trivial window; (4) global position = bucket offset
+    + local running sum, a broadcast join. Every heavy step is keyed by
+    bucket; the only ordered structure is 256 rows long."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.ascii(F.substring(F.md5("text"), 1, 1)).alias("bucket"),
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("fp", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("local_cum", F.sum("n_tok").over(w_local))
+    btot = d.groupBy("bucket").agg(F.sum("n_tok").alias("btok"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "bucket", F.coalesce(F.sum("btok").over(w_off), F.lit(0)).alias("off")
+    )
+    assigned = (
+        local.join(F.broadcast(boff), "bucket")
+        .withColumn("start", F.col("off") + F.col("local_cum") - F.col("n_tok"))
+        .select(
+            "doc_id",
+            "n_tok",
+            F.expr(f"start DIV {SHARD_TOKEN_BUDGET}").alias("shard"),
+        )
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.max("n_tok").alias("max_doc_tokens"),
+            (F.sum("n_tok") < F.lit(SHARD_TOKEN_BUDGET) + F.max("n_tok")).alias(
+                "within_bound"
+            ),
+        )
+        .orderBy("shard")
+    )

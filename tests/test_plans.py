@@ -329,3 +329,14 @@ def test_anomaly_zscore_single_type_shuffle(spark):
 
     df = _q(spark, "events_anomaly_zscore")
     assert exchange_count(df) <= 2, formatted_plan(df)[:3000]
+
+
+def test_shard_manifest_prefix_sum_is_distributed(spark):
+    """curation_shard_manifest: the doc-level running sums must be windows
+    PARTITIONED BY bucket (parallel), never a global-order window over the
+    corpus. The only single-partition structure allowed is the 256-row
+    bucket-offset window."""
+    plan = formatted_plan(_q(spark, "curation_shard_manifest"))
+    # one SinglePartition exchange: the bucket-subtotal offsets (256 rows)
+    assert plan.count("SinglePartition") <= 1, plan[:3000]
+    assert "hashpartitioning(bucket" in plan, plan[:3000]
