@@ -96,6 +96,8 @@ HEADLINE = [
     "sim_ann_multiprobe",
     "sim_multiprobe_recall_checked",
     "curation_shard_manifest",
+    "emb_pq_codes",
+    "emb_pq_adc_topk",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

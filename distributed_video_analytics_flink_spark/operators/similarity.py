@@ -1398,3 +1398,175 @@ def sim_multiprobe_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame
         "hits_multi",
         (F.col("hits_multi") >= F.col("hits_single")).alias("multi_not_worse"),
     )
+
+
+_PQ_SUBSPACES = 4  # 64-dim -> 4 x 16-dim subspaces
+_PQ_K = 16  # centroids per subspace (codes fit 4 bits)
+
+
+@query(
+    "emb_pq_codes",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id - 1 AS j, embedding AS cv FROM embeddings
+      WHERE vec_id BETWEEN 1 AND {_PQ_K}
+    ),
+    sub AS (SELECT s FROM (VALUES (0), (1), (2), (3)) v(s)),
+    dists AS (
+      SELECT e.vec_id, sub.s, c.j,
+             list_sum(list_transform(generate_series(1, 16), i ->
+               CAST(round(
+                 (e.embedding[sub.s * 16 + i]::DOUBLE
+                  - c.cv[sub.s * 16 + i]::DOUBLE)
+                 * (e.embedding[sub.s * 16 + i]::DOUBLE
+                    - c.cv[sub.s * 16 + i]::DOUBLE) * {_Q}) AS BIGINT)))
+               AS dist
+      FROM embeddings e, sub, cents c
+    ),
+    best AS (
+      SELECT vec_id, s, j, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, j)
+               AS rn
+      FROM dists
+    )
+    SELECT vec_id,
+           list(j ORDER BY s) AS code,
+           CAST(SUM(dist) AS BIGINT) AS recon_err_q
+    FROM best WHERE rn = 1
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al., TPAMI'11) — the billion-scale
+    vector-compression standard: the 64-dim embedding splits into
+    {_PQ_SUBSPACES} subspaces, each encoded as its nearest of {_PQ_K}
+    per-subspace centroids, so a vector stores as {_PQ_SUBSPACES} 4-bit
+    codes (128x smaller than float64) and asymmetric distances compute
+    from a {_PQ_SUBSPACES} x {_PQ_K} lookup table per query. Codebooks
+    are deterministically seeded from embeddings 1..{_PQ_K} (the same
+    convention as the LSH planes / IVF seeds; a production run would
+    Lloyd-refine them per subspace exactly as `sim_kmeans_lloyd` does).
+
+    Subspace distances are per-term-quantized integers (the `_np_q`
+    convention), so nearest-centroid ties break on centroid index
+    identically in both engines and the summed reconstruction error is
+    hash-exact.
+
+    Scale: one Arrow-batched map — the codebook is a tiny driver-collected
+    (k, s, d) tensor in the UDF closure (numpy analog of a broadcast
+    join); no shuffle at all. The oracle's |vectors| x s x k unnest is the
+    DuckDB mirror, not the Spark plan."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.filter(F.col("vec_id").between(1, _PQ_K))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    C = np.asarray(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows]
+    ).reshape(_PQ_K, _PQ_SUBSPACES, 16)
+    CT = np.transpose(C, (1, 0, 2))  # (s, j, d)
+
+    @F.pandas_udf("code: array<int>, recon_err_q: long")
+    def _pq(embs: pd.Series) -> pd.DataFrame:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in embs]).reshape(
+            len(embs), _PQ_SUBSPACES, 16
+        )
+        D = _np_q((X[:, :, None, :] - CT[None, :, :, :]) ** 2 * _Q).sum(axis=3)
+        codes = D.argmin(axis=2)  # first min = lowest centroid index on ties
+        err = D.min(axis=2).sum(axis=1)
+        return pd.DataFrame(
+            {"code": list(codes.astype(np.int32)), "recon_err_q": err}
+        )
+
+    return (
+        emb.select("vec_id", _pq("embedding").alias("z"))
+        .select("vec_id", "z.code", "z.recon_err_q")
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "emb_pq_adc_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id - 1 AS j, embedding AS cv FROM embeddings
+      WHERE vec_id BETWEEN 1 AND {_PQ_K}
+    ),
+    sub AS (SELECT s FROM (VALUES (0), (1), (2), (3)) v(s)),
+    dists AS (
+      SELECT e.vec_id, sub.s, c.j,
+             list_sum(list_transform(generate_series(1, 16), i ->
+               CAST(round(
+                 (e.embedding[sub.s * 16 + i]::DOUBLE
+                  - c.cv[sub.s * 16 + i]::DOUBLE)
+                 * (e.embedding[sub.s * 16 + i]::DOUBLE
+                    - c.cv[sub.s * 16 + i]::DOUBLE) * {_Q}) AS BIGINT)))
+               AS dist
+      FROM embeddings e, sub, cents c
+    ),
+    best AS (
+      SELECT vec_id, s, j,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, j)
+               AS rn
+      FROM dists
+    ),
+    qtab AS (SELECT s, j, dist FROM dists WHERE vec_id = 0)
+    SELECT b.vec_id, CAST(SUM(q.dist) AS BIGINT) AS adc_dist_q
+    FROM best b JOIN qtab q ON q.s = b.s AND q.j = b.j
+    WHERE b.rn = 1 AND b.vec_id <> 0
+    GROUP BY b.vec_id
+    ORDER BY adc_dist_q ASC, vec_id ASC
+    LIMIT 5
+    """,
+)
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (the serving half of `emb_pq_codes`):
+    the query vector builds a {_PQ_SUBSPACES} x {_PQ_K} quantized distance
+    table against the codebook ONCE, then every database vector's
+    approximate distance is {_PQ_SUBSPACES} table lookups on its 4-bit
+    codes — no float math per candidate at all. Top-5 by exact-integer
+    ADC distance, vec_id tie-break.
+
+    Scale: the distance table is 64 integers in the UDF closure; the scan
+    reads codes only (at rest the codes column is ~1 byte/vector vs 512
+    for the floats — the scan cost drop IS the point of PQ); top-k is a
+    per-partition heap."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.filter(F.col("vec_id").between(1, _PQ_K))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    C = np.asarray(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows]
+    ).reshape(_PQ_K, _PQ_SUBSPACES, 16)
+    CT = np.transpose(C, (1, 0, 2))  # (s, j, d)
+    qv = np.asarray(
+        emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]["embedding"],
+        dtype=np.float64,
+    ).reshape(_PQ_SUBSPACES, 16)
+    qtab = _np_q((qv[:, None, :] - CT) ** 2 * _Q).sum(axis=2)  # (s, j)
+
+    @F.pandas_udf("long")
+    def _adc(embs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in embs]).reshape(
+            len(embs), _PQ_SUBSPACES, 16
+        )
+        D = _np_q((X[:, :, None, :] - CT[None, :, :, :]) ** 2 * _Q).sum(axis=3)
+        codes = D.argmin(axis=2)  # (n, s)
+        return pd.Series(qtab[np.arange(_PQ_SUBSPACES)[None, :], codes].sum(axis=1))
+
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", _adc("embedding").alias("adc_dist_q"))
+        .orderBy(F.asc("adc_dist_q"), F.asc("vec_id"))
+        .limit(5)
+    )
