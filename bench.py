@@ -98,6 +98,8 @@ HEADLINE = [
     "curation_shard_manifest",
     "emb_pq_codes",
     "emb_pq_adc_topk",
+    "dedup_fuzzy_levenshtein",
+    "agg_listagg",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

@@ -1236,3 +1236,66 @@ def dedup_minhash_estimate_checked(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, lang, n_chars,
+             CAST(n_chars // 16 AS BIGINT) AS len_block
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.text, b.text) AS INT) AS lev_dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.len_block = b.len_block
+     AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 8
+    WHERE levenshtein(a.text, b.text) <= 32
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verification: candidate pairs from
+    (lang, length-block) blocking with the |len_a - len_b| <= 8 prefilter
+    (a Levenshtein lower bound — cheaper than any DP cell), verified by
+    exact `levenshtein` <= 32. Both engines implement the classic integer
+    DP, so distances are hash-exact.
+
+    Scale: the O(len^2)-per-pair DP is the expensive verifier, so
+    EVERYTHING here is about who reaches it: blocking is an equi-join on
+    (lang, len-bucket) — no cross product — and the length bound prunes
+    within the block before any DP runs. At 100 TB you'd swap the length
+    blocks for the MinHash-LSH candidates (`dedup_minhash_lsh_pairs`) as
+    the generator and keep this as the verify stage — the same
+    generate-then-verify split as `dedup_minhash_estimate_checked`. The
+    JVM-side levenshtein(l, r, threshold) overload can short-circuit the
+    DP at the cut; kept symmetric with the oracle here (DuckDB lacks the
+    threshold arg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        "n_chars",
+        F.expr("n_chars DIV 16").alias("len_block"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    lev = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_block") == F.col("b.len_block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 8),
+        )
+        .filter(lev <= 32)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            lev.cast("int").alias("lev_dist"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -2296,3 +2296,44 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value")
         .orderBy("event_id")
     )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    WITH dl AS (SELECT DISTINCT source, lang FROM documents)
+    SELECT source,
+           string_agg(lang, ',' ORDER BY lang) AS langs,
+           COUNT(*) AS n_langs
+    FROM dl
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — Spark 4's ANSI `LISTAGG ... WITHIN
+    GROUP (ORDER BY ...)` (SPARK-42746) against DuckDB's ordered
+    string_agg. The WITHIN GROUP ordering is what makes the concatenation
+    deterministic (an unordered collect_list + concat_ws depends on
+    partition arrival order and could never be oracle-hashed).
+
+    Scale: distinct + per-group sort of the DISTINCT value set — fine
+    when group value-cardinality is bounded (languages per source);
+    for unbounded sets prefer the explode/groupBy forms that stay
+    partial-aggregable. The value set pre-distincts in a CTE rather than
+    via listagg(DISTINCT ...): mixing DISTINCT-listagg with a second
+    distinct aggregate trips a Spark 4.1 rewrite bug (SortOrder
+    ClassCastException in the distinct-expansion), and the pre-distinct
+    is the better plan anyway — the sort sees unique values only."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        WITH dl AS (SELECT DISTINCT source, lang FROM documents)
+        SELECT source,
+               listagg(lang, ',') WITHIN GROUP (ORDER BY lang) AS langs,
+               COUNT(*) AS n_langs
+        FROM dl
+        GROUP BY source
+        ORDER BY source
+        """
+    )
