@@ -1065,9 +1065,10 @@ def sim_ivf_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT vec_id, scale,
-           list_transform(embedding, x -> CAST(
+           array_to_string(list_transform(embedding, x -> CAST(
                floor(abs(CAST(x AS DOUBLE) * 127.0 / scale) + 0.5)
-               * sign(CAST(x AS DOUBLE) * 127.0 / scale) AS INT)) AS q,
+               * sign(CAST(x AS DOUBLE) * 127.0 / scale) AS INT)), ',')
+             AS q,
            list_max(list_transform(embedding, x -> abs(
                CAST(x AS DOUBLE)
                - floor(abs(CAST(x AS DOUBLE) * 127.0 / scale) + 0.5)
@@ -1124,7 +1125,15 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         emb.select("vec_id", _quant("embedding").alias("z"))
-        .select("vec_id", "z.scale", "z.q", "z.max_err", "z.within_bound")
+        .select(
+            "vec_id",
+            "z.scale",
+            # csv-serialized: the driver's pandas sort cannot order ndarray
+            # cells (tests/test_driver_canon.py)
+            F.array_join(F.col("z.q").cast("array<string>"), ",").alias("q"),
+            "z.max_err",
+            "z.within_bound",
+        )
         .filter(F.col("scale") > 0)
         .orderBy("vec_id")
     )
@@ -1430,7 +1439,7 @@ _PQ_K = 16  # centroids per subspace (codes fit 4 bits)
       FROM dists
     )
     SELECT vec_id,
-           list(j ORDER BY s) AS code,
+           string_agg(CAST(j AS VARCHAR), ',' ORDER BY s) AS code,
            CAST(SUM(dist) AS BIGINT) AS recon_err_q
     FROM best WHERE rn = 1
     GROUP BY vec_id
@@ -1485,7 +1494,12 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         emb.select("vec_id", _pq("embedding").alias("z"))
-        .select("vec_id", "z.code", "z.recon_err_q")
+        .select(
+            "vec_id",
+            # csv-serialized for the driver's pandas sort (test_driver_canon)
+            F.array_join(F.col("z.code").cast("array<string>"), ",").alias("code"),
+            "z.recon_err_q",
+        )
         .orderBy("vec_id")
     )
 
