@@ -27,6 +27,18 @@ from distributed_video_analytics_flink_spark.sources.tables import load_table
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 
+# MinHash hash family: ONE md5 per shingle (its first 8 hex chars as a
+# 32-bit integer x), expanded into N_HASHES independent hashes by
+# multiply-shift h_i(x) = (a_i * x + b_i) mod 2^32. One md5 instead of the
+# previous four measured ~2x on signature building at sf0.1 (md5 dominates;
+# the integer mixes are codegen'd long ops). Constants are formula-derived
+# (Knuth multiplicative constant), odd, and < 2^31 so a*x + b < 2^63 —
+# no bigint overflow under ANSI mode in Spark and no HUGEINT promotion in
+# DuckDB; both engines compute the identical signed-64 arithmetic.
+_MH_A = [((2654435761 * (i + 1)) % (1 << 31)) | 1 for i in range(N_HASHES)]
+_MH_B = [(40503 * (i + 7) * (i + 7)) % (1 << 31) for i in range(N_HASHES)]
+_MH_MOD = 1 << 32
+
 # word-3-gram shingles of the document text, as a SQL expression usable in
 # both engines' lambda dialects. The Spark form expects a pre-projected
 # words array column `w`: split() inside the lambda body is NOT hoisted by
@@ -129,25 +141,28 @@ def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = docs.select("doc_id", F.split("text", " ").alias("w")).select(
         "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle")
     )
-    aggs = []
-    for i in range(N_HASHES // 4):
-        digest = F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
-        for j in range(4):
-            aggs.append(
-                F.min(F.substring(digest, 8 * j + 1, 8)).alias(f"h{4 * i + j}")
-            )
+    x = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    aggs = [
+        F.min((F.lit(_MH_A[i]) * x + F.lit(_MH_B[i])) % F.lit(_MH_MOD)).alias(
+            f"h{i}"
+        )
+        for i in range(N_HASHES)
+    ]
     return shingled.groupBy("doc_id").agg(*aggs)
 
 
 def _duck_minhash_cte() -> str:
     mins = ",\n           ".join(
-        f"MIN(substring(md5('{i}:' || shingle), {8 * j + 1}, 8)) AS h{4 * i + j}"
-        for i in range(N_HASHES // 4)
-        for j in range(4)
+        f"MIN(({_MH_A[i]} * x + {_MH_B[i]}) % {_MH_MOD}) AS h{i}"
+        for i in range(N_HASHES)
     )
     return f"""
     shingles AS (
-      SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
+      SELECT doc_id, shingle,
+             ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS x
+      FROM (
+        SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
+      )
     ),
     sigs AS (
       SELECT doc_id,
@@ -161,10 +176,10 @@ def _duck_minhash_cte() -> str:
     oracle=f"""
     WITH {_duck_minhash_cte()}
     SELECT doc_id,
-           md5(h0 || h1 || h2 || h3) AS band0,
-           md5(h4 || h5 || h6 || h7) AS band1,
-           md5(h8 || h9 || h10 || h11) AS band2,
-           md5(h12 || h13 || h14 || h15) AS band3
+           md5(h0 || ':' || h1 || ':' || h2 || ':' || h3) AS band0,
+           md5(h4 || ':' || h5 || ':' || h6 || ':' || h7) AS band1,
+           md5(h8 || ':' || h9 || ':' || h10 || ':' || h11) AS band2,
+           md5(h12 || ':' || h13 || ':' || h14 || ':' || h15) AS band3
     FROM sigs
     """,
 )
@@ -173,7 +188,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows). Documents sharing any band key are near-dup candidates."""
     sig = _minhash_signature(spark, sf_dir)
     bands = [
-        F.md5(F.concat(*[F.col(f"h{b * 4 + r}") for r in range(4)])).alias(f"band{b}")
+        F.md5(F.concat_ws(":", *[F.col(f"h{b * 4 + r}") for r in range(4)])).alias(f"band{b}")
         for b in range(N_BANDS)
     ]
     return sig.select("doc_id", *bands)
@@ -215,10 +230,10 @@ def _first_match_pred(band_expr, n_bands: int):
       SELECT doc_id, b.band_id, b.band_hash
       FROM sigs, LATERAL (
         SELECT * FROM (VALUES
-          (0, md5(h0 || h1 || h2 || h3)),
-          (1, md5(h4 || h5 || h6 || h7)),
-          (2, md5(h8 || h9 || h10 || h11)),
-          (3, md5(h12 || h13 || h14 || h15))) AS v(band_id, band_hash)
+          (0, md5(h0 || ':' || h1 || ':' || h2 || ':' || h3)),
+          (1, md5(h4 || ':' || h5 || ':' || h6 || ':' || h7)),
+          (2, md5(h8 || ':' || h9 || ':' || h10 || ':' || h11)),
+          (3, md5(h12 || ':' || h13 || ':' || h14 || ':' || h15))) AS v(band_id, band_hash)
       ) b
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -258,7 +273,7 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(candidate pairs), the quantity LSH cannot bound below collisions."""
     sig = _minhash_signature(spark, sf_dir)
     band_hashes = [
-        F.md5(F.concat(*[F.col(f"h{b * 4 + r}") for r in range(4)])).alias(f"bh{b}")
+        F.md5(F.concat_ws(":", *[F.col(f"h{b * 4 + r}") for r in range(4)])).alias(f"bh{b}")
         for b in range(N_BANDS)
     ]
     return _materialize(
@@ -371,10 +386,10 @@ def minhash_lsh_pairs_capped(
       SELECT doc_id, b.band_id, b.band_hash
       FROM sigs, LATERAL (
         SELECT * FROM (VALUES
-          (0, md5(h0 || h1 || h2 || h3)),
-          (1, md5(h4 || h5 || h6 || h7)),
-          (2, md5(h8 || h9 || h10 || h11)),
-          (3, md5(h12 || h13 || h14 || h15))) AS v(band_id, band_hash)
+          (0, md5(h0 || ':' || h1 || ':' || h2 || ':' || h3)),
+          (1, md5(h4 || ':' || h5 || ':' || h6 || ':' || h7)),
+          (2, md5(h8 || ':' || h9 || ':' || h10 || ':' || h11)),
+          (3, md5(h12 || ':' || h13 || ':' || h14 || ':' || h15))) AS v(band_id, band_hash)
       ) b
     ),
     surviving AS (
@@ -570,10 +585,10 @@ _DUCK_PAIRS_CTES = f"""
       SELECT doc_id, b.band_id, b.band_hash
       FROM sigs, LATERAL (
         SELECT * FROM (VALUES
-          (0, md5(h0 || h1 || h2 || h3)),
-          (1, md5(h4 || h5 || h6 || h7)),
-          (2, md5(h8 || h9 || h10 || h11)),
-          (3, md5(h12 || h13 || h14 || h15))) AS v(band_id, band_hash)
+          (0, md5(h0 || ':' || h1 || ':' || h2 || ':' || h3)),
+          (1, md5(h4 || ':' || h5 || ':' || h6 || ':' || h7)),
+          (2, md5(h8 || ':' || h9 || ':' || h10 || ':' || h11)),
+          (3, md5(h12 || ':' || h13 || ':' || h14 || ':' || h15))) AS v(band_id, band_hash)
       ) b
     ),
     pairs AS (
@@ -1119,10 +1134,10 @@ def _duck_sig_match_expr() -> str:
       SELECT doc_id, b.band_id, b.band_hash
       FROM sigs, LATERAL (
         SELECT * FROM (VALUES
-          (0, md5(h0 || h1 || h2 || h3)),
-          (1, md5(h4 || h5 || h6 || h7)),
-          (2, md5(h8 || h9 || h10 || h11)),
-          (3, md5(h12 || h13 || h14 || h15))) AS v(band_id, band_hash)
+          (0, md5(h0 || ':' || h1 || ':' || h2 || ':' || h3)),
+          (1, md5(h4 || ':' || h5 || ':' || h6 || ':' || h7)),
+          (2, md5(h8 || ':' || h9 || ':' || h10 || ':' || h11)),
+          (3, md5(h12 || ':' || h13 || ':' || h14 || ':' || h15))) AS v(band_id, band_hash)
       ) b
     ),
     pairs AS (
@@ -1173,7 +1188,7 @@ def dedup_minhash_estimate_checked(spark: SparkSession, sf_dir: str) -> DataFram
     ops, bit-identical cross-engine."""
     sig = _materialize(_minhash_signature(spark, sf_dir))
     band_hashes = [
-        F.md5(F.concat(*[F.col(f"h{b * 4 + r}") for r in range(4)])).alias(f"bh{b}")
+        F.md5(F.concat_ws(":", *[F.col(f"h{b * 4 + r}") for r in range(4)])).alias(f"bh{b}")
         for b in range(N_BANDS)
     ]
     bands = (
