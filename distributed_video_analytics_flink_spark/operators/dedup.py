@@ -132,11 +132,11 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h0..h15): per-document MinHash signature over word-3-gram
-    shingles. Hash family: 4 md5 digests per shingle (seeded by prefix),
-    each split into four independent 8-hex-char quarters — 16 hash functions
-    for a quarter of the md5 cost (md5 dominates signature building; this
-    measured ~2x on the full LSH query). Min is lexicographic over the hex
-    strings (portable across engines)."""
+    shingles. Hash family: ONE md5 per shingle, its first 32 bits expanded
+    into N_HASHES multiply-shift hashes (see the _MH_A/_MH_B comment) —
+    md5 dominates signature building, and cutting four seeded digests to
+    one measured ~2x end-to-end on the LSH pair query at sf0.1. Min is
+    over 64-bit integers (identical arithmetic in both engines)."""
     docs = load_table(spark, sf_dir, "documents")
     shingled = docs.select("doc_id", F.split("text", " ").alias("w")).select(
         "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle")
