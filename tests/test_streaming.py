@@ -720,3 +720,46 @@ def test_transform_with_state_motion_equivalence(spark, tmp_path):
     want = detect_motion_batch(batch_frames).collect()
     assert _key(got) == _key(want)
     assert len(got) == 40
+
+
+def test_observed_motion_metrics(spark, tmp_path):
+    """§2.8 monitoring made Spark-native: observe() metrics ride the
+    motion stream itself (no second pass) and every micro-batch reports
+    frames / motion-frame / box totals that must reconcile exactly with
+    the sink's contents."""
+    from distributed_video_analytics_flink_spark.streaming.metrics import (
+        last_observed,
+        with_motion_metrics,
+    )
+
+    data_dir = tmp_path / "frames"
+    data_dir.mkdir()
+    _write_replay_files(str(data_dir))
+
+    stream = with_motion_metrics(
+        detect_motion_stream(file_frame_stream(spark, str(data_dir)))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("motion_observed")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    totals = {"frames": 0, "motion_frames": 0, "total_boxes": 0}
+    max_boxes = 0
+    for p in q.recentProgress:
+        m = last_observed(p)
+        if m:
+            totals["frames"] += m["frames"]
+            totals["motion_frames"] += m["motion_frames"]
+            totals["total_boxes"] += m["total_boxes"]
+            max_boxes = max(max_boxes, m["max_boxes_per_frame"] or 0)
+    q.stop()
+
+    rows = spark.sql("SELECT * FROM motion_observed").collect()
+    assert totals["frames"] == len(rows) == 40
+    assert totals["motion_frames"] == sum(1 for r in rows if r["detection_count"] > 0)
+    assert totals["total_boxes"] == sum(r["detection_count"] for r in rows)
+    assert max_boxes == max(r["detection_count"] for r in rows)
