@@ -60,3 +60,78 @@ def read_curated_corpus(
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:
     """Per-language accounting without touching corpus files."""
     return spark.read.parquet(f"{path}/_manifest")
+
+
+def compact_corpus(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 4,
+) -> dict:
+    """Bin-pack each language partition's data files toward
+    ``target_bytes`` — the maintenance pass every append-heavy corpus
+    needs (the streaming ingest in streaming/corpus.py lands one file per
+    micro-batch per language; a day of 30 s triggers is ~2,880 tiny files
+    per language, and at 100 TB the small-file problem kills the scan's
+    task-scheduling and footer-reading cost long before I/O does).
+
+    Per language: if the partition holds >= ``min_files_to_compact`` data
+    files AND more than ceil(bytes / target_bytes) of them, rewrite it
+    through the sink's own layout stage (repartition on doc_id +
+    sortWithinPartitions — compaction must not lose the doc_id clustering
+    the read path's row-group skipping depends on) with a
+    dynamic-partition overwrite of just that directory. Partitions
+    already compact are left untouched — compaction cost scales with the
+    hot partitions, not the table. Returns {lang: (files_before,
+    files_after)} for the partitions rewritten.
+
+    Crash-safety note: the rewrite is read -> materialize (lineage broken
+    before its own partition is replaced) -> overwrite, same discipline as
+    merge_results_batch (streaming/sinks.py); on a cluster stage to a
+    temp prefix + rename, or use a table format's transactional rewrite."""
+    import math
+    import os
+
+    root = os.path.join(path, "corpus")
+    done: dict = {}
+    if not os.path.isdir(root):
+        return done
+    for entry in sorted(os.listdir(root)):
+        if not entry.startswith("lang="):
+            continue
+        pdir = os.path.join(root, entry)
+        files = [
+            f
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        total = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
+        want = max(1, math.ceil(total / target_bytes))
+        if len(files) < min_files_to_compact or len(files) <= want:
+            continue
+        lang = entry.split("=", 1)[1]
+        part = (
+            spark.read.parquet(root)
+            .filter(F.col("lang") == lang)
+            .localCheckpoint(eager=True)
+        )
+        (
+            part.repartition(want, "doc_id")
+            # lang leads the sort so the dynamic-partition writer's required
+            # ordering (partition columns first) is already satisfied and it
+            # does NOT inject its own non-stable re-sort over the clustering
+            .sortWithinPartitions("lang", "doc_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("lang")
+            .parquet(root)
+        )
+        after = len(
+            [
+                f
+                for f in os.listdir(pdir)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+        )
+        done[lang] = (len(files), after)
+    return done

@@ -97,3 +97,42 @@ def test_manifest_accounting(spark, tmp_path):
     for lang in want:
         assert m[lang]["n_docs"] == want[lang]["n_docs"]
         assert m[lang]["ws_tokens"] == want[lang]["ws_tokens"]
+
+
+def test_compact_corpus_binpacks_and_preserves(spark, tmp_path):
+    """Compaction: many tiny files per language collapse toward the byte
+    target; content is bit-identical; doc_id clustering within the
+    rewritten files survives (row-group skipping depends on it); already-
+    compact partitions are untouched."""
+    from distributed_video_analytics_flink_spark.sinks.corpus import compact_corpus
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "corpus_root")
+    # 16 files per language of a tiny corpus = guaranteed small files
+    write_curated_corpus(docs, out, files_per_lang=16)
+    root = os.path.join(out, "corpus")
+    langs = [e for e in sorted(os.listdir(root)) if e.startswith("lang=")]
+    before = {
+        e: [f for f in os.listdir(os.path.join(root, e)) if f.endswith(".parquet")]
+        for e in langs
+    }
+    assert all(len(v) == 16 for v in before.values())
+    want = spark.read.parquet(root).orderBy("doc_id").collect()
+
+    # huge target -> each partition should collapse to 1 file
+    done = compact_corpus(spark, out, target_bytes=1 << 30)
+    assert set(done) == {e.split("=", 1)[1] for e in langs}
+    for e in langs:
+        files = [
+            f for f in os.listdir(os.path.join(root, e)) if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (e, files)
+        # clustering preserved: doc_ids sorted within the rewritten file
+        t = pq.read_table(os.path.join(root, e, files[0]), columns=["doc_id"])
+        ids = t["doc_id"].to_pylist()
+        assert ids == sorted(ids)
+    # content identical
+    got = spark.read.parquet(root).orderBy("doc_id").collect()
+    assert got == want
+    # second run: everything already compact -> no-op
+    assert compact_corpus(spark, out, target_bytes=1 << 30) == {}
