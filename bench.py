@@ -100,6 +100,7 @@ HEADLINE = [
     "emb_pq_adc_topk",
     "dedup_fuzzy_levenshtein",
     "agg_listagg",
+    "scalar_zorder_key",
 ]
 
 MOTION_FRAMES_PER_CAM = 32
