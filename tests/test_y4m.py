@@ -176,3 +176,37 @@ def test_metadata_scan_covers_y4m(spark, tmp_path):
     assert meta["a"]["n_frames"] == 4
     assert meta["a"]["width"] == 48.0
     assert meta["junk"]["codec"] is None  # corrupt header -> nulls, no failure
+
+
+def test_y4m_python_datasource(spark, tmp_path):
+    """Spark 4 Python Data Source: spark.read.format('y4m') yields the
+    same wire-format frames as read_video_files (one partition per file,
+    decode on the partition) and feeds the motion pipeline unchanged."""
+    from distributed_video_analytics_flink_spark.sources.y4m_datasource import (
+        register_y4m_source,
+    )
+
+    side, h, w = 48, 480, 640
+    frames = [_square_planes(h, w, 96 * i, side) for i in range(5)]
+    (tmp_path / "cam7.y4m").write_bytes(encode_y4m(frames))
+    (tmp_path / "cam8.y4m").write_bytes(encode_y4m(frames[:3]))
+
+    register_y4m_source(spark)
+    df = spark.read.format("y4m").load(str(tmp_path))
+    assert df.rdd.getNumPartitions() == 2  # one per file
+    rows = df.collect()
+    assert {(r["camId"]) for r in rows} == {"cam7", "cam8"}
+    assert len(rows) == 8
+
+    # byte-identical to the binaryFile+mapInPandas path
+    via_files = read_video_files(spark, str(tmp_path), glob="*.y4m").collect()
+    key = lambda r: (r["camId"], r["timestamp"], r["rows"], r["cols"], r["data"])
+    assert sorted(map(key, rows)) == sorted(map(key, via_files))
+
+    # and straight into the detector
+    out = detect_motion_batch(df).filter(F.col("camId") == "cam7").orderBy("ts_us")
+    assert [r["detection_count"] for r in out.collect()] == [0, 2, 2, 2, 2]
+
+    # maxFramesPerFile option caps the per-file scan
+    capped = spark.read.format("y4m").option("maxFramesPerFile", 2).load(str(tmp_path))
+    assert capped.count() == 4
