@@ -101,6 +101,7 @@ HEADLINE = [
     "dedup_fuzzy_levenshtein",
     "agg_listagg",
     "scalar_zorder_key",
+    "join_interval_overlap",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

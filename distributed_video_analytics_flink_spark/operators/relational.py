@@ -2337,3 +2337,113 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY source
         """
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged),
+    sessions AS (
+      SELECT user_id, session_id,
+             epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
+      FROM numbered GROUP BY user_id, session_id)
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us))
+                AS BIGINT) AS overlap_us
+    FROM sessions a JOIN sessions b
+      ON a.user_id < b.user_id
+     AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+    GROUP BY a.user_id, b.user_id
+    ORDER BY user_a, user_b
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join — concurrent user sessions: which user
+    pairs were active at the same time, and for how long. The ORACLE
+    declares the naive theta join (sessions x sessions ON ranges
+    intersect); the Spark plan is the SCALE shape: each session explodes
+    into the hour buckets it covers, the self-join is an EQUI-join on
+    bucket (+ user_a < user_b), and each truly-overlapping pair is
+    emitted exactly once by the first-covered-bucket predicate
+    (bucket == hour(max(starts)) — that instant lies inside both
+    intervals, so exactly one bucket row passes; no .distinct() shuffle
+    over the pair set). Matching the theta oracle proves the binned
+    rewrite lossless.
+
+    Scale: a theta join is a cartesian at 100 TB; the binned form
+    shuffles O(sessions x buckets-per-session) rows on a bucket key and
+    only intra-bucket pairs exist. Bucket width trades replication
+    against bucket population (hour ~ the p99 session length here);
+    overlap durations sum in exact integer microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = 3600 * 1_000_000
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 30 * 60 * 1_000_000), 1)
+        .otherwise(0),
+    )
+    sessions = (
+        flagged.withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("s_us"),
+            F.unix_micros(F.max("ts")).alias("e_us"),
+        )
+    )
+    binned = sessions.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                (F.col("s_us") / hour_us).cast("long"),
+                (F.col("e_us") / hour_us).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    a, b = binned.alias("a"), binned.alias("b")
+    first_bucket = F.col("a.bucket") == (
+        F.greatest(F.col("a.s_us"), F.col("b.s_us")) / hour_us
+    ).cast("long")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (F.col("a.s_us") <= F.col("b.e_us"))
+        & (F.col("b.s_us") <= F.col("a.e_us")),
+    ).filter(first_bucket)
+    return (
+        pairs.groupBy(
+            F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.least(F.col("a.e_us"), F.col("b.e_us"))
+                - F.greatest(F.col("a.s_us"), F.col("b.s_us"))
+            ).alias("overlap_us"),
+        )
+        .orderBy("user_a", "user_b")
+    )
