@@ -1255,62 +1255,64 @@ def dedup_minhash_estimate_checked(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "dedup_fuzzy_levenshtein",
-    oracle="""
-    WITH d AS (
-      SELECT doc_id, text, lang, n_chars,
-             CAST(n_chars // 16 AS BIGINT) AS len_block
-      FROM documents
+    oracle=f"""
+    WITH {_DUCK_SIMHASH64_CTE},
+    bands AS (
+      SELECT doc_id, sig0, sig1, sig2, sig3, b.band_id,
+             CASE b.band_id WHEN 0 THEN sig0 WHEN 1 THEN sig1
+                            WHEN 2 THEN sig2 ELSE sig3 END AS band_val
+      FROM sh64, LATERAL (SELECT unnest(generate_series(0, 3)) AS band_id) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(CAST(xor(a.sig0, b.sig0) AS BIGINT))
+                + bit_count(CAST(xor(a.sig1, b.sig1) AS BIGINT))
+                + bit_count(CAST(xor(a.sig2, b.sig2) AS BIGINT))
+                + bit_count(CAST(xor(a.sig3, b.sig3) AS BIGINT)) AS BIGINT)
+               AS hamming
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+      WHERE bit_count(CAST(xor(a.sig0, b.sig0) AS BIGINT))
+          + bit_count(CAST(xor(a.sig1, b.sig1) AS BIGINT))
+          + bit_count(CAST(xor(a.sig2, b.sig2) AS BIGINT))
+          + bit_count(CAST(xor(a.sig3, b.sig3) AS BIGINT)) <= 3
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(levenshtein(a.text, b.text) AS INT) AS lev_dist
-    FROM d a JOIN d b
-      ON a.lang = b.lang AND a.len_block = b.len_block
-     AND a.doc_id < b.doc_id
-     AND abs(a.n_chars - b.n_chars) <= 8
-    WHERE levenshtein(a.text, b.text) <= 32
+    SELECT c.doc_a, c.doc_b, c.hamming,
+           CAST(levenshtein(da.text, db.text) AS INT) AS lev_dist
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    WHERE levenshtein(da.text, db.text) <= 32
     ORDER BY doc_a, doc_b
     """,
 )
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup verification: candidate pairs from
-    (lang, length-block) blocking with the |len_a - len_b| <= 8 prefilter
-    (a Levenshtein lower bound — cheaper than any DP cell), verified by
-    exact `levenshtein` <= 32. Both engines implement the classic integer
-    DP, so distances are hash-exact.
+    """Edit-distance near-dup verification as a SIGNATURE CASCADE: the
+    cheap cut first (64-bit simhash, Hamming <= 3 — exactly
+    `dedup_simhash64_pairs`), then the O(len^2) Levenshtein DP only on
+    survivors, exact distances hash-checked. Both engines run the classic
+    integer DP, so lev_dist is deterministic.
 
-    Scale: the O(len^2)-per-pair DP is the expensive verifier, so
-    EVERYTHING here is about who reaches it: blocking is an equi-join on
-    (lang, len-bucket) — no cross product — and the length bound prunes
-    within the block before any DP runs. At 100 TB you'd swap the length
-    blocks for the MinHash-LSH candidates (`dedup_minhash_lsh_pairs`) as
-    the generator and keep this as the verify stage — the same
-    generate-then-verify split as `dedup_minhash_estimate_checked`. The
-    JVM-side levenshtein(l, r, threshold) overload can short-circuit the
-    DP at the cut; kept symmetric with the oracle here (DuckDB lacks the
-    threshold arg)."""
-    docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        "text",
-        "lang",
-        "n_chars",
-        F.expr("n_chars DIV 16").alias("len_block"),
-    )
-    a, b = d.alias("a"), d.alias("b")
-    lev = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    Scale — two measured dead ends make the point:
+    (1) blocking on (lang, length-bucket) is O(corpus^2 / #blocks) with
+        FIXED block cardinality — quadratic in corpus size, 387 s at
+        sf0.1;
+    (2) cascading from the 16-BIT simhash saturates exactly as SCALE.md
+        predicts: 1.57M Hamming<=3 candidate pairs at sf0.1 (5k docs in a
+        65k hash space), feeding the DP everything it was meant to avoid.
+    The 64-bit signature keeps candidates sparse (312 pairs at sf0.1 —
+    ~2 s end-to-end), and its 16-bit bands keep collision lists short on
+    billion-document corpora. Text bodies join in AFTER the pair set is
+    fixed — one doc_id-keyed shuffle per side."""
+    cand = _materialize(dedup_simhash64_pairs(spark, sf_dir))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    da, db = docs.alias("da"), docs.alias("db")
+    lev = F.levenshtein(F.col("da.text"), F.col("db.text"))
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.len_block") == F.col("b.len_block"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 8),
-        )
+        cand.join(da, F.col("da.doc_id") == F.col("doc_a"))
+        .join(db, F.col("db.doc_id") == F.col("doc_b"))
         .filter(lev <= 32)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            lev.cast("int").alias("lev_dist"),
-        )
+        .select("doc_a", "doc_b", "hamming", lev.cast("int").alias("lev_dist"))
         .orderBy("doc_a", "doc_b")
     )
