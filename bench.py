@@ -102,6 +102,7 @@ HEADLINE = [
     "agg_listagg",
     "scalar_zorder_key",
     "join_interval_overlap",
+    "subquery_priority_exists",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

@@ -2447,3 +2447,76 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_a", "user_b")
     )
+
+
+@query(
+    "subquery_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate <  TIMESTAMP '1997-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def subquery_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog: per-priority counts of orders with at least one
+    late-shipping lineitem (>30 days after the order date; this schema has
+    no commitdate, so the lateness predicate adapts). Declared through the
+    SQL surface so the correlated EXISTS rewrites to a LEFT SEMI join on
+    l_orderkey — one fact shuffle, lineitem never multiplies the order
+    rows, and the quarter predicate prunes the orders scan."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+          AND o_orderdate <  TIMESTAMP '1997-10-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "scalar_session_variable",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_discount
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-03-01'
+      AND l_discount >= 0.07
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def scalar_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL session variables (SPARK-42849: DECLARE / SET VAR /
+    direct reference in queries) — the parameterization surface scripts
+    use instead of string-splicing values into SQL. The oracle inlines the
+    final variable value; the Spark side must flow it through the
+    variable: DECLARE, overwrite with SET VAR (0.05 -> 0.07 — a stale
+    declare-default would hash-mismatch), reference it in the predicate.
+    Variables resolve at analysis time, so the pushed parquet filter is
+    the resolved constant — zero runtime cost."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql("DECLARE OR REPLACE VARIABLE discount_floor DOUBLE DEFAULT 0.05")
+    spark.sql("SET VAR discount_floor = 0.07")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, l_discount
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-03-01'
+          AND l_discount >= discount_floor
+        ORDER BY l_orderkey, l_linenumber
+        """
+    )
