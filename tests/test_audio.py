@@ -1,0 +1,76 @@
+"""WAV decode + audio-file source: the audio leg of the multimodal
+contract (pure-stdlib PCM parse, golden integer features, PERMISSIVE
+handling of compressed/corrupt clips)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from distributed_video_analytics_flink_spark.sources.wav import (
+    WavError,
+    decode_wav,
+    encode_wav,
+    parse_wav_header,
+    wav_features,
+)
+
+
+def _sine(freq=440, rate=8000, sec=1.0, amp=10000):
+    t = np.arange(int(rate * sec))
+    return (amp * np.sin(2 * np.pi * freq * t / rate)).astype(np.int16)
+
+
+def test_wav_roundtrip_and_golden_features():
+    b = encode_wav(_sine(), 8000)
+    hdr, pcm = decode_wav(b)
+    assert (hdr.n_channels, hdr.sample_rate, hdr.n_frames) == (1, 8000, 8000)
+    f = wav_features(b)
+    assert f["duration_ms"] == 1000
+    assert f["peak"] == 10000
+    # a 440 Hz sine crosses zero 2*440 times per second
+    assert abs(f["zero_crossings"] - 880) <= 2
+    # silence: zero everything
+    z = wav_features(encode_wav(np.zeros(100, np.int16), 8000))
+    assert z["energy_q"] == 0 and z["zero_crossings"] == 0 and z["peak"] == 0
+
+
+def test_wav_stereo_and_truncation():
+    stereo = np.stack([_sine(), _sine(220)], axis=1)
+    b = encode_wav(stereo, 8000)
+    hdr, pcm = decode_wav(b)
+    assert hdr.n_channels == 2 and pcm.shape == (8000, 2)
+    # truncated data chunk: frame count shrinks, no exception
+    hdr2 = parse_wav_header(b[: len(b) - 1001])
+    assert hdr2.n_frames < 8000
+    # features read channel 0 only
+    assert wav_features(b)["zero_crossings"] == wav_features(
+        encode_wav(_sine(), 8000)
+    )["zero_crossings"]
+
+
+def test_wav_rejects_non_pcm():
+    with pytest.raises(WavError):
+        parse_wav_header(b"garbage" * 10)
+    b = bytearray(encode_wav(_sine(), 8000))
+    b[20] = 3  # audio_format = IEEE float
+    with pytest.raises(WavError):
+        parse_wav_header(bytes(b))
+
+
+def test_audio_source_mixed_directory(spark, tmp_path):
+    from distributed_video_analytics_flink_spark.sources.audio_files import (
+        read_audio_features,
+    )
+
+    (tmp_path / "a440.wav").write_bytes(encode_wav(_sine(), 8000))
+    (tmp_path / "quiet.wav").write_bytes(encode_wav(np.zeros(4000, np.int16), 8000))
+    (tmp_path / "song.mp3").write_bytes(b"ID3\x03\x00" + b"\x00" * 64)
+    (tmp_path / "junk.wav").write_bytes(b"not audio at all")
+
+    rows = {r["clipId"]: r for r in read_audio_features(spark, str(tmp_path)).collect()}
+    assert set(rows) == {"a440", "quiet", "song", "junk"}
+    assert rows["a440"]["peak"] == 10000 and rows["a440"]["duration_ms"] == 1000
+    assert rows["quiet"]["energy_q"] == 0 and rows["quiet"]["duration_ms"] == 500
+    assert rows["song"]["error"] and "NotImplementedError" in rows["song"]["error"]
+    assert rows["junk"]["error"] and "WavError" in rows["junk"]["error"]
