@@ -120,14 +120,32 @@ MOTION_CAMS = 32
 MOTION_TARGET_FPS = 150.0  # 1.25x the 120 fps envelope = unambiguous pass
 MOTION_MAX_RUNS = 6
 
+# Soft wall-clock budget for the WHOLE bench. The harness must always emit
+# its JSON line: a driver-side hard kill (observed when the headline set
+# outgrew a 580 s wrapper) yields NO numbers at all — strictly worse than
+# slightly noisier ones. Past the budget the harness degrades gracefully:
+# remaining queries time a single run instead of min-of-2, and the
+# motion/corpus repeat caps drop to 2. The JSON reports degraded=true and
+# the elapsed seconds so rounds stay comparable.
+BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "480"))
+_T_START = time.time()
+
+
+def _over_budget() -> bool:
+    return time.time() - _T_START > BENCH_BUDGET_S
+
 
 def _min_of_runs(run_once, n_frames: int) -> float:
     """min over up to MOTION_MAX_RUNS timed runs, early-stopping once a run
-    demonstrates >= MOTION_TARGET_FPS (noise-window escape, see above)."""
+    demonstrates >= MOTION_TARGET_FPS (noise-window escape, see above) or
+    the bench budget is spent (after at least 2 runs)."""
     best = float("inf")
-    for _ in range(MOTION_MAX_RUNS):
+    max_runs = MOTION_MAX_RUNS if not _over_budget() else 2
+    for i in range(max_runs):
         best = min(best, run_once())
         if n_frames / best >= MOTION_TARGET_FPS:
+            break
+        if i >= 1 and _over_budget():
             break
     return best
 
@@ -344,7 +362,9 @@ def bench_corpus_stream_docs(spark) -> tuple[float, int]:
         return sec
 
     _run("warmup")
-    sec = min(_run("t1"), _run("t2"), _run("t3"))
+    sec = _run("t1")
+    if not _over_budget():
+        sec = min(sec, _run("t2"), _run("t3"))
     shutil.rmtree(root, ignore_errors=True)
     return sec, n
 
@@ -374,7 +394,7 @@ def main() -> None:
         best = float("inf")
         try:
             fn = ops.QUERIES[name].fn  # inside the fence: a renamed entry must not kill the run
-            for _ in range(2):
+            for _ in range(1 if _over_budget() else 2):
                 t0 = time.time()
                 _force(fn(spark, SF_DIR))
                 best = min(best, time.time() - t0)
@@ -419,6 +439,8 @@ def main() -> None:
         # n_failed keeps 'value' honest across rounds: a failed query drops
         # out of the sum, which would otherwise read as a phantom speedup.
         "n_failed": len(errors),
+        "degraded": _over_budget(),
+        "elapsed_s": round(time.time() - _T_START, 1),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "motion_fps_640x480": motion_fps,
