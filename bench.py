@@ -103,6 +103,7 @@ HEADLINE = [
     "scalar_zorder_key",
     "join_interval_overlap",
     "subquery_priority_exists",
+    "events_markov_transitions",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

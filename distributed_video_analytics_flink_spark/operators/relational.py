@@ -2520,3 +2520,54 @@ def scalar_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_orderkey, l_linenumber
         """
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           (1.0 * n) / SUM(n) OVER (PARTITION BY from_type) AS p
+    FROM trans
+    ORDER BY from_type, to_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    — the sequence-mining primitive behind funnel discovery and
+    next-action models: LEAD pairs each event with its user's next one,
+    transitions count per (from, to), and row-normalized probabilities
+    come from a window sum over the tiny transition table.
+
+    Scale: ONE shuffle on user_id serves the sequencing window; the
+    transition aggregate is partial map-side into a |event_types|^2 key
+    space (25 here), and the probability normalization windows over that
+    tiny table, not the fact. Probabilities are a single integer/integer
+    double division — bit-identical cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wp = W.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n",
+        ((F.lit(1.0) * F.col("n")) / F.sum("n").over(wp)).alias("p"),
+    ).orderBy("from_type", "to_type")

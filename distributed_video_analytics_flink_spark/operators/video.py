@@ -299,7 +299,26 @@ def window_tumbling_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_binary_features",
-    oracle=None,  # mapInPandas feature extraction: rows-only check
+    # Oracle-able after all: the corpus is ASCII, so byte stats of the
+    # utf-8 payload are character-code stats DuckDB can mirror (integer
+    # byte sums are exact in float64 on both sides, so mean_byte is
+    # bit-identical). A real codec decode would push this back to
+    # rows-only; the plumbing contract stays hash-checked meanwhile.
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS INT) AS n_bytes,
+           CASE WHEN strlen(text) = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform(
+                       range(1, strlen(text) + 1),
+                       i -> ascii(substring(text, i, 1)))) AS DOUBLE)
+                     / strlen(text) END AS mean_byte,
+           CAST(COALESCE(list_max(list_transform(
+                  range(1, strlen(text) + 1),
+                  i -> ascii(substring(text, i, 1)))), 0) AS INT) AS max_byte,
+           lang AS modality
+    FROM documents
+    WHERE doc_id % 7 = 0
+    """,
 )
 def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column plumbing: documents as opaque binary payloads with
