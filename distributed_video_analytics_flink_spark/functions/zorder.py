@@ -39,7 +39,11 @@ def zorder2(a: Column | str, b: Column | str) -> Column:
 
 
 def duck_spread16(expr: str) -> str:
-    x = f"(({expr}) & 65535)"
+    # CAST up front: DuckDB integer literals/columns default to INT32 and
+    # << raises on overflow — the odd-key spread's final << 1 exceeds
+    # INT32 for keys >= 0x4000 (caught by
+    # tests/test_numeric_properties.py::test_zorder_matches_duckdb_expression)
+    x = f"(CAST(({expr}) AS BIGINT) & 65535)"
     for shift, mask in _SPREAD_STEPS:
         x = f"(({x} | ({x} << {shift})) & {mask})"
     return x
