@@ -104,6 +104,7 @@ HEADLINE = [
     "join_interval_overlap",
     "subquery_priority_exists",
     "events_markov_transitions",
+    "curation_k_anonymity",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

@@ -594,3 +594,52 @@ def curation_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+K_ANON_THRESHOLD = 5
+
+
+@query(
+    "curation_k_anonymity",
+    oracle=f"""
+    WITH groups AS (
+      SELECT lang, source,
+             CAST(n_chars // 64 AS BIGINT) AS len_bucket,
+             COUNT(*) AS group_size
+      FROM documents
+      GROUP BY lang, source, len_bucket
+    )
+    SELECT lang, source, len_bucket, group_size,
+           group_size < {K_ANON_THRESHOLD} AS at_risk
+    FROM groups
+    WHERE group_size < {K_ANON_THRESHOLD}
+    ORDER BY lang, source, len_bucket
+    """,
+)
+def curation_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple
+    (lang, source, coarse length bucket): groups smaller than
+    k={K_ANON_THRESHOLD} are re-identification risks a release pipeline
+    must suppress or generalize (the complement of `text_scrub_pii`,
+    which redacts direct identifiers — this catches documents unique
+    enough to be identifying in aggregate). Emits only the at-risk
+    groups, with the threshold boolean hash-checked.
+
+    Scale: one partial-aggregable groupBy over a bounded key space;
+    integer bucket arithmetic (DIV — see curation_shard_manifest's
+    cross-engine CAST note) keeps bucket edges identical cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    groups = docs.groupBy(
+        "lang", "source", F.expr("n_chars DIV 64").alias("len_bucket")
+    ).agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        groups.filter(F.col("group_size") < K_ANON_THRESHOLD)
+        .select(
+            "lang",
+            "source",
+            "len_bucket",
+            "group_size",
+            (F.col("group_size") < K_ANON_THRESHOLD).alias("at_risk"),
+        )
+        .orderBy("lang", "source", "len_bucket")
+    )

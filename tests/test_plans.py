@@ -340,3 +340,45 @@ def test_shard_manifest_prefix_sum_is_distributed(spark):
     # one SinglePartition exchange: the bucket-subtotal offsets (256 rows)
     assert plan.count("SinglePartition") <= 1, plan[:3000]
     assert "hashpartitioning(bucket" in plan, plan[:3000]
+
+
+def test_pq_paths_are_pure_maps(spark):
+    """emb_pq_codes / emb_pq_adc_topk: codebooks live in the UDF closure —
+    no join, no aggregate-shuffle; the only exchanges allowed are the
+    presentation sort (codes) / top-k (ADC)."""
+    from distributed_video_analytics_flink_spark.plans.inspect import exchange_count
+
+    for name, cap in (("emb_pq_codes", 1), ("emb_pq_adc_topk", 1)):
+        df = _q(spark, name)
+        assert exchange_count(df) <= cap, (name, formatted_plan(df)[:2000])
+        assert not join_strategies(df), name
+
+
+def test_markov_single_fact_shuffle(spark):
+    """events_markov_transitions: the user_id sequencing window is the one
+    fact-sized exchange; the transition aggregate and its normalization
+    window operate on a 25-row table."""
+    from distributed_video_analytics_flink_spark.plans.inspect import exchange_count
+
+    df = _q(spark, "events_markov_transitions")
+    assert exchange_count(df) <= 4, formatted_plan(df)[:3000]
+
+
+def test_fuzzy_cascade_keeps_banded_shape(spark):
+    """dedup_fuzzy_levenshtein: the cascade must not introduce a cartesian
+    or a non-equi join — candidates come from the banded equi-join, texts
+    join back on doc_id keys."""
+    joins = join_strategies(_q(spark, "dedup_fuzzy_levenshtein"))
+    assert joins and all(
+        j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        for j in joins
+    ), joins
+
+
+def test_promo_share_pushdown_and_broadcast(spark):
+    """agg_promo_revenue_share: the year predicate reaches the lineitem
+    scan; part broadcasts."""
+    df = _q(spark, "agg_promo_revenue_share")
+    assert "l_shipdate" in " ".join(pushed_filters(df))
+    joins = join_strategies(df)
+    assert joins and all(j == "BroadcastHashJoin" for j in joins), joins
