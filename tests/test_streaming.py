@@ -763,3 +763,47 @@ def test_observed_motion_metrics(spark, tmp_path):
     assert totals["motion_frames"] == sum(1 for r in rows if r["detection_count"] > 0)
     assert totals["total_boxes"] == sum(r["detection_count"] for r in rows)
     assert max_boxes == max(r["detection_count"] for r in rows)
+
+
+def test_stream_anomaly_matches_batch(spark, tmp_path):
+    """Streaming 3-sigma scoring against broadcast batch moments must flag
+    exactly the rows the batch query flags (same exact-integer algebra,
+    so replay == batch bit-for-bit)."""
+    from distributed_video_analytics_flink_spark.operators import QUERIES
+    from distributed_video_analytics_flink_spark.sources.tables import load_table
+    from distributed_video_analytics_flink_spark.streaming.anomaly import (
+        event_type_moments,
+        flag_anomalies,
+    )
+    from tests.conftest import ORACLE_SF_DIR
+
+    events = load_table(spark, ORACLE_SF_DIR, "events")
+    moments = event_type_moments(events)
+
+    # replay the events table as a 4-micro-batch stream
+    data_dir = tmp_path / "ev"
+    events.repartition(4).write.json(str(data_dir))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "2")
+        .json(str(data_dir))
+    )
+    q = (
+        flag_anomalies(stream, moments)
+        .writeStream.format("memory")
+        .queryName("anomalies_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r["event_id"] for r in spark.sql("SELECT * FROM anomalies_stream").collect()
+    }
+    want = {
+        r["event_id"]
+        for r in QUERIES["events_anomaly_zscore"].fn(spark, ORACLE_SF_DIR).collect()
+    }
+    assert got == want and len(want) > 0
