@@ -382,3 +382,35 @@ def test_promo_share_pushdown_and_broadcast(spark):
     assert "l_shipdate" in " ".join(pushed_filters(df))
     joins = join_strategies(df)
     assert joins and all(j == "BroadcastHashJoin" for j in joins), joins
+
+
+def test_dynamic_partition_pruning_on_results_table(spark, tmp_path):
+    """The (camera_id, day)-partitioned results table must benefit from
+    Dynamic Partition Pruning: joining it to a FILTERED dimension on the
+    partition column plants a dynamicpruning subquery on the scan, so at
+    100 TB the fact read is limited to the dim's surviving days at
+    runtime — without the filter being known at planning time."""
+    from pyspark.sql import functions as F
+
+    facts = spark.range(2000).select(
+        (F.col("id") % 8).cast("string").alias("camera_id"),
+        F.date_format(
+            F.expr("date_add(DATE '2024-01-01', CAST(id % 30 AS INT))"), "yyyy-MM-dd"
+        ).alias("day"),
+        (F.col("id") * 13 % 97).alias("detection_count"),
+    )
+    path = str(tmp_path / "results")
+    facts.write.mode("overwrite").partitionBy("camera_id", "day").parquet(path)
+
+    dim = spark.range(30).select(
+        F.date_format(
+            F.expr("date_add(DATE '2024-01-01', CAST(id AS INT))"), "yyyy-MM-dd"
+        ).alias("day"),
+        (F.col("id") % 4).alias("shift"),
+    )
+    back = spark.read.parquet(path)
+    joined = back.join(dim.filter(F.col("shift") == 0), "day").groupBy("camera_id").agg(
+        F.sum("detection_count").alias("total")
+    )
+    plan = formatted_plan(joined).lower()
+    assert "dynamicpruning" in plan, plan[:4000]
