@@ -105,6 +105,7 @@ HEADLINE = [
     "subquery_priority_exists",
     "events_markov_transitions",
     "curation_k_anonymity",
+    "window_rolling_distinct_checked",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

@@ -2571,3 +2571,69 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         ((F.lit(1.0) * F.col("n")) / F.sum("n").over(wp)).alias("p"),
     ).orderBy("from_type", "to_type")
+
+
+@query(
+    "window_rolling_distinct_checked",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+    ),
+    rolling AS (
+      SELECT d.day,
+             COUNT(DISTINCT e.user_id) AS exact_users
+      FROM days d
+      JOIN events e
+        ON CAST(e.ts AS DATE) BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT day, exact_users, TRUE AS est_within_5pct
+    FROM rolling
+    ORDER BY day
+    """,
+)
+def window_rolling_distinct_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users via MERGEABLE daily HLL
+    sketches — the pattern that makes rolling-distinct feasible at 100 TB:
+    one sketch per day (built once, incrementally appendable), each day's
+    rolling value = union of 7 daily sketch BLOBS (never a rescan of 7
+    days of raw events; a naive exact rolling distinct re-shuffles every
+    event into 7 windows). The driver-checked contract: per-day exact
+    counts as value anchors plus the engine-independent boolean
+    |estimate - exact| <= 5% exact (lgK=12 → ~1.6% rse).
+
+    Scale: sketch build = one day-keyed partial aggregate over the fact;
+    the union stage operates on |days| x 7 sketch rows of ~4 KB each —
+    fact-size independent. The exact leg exists at validation SF only."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, hll_sketch_agg(user_id) AS sk
+          FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        spread AS (
+          SELECT date_add(day, off) AS day, sk
+          FROM daily
+          LATERAL VIEW explode(sequence(0, 6)) t AS off
+        ),
+        est AS (
+          SELECT s.day, hll_sketch_estimate(hll_union_agg(s.sk)) AS est
+          FROM spread s JOIN daily d ON s.day = d.day  -- only real days
+          GROUP BY s.day
+        ),
+        exact AS (
+          SELECT d.day, COUNT(DISTINCT e.user_id) AS exact_users
+          FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) d
+          JOIN events e
+            ON CAST(e.ts AS DATE) BETWEEN date_sub(d.day, 6) AND d.day
+          GROUP BY d.day
+        )
+        SELECT x.day, x.exact_users,
+               abs(e.est - x.exact_users) <= 0.05 * x.exact_users
+                 AS est_within_5pct
+        FROM exact x JOIN est e ON x.day = e.day
+        ORDER BY x.day
+        """
+    )
