@@ -106,6 +106,8 @@ HEADLINE = [
     "events_markov_transitions",
     "curation_k_anonymity",
     "window_rolling_distinct_checked",
+    "curation_train_split",
+    "curation_pipeline_v2",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

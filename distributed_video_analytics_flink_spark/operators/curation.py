@@ -643,3 +643,203 @@ def curation_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source", "len_bucket")
     )
+
+
+@query(
+    "curation_train_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT source,
+             CASE WHEN ('0x' || substring(md5(text), 1, 4))::BIGINT % 100 >= 98
+                  THEN CASE WHEN ('0x' || substring(md5(text), 1, 4))::BIGINT
+                                 % 100 = 98 THEN 'val' ELSE 'test' END
+                  ELSE 'train' END AS split,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    )
+    SELECT source, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM assigned
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+)
+def curation_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~98/1/1) keyed on the CONTENT
+    fingerprint, not the row id: the same document lands in the same
+    split on any cluster, after any reshard, and — critically — all
+    copies of a duplicated document land in the SAME split, so exact
+    dupes can never straddle train and eval. Buckets are integer md5
+    arithmetic (hex-prefix mod 100), disjoint and exhaustive by
+    construction; the per-(source, split) accounting is what a release
+    publishes.
+
+    Scale: a pure scan predicate (no shuffle for the assignment) plus one
+    partial-aggregable groupBy over a tiny key space."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("long") % 100
+    split = (
+        F.when(bucket == 98, "val").when(bucket == 99, "test").otherwise("train")
+    )
+    return (
+        docs.select(
+            "source",
+            split.alias("split"),
+            F.size(F.split("text", " ")).alias("n_tok"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+@query(
+    "curation_pipeline_v2",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT * FROM documents WHERE doc_id % 97 <> 0
+    ),
+    keepbest AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM corpus) WHERE rn = 1
+    ),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM keepbest
+    ),
+    tstats AS (
+      SELECT doc_id, COUNT(*) AS n_tok, SUM(length(token)) AS sum_tok_len,
+             COUNT(DISTINCT token) AS n_distinct
+      FROM tok GROUP BY doc_id
+    ),
+    gated AS (
+      SELECT k.doc_id, k.text, t.n_tok
+      FROM keepbest k JOIN tstats t USING (doc_id)
+      WHERE t.n_tok >= 20
+        AND CAST(t.sum_tok_len AS DOUBLE) / t.n_tok BETWEEN 2 AND 12
+        AND CAST(t.n_distinct AS DOUBLE) / t.n_tok >= 0.2
+    ),
+    evalsh AS (
+      SELECT DISTINCT unnest(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 7),
+               i -> md5(array_to_string(
+                      list_slice(string_split(text, ' '), i, i + 7), ' '))))
+             AS sh
+      FROM documents WHERE doc_id % 97 = 0
+        AND len(string_split(text, ' ')) >= 8
+    ),
+    contaminated AS (
+      SELECT DISTINCT g.doc_id
+      FROM gated g, LATERAL unnest(list_transform(
+             generate_series(1, len(string_split(g.text, ' ')) - 7),
+             i -> md5(array_to_string(
+                    list_slice(string_split(g.text, ' '), i, i + 7), ' '))))
+           AS u(sh)
+      WHERE u.sh IN (SELECT sh FROM evalsh)
+    ),
+    final AS (
+      SELECT g.doc_id, g.n_tok FROM gated g
+      WHERE g.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM corpus) AS BIGINT) AS n_corpus,
+           CAST((SELECT COUNT(*) FROM keepbest) AS BIGINT) AS n_after_dedup,
+           CAST((SELECT COUNT(*) FROM gated) AS BIGINT) AS n_after_quality,
+           CAST((SELECT COUNT(*) FROM final) AS BIGINT) AS n_final,
+           CAST((SELECT COALESCE(SUM(n_tok), 0) FROM final) AS BIGINT)
+               AS total_tokens,
+           CAST((SELECT (COALESCE(SUM(n_tok), 0) - 1) // {SHARD_TOKEN_BUDGET}
+                        + 1 FROM final) AS BIGINT) AS n_shards
+    """,
+)
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 capstone: the FULL curation funnel in one accounting
+    row — held-out eval split -> keep-best exact dedup (longest copy per
+    content fingerprint survives) -> quality gate -> benchmark
+    decontamination (8-token shingle overlap with the eval split) ->
+    fixed-budget shard count for the survivors. The row the run publishes:
+    every stage's population, so regressions in any stage move a
+    hash-checked number.
+
+    Scale: each stage keeps the frugal shape of its standalone query —
+    digests shuffle, bodies don't (dedup window keys on md5); the gate is
+    one tokenize aggregate; eval shingles broadcast so the corpus side
+    never shuffles shingles; the shard count needs only the token TOTAL
+    (the full prefix-sum manifest is `curation_shard_manifest`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    w = Window.partitionBy(F.md5("text")).orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    keepbest = (
+        corpus.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    tok = keepbest.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tstats = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.length("token")).alias("sum_tok_len"),
+        F.countDistinct("token").alias("n_distinct"),
+    )
+    mean_len = F.col("sum_tok_len").cast("double") / F.col("n_tok")
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tok")
+    gated = keepbest.join(
+        tstats.filter(
+            (F.col("n_tok") >= 20)
+            & mean_len.between(2, 12)
+            & (distinct_ratio >= 0.2)
+        ),
+        "doc_id",
+    )
+
+    def _shingles(df):
+        t = df.select("doc_id", F.split("text", " ").alias("t")).filter(
+            F.size("t") >= 8
+        )
+        return t.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 7),"
+                    " i -> md5(concat_ws(' ', slice(t, i, 8))))"
+                )
+            ).alias("sh"),
+        )
+
+    eval_sh = _shingles(docs.filter(F.col("doc_id") % 97 == 0)).select("sh").distinct()
+    contaminated = (
+        _shingles(gated)
+        .join(F.broadcast(eval_sh), "sh")
+        .select("doc_id")
+        .distinct()
+    )
+    final = gated.join(contaminated, "doc_id", "anti").select("doc_id", "n_tok")
+
+    counts = final.agg(
+        F.count(F.lit(1)).alias("n_final"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("total_tokens"),
+    )
+    n_corpus = corpus.agg(F.count(F.lit(1)).alias("n_corpus"))
+    n_dedup = keepbest.agg(F.count(F.lit(1)).alias("n_after_dedup"))
+    n_gated = gated.agg(F.count(F.lit(1)).alias("n_after_quality"))
+    return (
+        n_corpus.crossJoin(F.broadcast(n_dedup))
+        .crossJoin(F.broadcast(n_gated))
+        .crossJoin(F.broadcast(counts))
+        .select(
+            "n_corpus",
+            "n_after_dedup",
+            "n_after_quality",
+            "n_final",
+            "total_tokens",
+            F.expr(f"(total_tokens - 1) DIV {SHARD_TOKEN_BUDGET} + 1").alias(
+                "n_shards"
+            ),
+        )
+    )
