@@ -414,3 +414,42 @@ def test_dynamic_partition_pruning_on_results_table(spark, tmp_path):
     )
     plan = formatted_plan(joined).lower()
     assert "dynamicpruning" in plan, plan[:4000]
+
+
+def test_pipeline_v2_broadcasts_eval_shingles(spark):
+    """curation_pipeline_v2: the decontamination stage must broadcast the
+    eval-shingle set (the corpus side never shuffles its shingles), and
+    the funnel must be monotone non-increasing."""
+    df = _q(spark, "curation_pipeline_v2")
+    assert "BroadcastHashJoin" in join_strategies(df)
+    row = df.collect()[0]
+    assert (
+        row["n_corpus"]
+        >= row["n_after_dedup"]
+        >= row["n_after_quality"]
+        >= row["n_final"]
+        > 0
+    )
+    assert row["n_shards"] >= 1
+
+
+def test_train_split_dupes_never_straddle(spark):
+    """curation_train_split keys on the CONTENT fingerprint: every copy of
+    a duplicated text must land in the same split — the property that
+    stops exact dupes leaking from train into eval."""
+    from pyspark.sql import functions as F
+
+    from distributed_video_analytics_flink_spark.sources.tables import load_table
+
+    # sf0.1: the smallest SF whose corpus contains exact duplicates
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("long") % 100
+    split = F.when(bucket == 98, "val").when(bucket == 99, "test").otherwise("train")
+    per_text = (
+        docs.select(F.md5("text").alias("fp"), split.alias("split"))
+        .groupBy("fp")
+        .agg(F.countDistinct("split").alias("n_splits"), F.count(F.lit(1)).alias("n"))
+    )
+    assert per_text.filter(F.col("n_splits") > 1).count() == 0
+    # and the corpus actually HAS duplicates, so the property is non-vacuous
+    assert per_text.filter(F.col("n") > 1).count() > 0
