@@ -2412,6 +2412,10 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.max("ts")).alias("e_us"),
         )
     )
+    # materialized: the self-join would otherwise recompute the
+    # sessionization window + explode once PER SIDE (plan showed 2 fact
+    # scans; same discipline as dedup.py::_materialize — localCheckpoint
+    # locally, reliable checkpoint/parquet stage on a cluster)
     binned = sessions.select(
         "user_id",
         "s_us",
@@ -2422,7 +2426,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("e_us") / hour_us).cast("long"),
             )
         ).alias("bucket"),
-    )
+    ).localCheckpoint(eager=False)
     a, b = binned.alias("a"), binned.alias("b")
     first_bucket = F.col("a.bucket") == (
         F.greatest(F.col("a.s_us"), F.col("b.s_us")) / hour_us
