@@ -108,6 +108,7 @@ HEADLINE = [
     "window_rolling_distinct_checked",
     "curation_train_split",
     "curation_pipeline_v2",
+    "sim_ivf_pq_topk",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

@@ -1584,3 +1584,142 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("adc_dist_q"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+@query(
+    "sim_ivf_pq_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+      WHERE vec_id < 10
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probes AS (
+      SELECT cent_id FROM cents, q
+      ORDER BY {_duck_cos_q(
+          _duck_dot_q("cv", "qv"),
+          _duck_dot_q("cv", "cv"),
+          _duck_dot_q("qv", "qv"),
+      )} DESC, cent_id ASC
+      LIMIT {_N_PROBE}
+    ),
+    ccos AS (
+      SELECT e.vec_id, c.cent_id,
+             {_duck_cos_q(
+                 _duck_dot_q("e.embedding", "c.cv"),
+                 _duck_dot_q("e.embedding", "e.embedding"),
+                 _duck_dot_q("c.cv", "c.cv"),
+             )} AS ccos
+      FROM embeddings e, cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, cent_id ASC) AS rn
+      FROM ccos
+    ),
+    pqcents AS (
+      SELECT vec_id - 1 AS j, embedding AS pv FROM embeddings
+      WHERE vec_id BETWEEN 1 AND {_PQ_K}
+    ),
+    sub AS (SELECT s FROM (VALUES (0), (1), (2), (3)) v(s)),
+    dists AS (
+      SELECT e.vec_id, sub.s, c.j,
+             list_sum(list_transform(generate_series(1, 16), i ->
+               CAST(round(
+                 (e.embedding[sub.s * 16 + i]::DOUBLE
+                  - c.pv[sub.s * 16 + i]::DOUBLE)
+                 * (e.embedding[sub.s * 16 + i]::DOUBLE
+                    - c.pv[sub.s * 16 + i]::DOUBLE) * {_Q}) AS BIGINT)))
+               AS dist
+      FROM embeddings e, sub, pqcents c
+    ),
+    best AS (
+      SELECT vec_id, s, j,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, j)
+               AS rn
+      FROM dists
+    ),
+    qtab AS (SELECT s, j, dist FROM dists WHERE vec_id = 0),
+    adc AS (
+      SELECT b.vec_id, CAST(SUM(qt.dist) AS BIGINT) AS adc_dist_q
+      FROM best b JOIN qtab qt ON qt.s = b.s AND qt.j = b.j
+      WHERE b.rn = 1
+      GROUP BY b.vec_id
+    )
+    SELECT a.vec_id, a.adc_dist_q
+    FROM adc a
+    JOIN assigned asg ON asg.vec_id = a.vec_id AND asg.rn = 1
+    JOIN probes p ON p.cent_id = asg.cent_id
+    WHERE a.vec_id <> 0
+    ORDER BY a.adc_dist_q ASC, a.vec_id ASC
+    LIMIT 5
+    """,
+)
+def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the canonical billion-scale ANN index (FAISS IVFPQ with
+    by_residual=false): the coarse quantizer (10 IVF cells) prunes the
+    scan to ~nprobe/K of the table, and WITHIN the probed cells distances
+    come from 4-bit PQ codes via the query's 64-integer ADC table — no
+    float arithmetic against the candidate vectors at all. Composes
+    `sim_ivf_topk`'s cell pruning with `emb_pq_adc_topk`'s lookup
+    scoring; cell assignment, code assignment and ADC sums are all
+    exact-integer, so the top-5 is hash-stable.
+
+    Scale: at rest the table is partitionBy(cent_id) with int8 code
+    columns — probing prunes partitions AND each scanned byte is 1/128 of
+    the raw floats; the single pandas UDF computes (cell, code, ADC) in
+    one Arrow pass so every vector crosses Python once."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 10).orderBy("vec_id").select("embedding").collect()
+    )
+    C = np.asarray([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
+    cn = np.sqrt(_np_q(C * C * _Q).sum(axis=1).astype(np.float64))
+    seed_rows = (
+        emb.filter(F.col("vec_id").between(1, _PQ_K))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    PC = np.asarray(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows]
+    ).reshape(_PQ_K, _PQ_SUBSPACES, 16)
+    CT = np.transpose(PC, (1, 0, 2))
+    qv = np.asarray(
+        emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]["embedding"],
+        dtype=np.float64,
+    )
+    qn = float(np.sqrt(_np_q(qv * qv * _Q).sum()))
+    probe_cos = _np_q(C * qv[None, :] * _Q).sum(axis=1) / (cn * qn)
+    order = np.lexsort((np.arange(len(C)), -probe_cos))
+    probes = [int(i) for i in order[:_N_PROBE]]
+    qtab = _np_q((qv.reshape(_PQ_SUBSPACES, 16)[:, None, :] - CT) ** 2 * _Q).sum(
+        axis=2
+    )
+
+    @F.pandas_udf("struct<cent_id: int, adc_dist_q: long>")
+    def _cell_and_adc(embs: pd.Series) -> pd.DataFrame:
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in embs])
+        vn = np.sqrt(_np_q(V * V * _Q).sum(axis=1).astype(np.float64))
+        ccos = _np_q(V[:, None, :] * C[None, :, :] * _Q).sum(axis=2) / (
+            vn[:, None] * cn[None, :]
+        )
+        X = V.reshape(len(embs), _PQ_SUBSPACES, 16)
+        D = _np_q((X[:, :, None, :] - CT[None, :, :, :]) ** 2 * _Q).sum(axis=3)
+        codes = D.argmin(axis=2)
+        adc = qtab[np.arange(_PQ_SUBSPACES)[None, :], codes].sum(axis=1)
+        return pd.DataFrame(
+            {"cent_id": np.argmax(ccos, axis=1).astype(np.int32), "adc_dist_q": adc}
+        )
+
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", _cell_and_adc("embedding").alias("s"))
+        .filter(F.col("s.cent_id").isin(probes))
+        .select("vec_id", F.col("s.adc_dist_q").alias("adc_dist_q"))
+        .orderBy(F.asc("adc_dist_q"), F.asc("vec_id"))
+        .limit(5)
+    )
