@@ -109,6 +109,7 @@ HEADLINE = [
     "curation_train_split",
     "curation_pipeline_v2",
     "sim_ivf_pq_topk",
+    "events_attribution_last_touch",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

@@ -2641,3 +2641,78 @@ def window_rolling_distinct_checked(spark: SparkSession, sf_dir: str) -> DataFra
         ORDER BY x.day
         """
     )
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS touch_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN ts END IGNORE NULLS)
+               OVER w AS touch_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT touch_type,
+           COUNT(*) AS n_purchases,
+           SUM(CAST(round(value * 100) AS BIGINT)) / 100.0
+             AS attributed_value
+    FROM seq
+    WHERE event_type = 'purchase'
+      AND touch_type IS NOT NULL
+      AND ts - touch_ts <= INTERVAL 7 DAY
+    GROUP BY touch_type
+    ORDER BY touch_type
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credits the user's most
+    recent preceding NON-purchase event within a 7-day window — the
+    conditional last_value(... IGNORE NULLS) pattern over an open-ended
+    preceding frame, which expresses "latest earlier row satisfying a
+    predicate" without a self-join (the naive formulation is an
+    inequality self-join per purchase — quadratic in events-per-user).
+
+    Scale: one shuffle on user_id serves both conditional window columns;
+    the attribution aggregate is partial over |event_types| keys.
+    Attributed revenue sums in exact integer cents."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    not_purchase = F.col("event_type") != "purchase"
+    seq = ev.select(
+        "event_type",
+        "ts",
+        "value",
+        F.last(F.when(not_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(not_purchase, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    week_us = 7 * 86400 * 1_000_000
+    return (
+        seq.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("touch_type").isNotNull()
+            & (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("touch_ts"))
+                <= week_us
+            )
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (F.sum(cents("value")) / 100.0).alias("attributed_value"),
+        )
+        .orderBy("touch_type")
+    )
