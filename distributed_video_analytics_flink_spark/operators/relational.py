@@ -2716,3 +2716,44 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("touch_type")
     )
+
+
+@query(
+    "agg_mode_portable",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    ranked AS (
+      SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type ASC) AS rn
+      FROM counts
+    )
+    SELECT user_id, event_type AS modal_type, n AS n_events
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def agg_mode_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: each user's most frequent event type, ties
+    broken alphabetically. Built from count + row_number rather than the
+    engines' mode() aggregates, whose tie-breaking is UNSPECIFIED in both
+    Spark and DuckDB — an oracle hash over native mode() would flap on any
+    tied user. The explicit form costs one extra tiny aggregate and buys
+    reproducibility on any engine and any partitioning.
+
+    Scale: the count is partial-aggregable on (user, type); the ranking
+    window runs over per-user groups of at most |event_types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", F.col("event_type").alias("modal_type"), F.col("n").alias("n_events")
+        )
+        .orderBy("user_id")
+    )
