@@ -456,7 +456,57 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
-    print(json.dumps(payload))
+    emit(payload)
+
+
+# The driver captures only the last ~2000 chars of stdout, and the full
+# 90+-entry per-query map no longer fits (BENCH_r05.json recorded
+# parsed:null despite rc=0 — VERDICT r5 finding #1). So: the full payload
+# goes to a sidecar file + one per-query line each on stdout, and stdout
+# ENDS with a single compact JSON line guaranteed <= FINAL_LINE_BUDGET
+# chars that the driver can always parse.
+FINAL_LINE_BUDGET = 1500
+DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+
+
+def compact_payload(payload: dict, budget: int = FINAL_LINE_BUDGET) -> dict:
+    """Shrink the bench payload to a JSON line of at most ``budget`` chars.
+
+    Keeps every scalar headline field; replaces the full per-query map with
+    the slowest-k subset (the entries a reader triages first) plus
+    ``n_queries``/``queries_detail`` so nothing is silently dropped. k is
+    reduced until the serialized line fits, so headline-set growth can
+    never push the final line past the driver's tail capture again.
+    """
+    scalars = {k: v for k, v in payload.items() if k not in ("queries", "errors")}
+    scalars["n_queries"] = len(payload.get("queries", {}))
+    scalars["queries_detail"] = os.path.basename(DETAIL_PATH)
+    if payload.get("errors"):
+        # names only, capped — full messages live in the sidecar
+        scalars["failed"] = sorted(payload["errors"])[:8]
+    timed = sorted(
+        ((n, t) for n, t in payload.get("queries", {}).items() if t is not None),
+        key=lambda nt: -nt[1],
+    )
+    for k in (10, 8, 6, 4, 2, 0):
+        out = dict(scalars)
+        out["queries"] = dict(timed[:k])
+        if len(json.dumps(out)) <= budget:
+            return out
+    return scalars  # pathological names: scalars alone always fit
+
+
+def emit(payload: dict) -> None:
+    try:
+        with open(DETAIL_PATH, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: stdout lines still carry the detail
+    for name in sorted(payload.get("queries", {})):
+        err = (payload.get("errors") or {}).get(name)
+        line = f"# query {name}: {payload['queries'][name]}"
+        print(line + (f" ERROR {err}" if err else ""))
+    print(json.dumps(compact_payload(payload)))
 
 
 if __name__ == "__main__":

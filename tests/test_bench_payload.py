@@ -1,0 +1,75 @@
+"""The driver captures only the last ~2000 chars of bench stdout; r5's
+89-entry one-line payload blew past that and the round's bench gate
+recorded ``parsed: null`` (VERDICT r5 finding #1). These tests pin the
+fix: whatever the HEADLINE set grows to, the FINAL stdout line stays
+within budget and remains a faithful summary of the full payload.
+"""
+
+import json
+
+import bench
+
+
+def _full_payload():
+    """A payload shaped exactly like main()'s, with every HEADLINE entry
+    timed plus the three pipeline rows — the worst (largest) realistic case."""
+    timings = {name: 123.456 for name in bench.HEADLINE}
+    timings["motion_pipeline_640x480"] = 4.54
+    timings["motion_stream_640x480"] = 4.98
+    timings["corpus_stream_ingest"] = 3.92
+    return {
+        "metric": "headline_queries_total_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "n_failed": 0,
+        "degraded": False,
+        "elapsed_s": 1234.5,
+        "queries": timings,
+        "sf": 0.1,
+        "motion_fps_640x480": 225.6,
+        "motion_stream_fps_640x480": 205.8,
+        "corpus_stream_docs_per_sec": 5098.0,
+    }
+
+
+def test_final_line_fits_driver_tail_capture():
+    line = json.dumps(bench.compact_payload(_full_payload()))
+    assert len(line) <= bench.FINAL_LINE_BUDGET, (
+        f"final bench line is {len(line)} chars; the driver's tail capture "
+        f"is ~2000 — keep it <= {bench.FINAL_LINE_BUDGET}"
+    )
+
+
+def test_final_line_fits_even_with_errors():
+    payload = _full_payload()
+    payload["errors"] = {name: "RuntimeError: " + "x" * 280 for name in bench.HEADLINE[:20]}
+    payload["n_failed"] = 20
+    line = json.dumps(bench.compact_payload(payload))
+    assert len(line) <= bench.FINAL_LINE_BUDGET
+
+
+def test_compact_payload_keeps_headline_scalars():
+    out = bench.compact_payload(_full_payload())
+    for key in (
+        "metric",
+        "value",
+        "unit",
+        "n_failed",
+        "degraded",
+        "sf",
+        "motion_fps_640x480",
+        "motion_stream_fps_640x480",
+        "corpus_stream_docs_per_sec",
+    ):
+        assert key in out, key
+    assert out["n_queries"] == len(bench.HEADLINE) + 3
+    assert out["queries_detail"] == "BENCH_DETAIL.json"
+    # the compact map is the slowest-k subset, never empty in the real case
+    assert 0 < len(out["queries"]) <= 10
+
+
+def test_compact_payload_is_valid_single_json_line():
+    line = json.dumps(bench.compact_payload(_full_payload()))
+    assert "\n" not in line
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total_time"
