@@ -501,7 +501,8 @@ SHARD_TOKEN_BUDGET = 16384
     WITH d AS (
       SELECT doc_id, md5(text) AS fp,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-             CAST(ascii(substring(md5(text), 1, 1)) AS INT) AS bucket
+             CAST(ascii(substring(md5(text), 1, 1)) * 256
+                  + ascii(substring(md5(text), 2, 1)) AS INT) AS bucket
       FROM documents
     ),
     local AS (
@@ -549,18 +550,25 @@ def curation_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale — the distributed prefix sum, NOT a global-window cumsum: a
     naive SUM OVER (ORDER BY fp) collapses the corpus into ONE window
     partition (single-task sort of 100 TB — the classic silent killer).
-    Instead: (1) docs bucket by their fingerprint's first byte (256
-    buckets); (2) per-bucket running sums are windows PARTITIONED BY
-    bucket — fully parallel; (3) bucket token subtotals (256 rows)
-    prefix-sum in one trivial window; (4) global position = bucket offset
-    + local running sum, a broadcast join. Every heavy step is keyed by
-    bucket; the only ordered structure is 256 rows long."""
+    Instead: (1) docs bucket by their fingerprint's first TWO hex chars —
+    16x16 = 256 buckets, encoded ascii(c1)*256 + ascii(c2) so the bucket
+    order agrees with the lexicographic fp order on any engine (the
+    encoding is sparse, not 0..255, which is irrelevant: only ordering
+    and cardinality matter); (2) per-bucket running sums are windows
+    PARTITIONED BY bucket — fully parallel 256 ways; (3) bucket token
+    subtotals (256 rows) prefix-sum in one trivial window; (4) global
+    position = bucket offset + local running sum, a broadcast join. Every
+    heavy step is keyed by bucket; the only ordered structure is 256 rows
+    long."""
     docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5("text")
     d = docs.select(
         "doc_id",
-        F.md5("text").alias("fp"),
+        fp.alias("fp"),
         F.size(F.split("text", " ")).cast("long").alias("n_tok"),
-        F.ascii(F.substring(F.md5("text"), 1, 1)).alias("bucket"),
+        (F.ascii(F.substring(fp, 1, 1)) * 256 + F.ascii(F.substring(fp, 2, 1)))
+        .cast("int")
+        .alias("bucket"),
     )
     w_local = (
         Window.partitionBy("bucket")

@@ -2269,7 +2269,16 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     on any engine and any partitioning (a double mean/stddev comparison
     can flip within an ulp of the cut). The squared terms ride 38-digit
     decimals (Spark) / HUGEINT (DuckDB): cents^2 x n^2 overflows BIGINT at
-    ~billion-row types, 128-bit holds to beyond 100 TB.
+    ~billion-row types, 128-bit holds to beyond 100 TB. Each c*c term is
+    cast to decimal(38,0) BEFORE the SUM so the accumulator itself is
+    128-bit — summing BIGINT squares and casting only the result would
+    overflow 64-bit during accumulation (ADVICE r5). Ceiling: the final
+    q*n and s*s products are decimal(38,0)x(38,0); Spark caps the result
+    at precision 38, so past ~10^19 summed square-cents per type (roughly
+    10^14 rows of 100k-cent values) the products saturate and ANSI mode
+    errors rather than returning wrong rows — at that scale shard the
+    z-score by sub-population or switch the moments to doubles with an
+    epsilon band.
 
     Scale: the per-type moments come from one unbounded window over the
     type partitioning — a single shuffle on event_type (5 values here;
@@ -2286,8 +2295,8 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         c.cast(dec).alias("c"),
         F.count(F.lit(1)).over(w).cast(dec).alias("n"),
-        F.sum(c).over(w).cast(dec).alias("s"),
-        F.sum(c * c).over(w).cast(dec).alias("q"),
+        F.sum(c.cast(dec)).over(w).alias("s"),
+        F.sum((c * c).cast(dec)).over(w).alias("q"),
     )
     dev = F.col("c") * F.col("n") - F.col("s")
     var_n2 = F.col("q") * F.col("n") - F.col("s") * F.col("s")

@@ -302,8 +302,13 @@ def window_tumbling_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Oracle-able after all: the corpus is ASCII, so byte stats of the
     # utf-8 payload are character-code stats DuckDB can mirror (integer
     # byte sums are exact in float64 on both sides, so mean_byte is
-    # bit-identical). A real codec decode would push this back to
-    # rows-only; the plumbing contract stays hash-checked meanwhile.
+    # bit-identical). The ASCII assumption is an ENFORCED fixture
+    # contract, not a hope: tests/test_oracle_parity.py::
+    # test_documents_fixture_is_ascii fails loudly if regenerated
+    # testdata ever grows multi-byte text (DuckDB's ascii() is
+    # codepoint-based while the Spark side reads utf-8 bytes — they
+    # agree exactly on ASCII, silently diverge past it; ADVICE r5).
+    # A real codec decode would push this back to rows-only.
     oracle="""
     SELECT doc_id,
            CAST(strlen(text) AS INT) AS n_bytes,

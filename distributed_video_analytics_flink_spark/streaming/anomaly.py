@@ -27,10 +27,13 @@ _DEC = "decimal(38,0)"
 def event_type_moments(events: DataFrame) -> DataFrame:
     """Batch side: per-type (n, S, Q) in exact integer cents."""
     c = cents("value")
+    # per-term cast: the SUM accumulator itself must be 128-bit — summing
+    # BIGINT squares and casting the result overflows 64-bit mid-aggregate
+    # at billion-row types (ADVICE r5)
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).cast(_DEC).alias("n"),
-        F.sum(c).cast(_DEC).alias("s"),
-        F.sum(c * c).cast(_DEC).alias("q"),
+        F.sum(c.cast(_DEC)).alias("s"),
+        F.sum((c * c).cast(_DEC)).alias("q"),
     )
 
 

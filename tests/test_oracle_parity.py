@@ -38,6 +38,33 @@ def test_rows_only(spark, spec):
     assert df.count() >= 0
 
 
+def test_documents_fixture_is_ascii():
+    """Fixture contract for multimodal_binary_features' oracle: its DuckDB
+    side reads codepoints (ascii()) while the Spark side reads utf-8
+    bytes — identical on pure-ASCII text, silently divergent past it.
+    Pure ASCII iff the utf-8 encoding adds no bytes (every multi-byte
+    codepoint would). Checked at every generated scale factor so a
+    testdata regeneration cannot un-notice the assumption (ADVICE r5)."""
+    import glob
+
+    import duckdb
+
+    paths = sorted(glob.glob("/root/testdata/sf*/documents.parquet"))
+    assert paths, "no documents fixtures found"
+    con = duckdb.connect()
+    for path in paths:
+        (n_non_ascii,) = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{path}') "
+            "WHERE octet_length(encode(text)) <> length(text)"
+        ).fetchone()
+        assert n_non_ascii == 0, (
+            f"{path}: {n_non_ascii} non-ASCII documents — "
+            "multimodal_binary_features' oracle must move to byte-based "
+            "stats (encode(text)) before this fixture is used"
+        )
+    con.close()
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

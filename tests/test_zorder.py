@@ -78,8 +78,6 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
         _write_layout(ev, col, paths[name])
 
     # tight probes on each single dimension
-    users = [r[0] for r in ev.select(F.max("user_id")).collect()]
-    days = [r[0] for r in ev.select(F.min("doy"), F.max("doy")).collect()[0:1]][0:0]
     lo_d, hi_d = ev.agg(F.min("doy"), F.max("doy")).collect()[0]
     probe_user = [("user_id", 3, 4)]
     mid = (lo_d + hi_d) // 2
