@@ -110,6 +110,8 @@ HEADLINE = [
     "curation_pipeline_v2",
     "sim_ivf_pq_topk",
     "events_attribution_last_touch",
+    # round 6: skew-proof semantic near-dup edge generation
+    "sim_neardup_pairs_bucketed",
 ]
 
 MOTION_FRAMES_PER_CAM = 32
