@@ -110,8 +110,9 @@ HEADLINE = [
     "curation_pipeline_v2",
     "sim_ivf_pq_topk",
     "events_attribution_last_touch",
-    # round 6: skew-proof semantic near-dup edge generation
+    # round 6: skew-proof semantic near-dup edge generation + refined PQ
     "sim_neardup_pairs_bucketed",
+    "emb_pq_codes_refined",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

@@ -1722,6 +1722,163 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_pq_codes_refined",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id - 1 AS j, embedding AS cv FROM embeddings
+      WHERE vec_id BETWEEN 1 AND {_PQ_K}
+    ),
+    sub AS (SELECT s FROM (VALUES (0), (1), (2), (3)) v(s)),
+    dims AS (SELECT unnest(generate_series(1, 16)) AS i),
+    d0 AS (
+      SELECT e.vec_id, sub.s, c.j,
+             list_sum(list_transform(generate_series(1, 16), i ->
+               CAST(round(
+                 (e.embedding[sub.s * 16 + i]::DOUBLE
+                  - c.cv[sub.s * 16 + i]::DOUBLE)
+                 * (e.embedding[sub.s * 16 + i]::DOUBLE
+                    - c.cv[sub.s * 16 + i]::DOUBLE) * {_Q}) AS BIGINT)))
+               AS dist
+      FROM embeddings e, sub, cents c
+    ),
+    a0 AS (
+      SELECT vec_id, s, j, dist FROM (
+        SELECT vec_id, s, j, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, j)
+                 AS rn
+        FROM d0) WHERE rn = 1
+    ),
+    m AS (
+      SELECT a0.s, a0.j, d.i,
+             SUM(CAST(round(e.embedding[a0.s * 16 + d.i]::DOUBLE * 1e6)
+                      AS BIGINT)) AS sq,
+             COUNT(*) AS n
+      FROM a0 JOIN embeddings e ON a0.vec_id = e.vec_id CROSS JOIN dims d
+      GROUP BY 1, 2, 3
+    ),
+    c1 AS (
+      SELECT sub.s, c.j, d.i,
+             COALESCE(m.sq / 1e6 / m.n,
+                      c.cv[sub.s * 16 + d.i]::DOUBLE) AS cvi
+      FROM cents c CROSS JOIN sub CROSS JOIN dims d
+      LEFT JOIN m ON m.s = sub.s AND m.j = c.j AND m.i = d.i
+    ),
+    d1 AS (
+      SELECT e.vec_id, c1.s, c1.j,
+             SUM(CAST(round(
+               (e.embedding[c1.s * 16 + c1.i]::DOUBLE - c1.cvi)
+               * (e.embedding[c1.s * 16 + c1.i]::DOUBLE - c1.cvi)
+               * {_Q}) AS BIGINT)) AS dist
+      FROM embeddings e CROSS JOIN c1
+      GROUP BY 1, 2, 3
+    ),
+    a1 AS (
+      SELECT vec_id, s, j, dist FROM (
+        SELECT vec_id, s, j, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, j)
+                 AS rn
+        FROM d1) WHERE rn = 1
+    )
+    SELECT CAST(a0.s AS INT) AS s,
+           CAST(SUM(a0.dist) AS BIGINT) AS seeded_err_q,
+           CAST(SUM(a1.dist) AS BIGINT) AS refined_err_q,
+           CAST(COUNT(CASE WHEN a1.j <> a0.j THEN 1 END) AS BIGINT)
+             AS n_moved,
+           SUM(a1.dist) <= SUM(a0.dist) AS improved
+    FROM a0 JOIN a1 ON a0.vec_id = a1.vec_id AND a0.s = a1.s
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def emb_pq_codes_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook refinement — one Lloyd round per subspace, the step
+    `emb_pq_codes`'s docstring promises production codebooks get: assign
+    every sub-vector to its nearest seeded centroid (E-step), recompute
+    each per-subspace centroid as the exact-integer mean of its assigned
+    sub-vectors (M-step, empty cells keep their seed), then re-encode
+    under the refined codebook. Emits one row per subspace with the total
+    quantized reconstruction error under both codebooks, the number of
+    re-assigned sub-vectors, and the Lloyd-monotonicity boolean
+    ``improved`` (refined <= seeded — guaranteed by Lloyd per subspace,
+    and pinned in the driver hash; tests/test_approx_accuracy.py asserts
+    it at sf0.01 too).
+
+    Scale: exactly `sim_kmeans_lloyd`'s shape applied per subspace — the
+    E-step is a zero-shuffle Arrow map (codebook in closure), the M-step
+    shuffles one row per (subspace, centroid, dim) partial aggregate
+    (= {_PQ_SUBSPACES} x {_PQ_K} x 16 rows, vector-count independent),
+    and the refined codebook returns to the driver as a tiny constant
+    feeding the next map. Further Lloyd rounds and the `emb_pq_adc_topk`
+    serving path compose from the same two stages, nothing grows."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.filter(F.col("vec_id").between(1, _PQ_K))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    C = np.asarray(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows]
+    ).reshape(_PQ_K, _PQ_SUBSPACES, 16)
+    CT0 = np.transpose(C, (1, 0, 2))  # (s, j, d)
+
+    @F.pandas_udf("array<int>")
+    def _assign0(embs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in embs]).reshape(
+            len(embs), _PQ_SUBSPACES, 16
+        )
+        D = _np_q((X[:, :, None, :] - CT0[None, :, :, :]) ** 2 * _Q).sum(axis=3)
+        return pd.Series(list(D.argmin(axis=2).astype(np.int32)))
+
+    # E-step feeds both the M-step and nothing else; the re-encode pass
+    # rescans the raw embeddings, so no checkpoint is needed here.
+    assigned = emb.select("embedding", _assign0("embedding").alias("codes0"))
+
+    # M-step: distributed exact-integer per-(subspace, centroid, dim) means
+    mstep = (
+        assigned.select("codes0", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            F.expr("CAST(pos DIV 16 AS INT)").alias("s"),
+            F.expr("codes0[CAST(pos DIV 16 AS INT)]").alias("j"),
+            F.expr("CAST(pos % 16 AS INT)").alias("i"),
+            F.expr("CAST(round(val * 1e6) AS BIGINT)").alias("qv"),
+        )
+        .groupBy("s", "j", "i")
+        .agg(F.sum("qv").alias("sq"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    CT1 = CT0.copy()  # empty cells keep their seed centroid
+    for r in mstep:
+        CT1[r["s"], r["j"], r["i"]] = r["sq"] / 1e6 / r["n"]
+
+    @F.pandas_udf("sd: array<long>, rd: array<long>, mv: array<int>")
+    def _both(embs: pd.Series) -> pd.DataFrame:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in embs]).reshape(
+            len(embs), _PQ_SUBSPACES, 16
+        )
+        D0 = _np_q((X[:, :, None, :] - CT0[None, :, :, :]) ** 2 * _Q).sum(axis=3)
+        D1 = _np_q((X[:, :, None, :] - CT1[None, :, :, :]) ** 2 * _Q).sum(axis=3)
+        moved = (D0.argmin(axis=2) != D1.argmin(axis=2)).astype(np.int32)
+        return pd.DataFrame(
+            {"sd": list(D0.min(axis=2)), "rd": list(D1.min(axis=2)), "mv": list(moved)}
+        )
+
+    flat = emb.select(_both("embedding").alias("z")).select("z.sd", "z.rd", "z.mv")
+    per = flat.select(F.posexplode(F.arrays_zip("sd", "rd", "mv")).alias("s", "t"))
+    return (
+        per.groupBy(F.col("s").cast("int").alias("s"))
+        .agg(
+            F.sum("t.sd").alias("seeded_err_q"),
+            F.sum("t.rd").alias("refined_err_q"),
+            F.sum("t.mv").cast("long").alias("n_moved"),
+        )
+        .withColumn("improved", F.col("refined_err_q") <= F.col("seeded_err_q"))
+        .orderBy("s")
+    )
+
+
+@query(
     "sim_ivf_pq_topk",
     oracle=f"""
     WITH cents AS (

@@ -78,3 +78,15 @@ def test_approx_percentiles_bracket_exact(spark):
                 f"{flag}.{col}: {ap[col]} outside exact bracket "
                 f"[{ex[lo]}, {ex[hi]}]"
             )
+
+
+def test_pq_refined_codebook_not_worse(spark):
+    """Lloyd monotonicity: one refinement round must not increase any
+    subspace's total reconstruction error, and on real (non-degenerate)
+    data it should actually move codes and reduce error somewhere."""
+    rows = QUERIES["emb_pq_codes_refined"].fn(spark, ORACLE_SF_DIR).collect()
+    assert len(rows) == 4  # one row per subspace
+    assert all(r["improved"] for r in rows)
+    assert all(r["refined_err_q"] <= r["seeded_err_q"] for r in rows)
+    assert sum(r["n_moved"] for r in rows) > 0
+    assert sum(r["refined_err_q"] for r in rows) < sum(r["seeded_err_q"] for r in rows)
