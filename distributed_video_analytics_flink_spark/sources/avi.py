@@ -1,0 +1,246 @@
+"""Uncompressed AVI (RIFF ``AVI ``) video: the second codec-free REAL
+container decode, widening S4 coverage (COVERAGE.md) alongside Y4M.
+
+The reference opens arbitrary containers through OpenCV ``VideoCapture``
+(VideoEventCreator.java:54-96); this container ships no codec library, so
+compressed streams stay honestly stubbed — but a raw-DIB AVI (``strf``
+BITMAPINFOHEADER with biCompression=0/BI_RGB, 24-bit) stores literal BGR
+rows, and the RIFF chunk walk is the same pure offset math
+``sources/wav.py`` already uses for WAV (WAV and AVI are sibling RIFF
+form types). Decoding needs nothing beyond byte slicing + one numpy
+reshape per frame, which makes the video path end-to-end REAL on a second
+genuine container format: binaryFile scan -> movi frame chunks ->
+bottom-up padded DIB rows -> (H, W, 3) BGR -> the same wire rows /
+motion pipeline the Y4M path feeds.
+
+Layout (public spec: Microsoft "AVI RIFF File Reference"):
+  RIFF('AVI ')
+    LIST('hdrl')  avih (main header), LIST('strl') per stream:
+                  strh (fccType 'vids', dwScale/dwRate -> fps),
+                  strf (BITMAPINFOHEADER)
+    LIST('movi')  '{NN}db' / '{NN}dc' chunks, one frame each (NN = stream)
+    [idx1]        optional index — not needed for a sequential decode
+DIB pixel rows are BGR, padded to 4-byte stride, bottom-up when biHeight
+is positive (top-down when negative — both handled).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+
+AVI_MAGIC_FORM = b"AVI "  # RIFF form type at bytes 8:12
+
+
+class AviError(ValueError):
+    """Malformed AVI input (callers treat like any corrupt-file case)."""
+
+
+@dataclass(frozen=True)
+class AviHeader:
+    width: int
+    height: int
+    fps_num: int  # strh dwRate (fallback: 1e6 vs avih microsec/frame)
+    fps_den: int  # strh dwScale
+    n_frames: int  # avih dwTotalFrames (may be 0; movi walk is the truth)
+    stream_id: int  # index of the first 'vids' stream
+    top_down: bool  # negative biHeight
+    movi_start: int  # offset of the movi LIST body (after the list type)
+    movi_end: int
+
+    @property
+    def fps(self) -> float:
+        return self.fps_num / self.fps_den if self.fps_den else 0.0
+
+    @property
+    def stride(self) -> int:
+        return (self.width * 3 + 3) & ~3  # DIB rows pad to 4 bytes
+
+
+def is_avi(data: bytes) -> bool:
+    return len(data) >= 12 and data[0:4] == b"RIFF" and data[8:12] == AVI_MAGIC_FORM
+
+
+def _chunks(data: bytes, pos: int, end: int) -> Iterator[tuple[bytes, int, int]]:
+    """Yield (fourcc, body_offset, body_size) over a RIFF chunk run;
+    tolerates a truncated tail by clamping to the buffer (PERMISSIVE)."""
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        yield cid, body, min(size, max(0, end - body))
+        pos = body + size + (size & 1)  # chunks are word-aligned
+
+
+def parse_avi_header(data: bytes) -> AviHeader:
+    if not is_avi(data):
+        raise AviError("not a RIFF/AVI stream")
+    end = min(len(data), 8 + struct.unpack_from("<I", data, 4)[0])
+    width = height = n_frames = 0
+    fps_num, fps_den = 30, 1
+    us_per_frame = 0
+    movi = None
+    stream_id = -1
+    top_down = False
+    n_streams_seen = 0
+    found_vids = False
+    for cid, body, size in _chunks(data, 12, end):
+        if cid != b"LIST" or size < 4:
+            continue
+        ltype = data[body : body + 4]
+        if ltype == b"hdrl":
+            for hcid, hbody, hsize in _chunks(data, body + 4, body + size):
+                if hcid == b"avih" and hsize >= 40:
+                    us_per_frame, n_frames, width, height = (
+                        struct.unpack_from("<I", data, hbody)[0],
+                        struct.unpack_from("<I", data, hbody + 16)[0],
+                        struct.unpack_from("<I", data, hbody + 32)[0],
+                        struct.unpack_from("<I", data, hbody + 36)[0],
+                    )
+                elif hcid == b"LIST" and hsize >= 4 and data[hbody : hbody + 4] == b"strl":
+                    this_stream = n_streams_seen
+                    n_streams_seen += 1
+                    if found_vids:
+                        continue
+                    for scid, sbody, ssize in _chunks(data, hbody + 4, hbody + hsize):
+                        if scid == b"strh" and ssize >= 32:
+                            if data[sbody : sbody + 4] != b"vids":
+                                break  # not video: skip this strl
+                            scale, rate = struct.unpack_from("<II", data, sbody + 20)
+                            if rate and scale:
+                                fps_num, fps_den = rate, scale
+                            stream_id = this_stream
+                            found_vids = True
+                        elif scid == b"strf" and ssize >= 20 and found_vids:
+                            bw, bh = struct.unpack_from("<ii", data, sbody + 4)
+                            bits, comp = (
+                                struct.unpack_from("<H", data, sbody + 14)[0],
+                                struct.unpack_from("<I", data, sbody + 16)[0],
+                            )
+                            if comp != 0 or bits != 24:
+                                raise AviError(
+                                    f"unsupported stream (compression={comp}, "
+                                    f"{bits}-bit) — raw 24-bit BI_RGB only"
+                                )
+                            width, height = bw, abs(bh)
+                            top_down = bh < 0
+        elif ltype == b"movi":
+            movi = (body + 4, body + size)
+    if movi is None or stream_id < 0:
+        raise AviError("missing movi list or vids stream")
+    if width <= 0 or height <= 0:
+        raise AviError("missing stream dimensions")
+    if not fps_den and us_per_frame:
+        fps_num, fps_den = 1_000_000, us_per_frame
+    return AviHeader(
+        width, height, fps_num, fps_den, n_frames, stream_id, top_down, *movi
+    )
+
+
+def decode_avi(
+    data: bytes, max_frames: int | None = None
+) -> tuple[AviHeader, Iterator[np.ndarray]]:
+    """Parse header and return (header, iterator of (H, W, 3) BGR frames).
+
+    Frame slicing is offset math over the movi chunk run — the file is
+    never copied; a short or padded-odd final chunk ends the stream
+    (PERMISSIVE, matching decode_y4m's corrupt-input stance)."""
+    hdr = parse_avi_header(data)
+    want = (b"%02ddb" % hdr.stream_id, b"%02ddc" % hdr.stream_id)
+
+    def frames() -> Iterator[np.ndarray]:
+        h, w, stride = hdr.height, hdr.width, hdr.stride
+        need = stride * h
+        emitted = 0
+        for cid, body, size in _chunks(data, hdr.movi_start, hdr.movi_end):
+            if max_frames is not None and emitted >= max_frames:
+                return
+            if cid not in want or size < need:
+                continue
+            img = (
+                np.frombuffer(data, np.uint8, need, body)
+                .reshape(h, stride)[:, : w * 3]
+                .reshape(h, w, 3)
+            )
+            yield img if hdr.top_down else img[::-1]
+            emitted += 1
+
+    return hdr, frames()
+
+
+def probe_avi(data: bytes) -> dict:
+    """Container-metadata probe (the AVI twin of probe_y4m/probe_mp4):
+    header fields + frame count by chunk-walking movi — no pixel work."""
+    hdr = parse_avi_header(data)
+    want = (b"%02ddb" % hdr.stream_id, b"%02ddc" % hdr.stream_id)
+    need = hdr.stride * hdr.height
+    n = sum(
+        1
+        for cid, _, size in _chunks(data, hdr.movi_start, hdr.movi_end)
+        if cid in want and size >= need
+    )
+    return {
+        "duration_s": (n / hdr.fps) if hdr.fps else None,
+        "width": float(hdr.width),
+        "height": float(hdr.height),
+        "n_frames": n,
+        "codec": "avi/rawbgr",
+        "fps": hdr.fps,
+    }
+
+
+def encode_avi(frames_bgr: list[np.ndarray], fps: int = 30) -> bytes:
+    """Minimal raw-DIB AVI writer (tests and fixtures): 24-bit BI_RGB,
+    bottom-up padded rows, one '00db' chunk per frame, no idx1 (players
+    prefer one; a sequential decode doesn't need it)."""
+    if not frames_bgr:
+        raise AviError("need at least one frame")
+    h, w, _ = frames_bgr[0].shape
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = stride * h
+
+    def _dib(frame: np.ndarray) -> bytes:
+        f = np.asarray(frame, dtype=np.uint8)
+        if f.shape != (h, w, 3):
+            raise AviError("all frames must share the first frame's shape")
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = f[::-1].reshape(h, w * 3)  # bottom-up
+        return rows.tobytes()
+
+    strh = b"vids" + b"DIB " + struct.pack(
+        "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames_bgr), frame_bytes, 0, 0
+    ) + struct.pack("<hhhh", 0, 0, w, h)
+    # fields: flags, prio, lang, initial, scale=1, rate=fps, start, length,
+    # bufsize, quality, samplesize, rcFrame(l, t, r, b) — 56 bytes total
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0)
+
+    def _chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def _list(ltype: bytes, body: bytes) -> bytes:
+        return _chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        round(1_000_000 / fps) if fps else 0,  # dwMicroSecPerFrame
+        frame_bytes * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0,  # dwFlags
+        len(frames_bgr),  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        frame_bytes,  # dwSuggestedBufferSize
+        w,
+        h,
+        0, 0, 0, 0,  # dwReserved
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi = _list(b"movi", b"".join(_chunk(b"00db", _dib(f)) for f in frames_bgr))
+    body = AVI_MAGIC_FORM + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

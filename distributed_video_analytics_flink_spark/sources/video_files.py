@@ -8,11 +8,13 @@ a 100 TB video corpus), then a ``mapInPandas`` extractor turns each file's
 bytes into wire-format frame rows (FRAME_SCHEMA: camId from the file stem,
 timestamps paced 33 ms apart, base64 BGR payloads).
 
-Decode is REAL for uncompressed Y4M (YUV4MPEG2) files — pure byte-slicing
-header/frame parse + integer-exact YUV->BGR (sources/y4m.py) + the engine's
-own bicubic resize to the target dims (functions/resize.py, the analog of
-VideoEventCreator.java:75's cv2.resize) — so genuine video bytes flow
-end-to-end through the motion pipeline with zero codec dependency.
+Decode is REAL for two uncompressed containers — Y4M (YUV4MPEG2: pure
+byte-slicing header/frame parse + integer-exact YUV->BGR, sources/y4m.py)
+and raw-DIB AVI (RIFF chunk walk + literal BGR rows, sources/avi.py) —
+plus PNG stills, each through the engine's own bicubic resize to the
+target dims (functions/resize.py, the analog of VideoEventCreator.java:75's
+cv2.resize) — so genuine video bytes flow end-to-end through the motion
+pipeline with zero codec dependency.
 
 COMPRESSED codecs remain a STUB: this container ships no cv2/ffmpeg, so for
 non-Y4M files ``_decode_frames_stub`` synthesizes deterministic frames from
@@ -33,6 +35,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from distributed_video_analytics_flink_spark.schemas import FRAME_SCHEMA
+from distributed_video_analytics_flink_spark.sources.avi import (
+    AviError,
+    decode_avi,
+    is_avi,
+)
 from distributed_video_analytics_flink_spark.sources.y4m import (
     Y4M_MAGIC,
     Y4MError,
@@ -103,10 +110,25 @@ def _decode_frames_y4m(
         yield bgr
 
 
+def _decode_frames_avi(
+    content: bytes, rows: int, cols: int, max_frames: int
+) -> Iterator[np.ndarray]:
+    """REAL decoder for raw-DIB AVI bytes (sources/avi.py): movi chunks
+    are already literal BGR rows, so this is slicing + the same resize
+    step as the Y4M path. Malformed tails end the stream (PERMISSIVE)."""
+    from distributed_video_analytics_flink_spark.functions.resize import cubic_resize
+
+    _, frames = decode_avi(content, max_frames=max_frames)
+    for bgr in frames:
+        if bgr.shape[:2] != (rows, cols):
+            bgr = cubic_resize(bgr, rows, cols)
+        yield bgr
+
+
 def read_video_files(
     spark: SparkSession,
     path: str,
-    glob: str = "*.{mp4,y4m}",
+    glob: str = "*.{mp4,y4m,avi}",
     rows: int = 480,
     cols: int = 640,
     max_frames_per_file: int = 64,
@@ -134,6 +156,11 @@ def read_video_files(
                         decoded = _decode_frames_y4m(raw, rows, cols, max_frames_per_file)
                     except Y4MError:
                         decoded = iter(())  # corrupt header: no rows, no failure
+                elif is_avi(raw):
+                    try:
+                        decoded = _decode_frames_avi(raw, rows, cols, max_frames_per_file)
+                    except AviError:
+                        decoded = iter(())  # corrupt/compressed: no rows, no failure
                 elif raw.startswith(b"\x89PNG"):
                     decoded = _decode_frame_png(raw, rows, cols)
                 else:
@@ -165,7 +192,7 @@ VIDEO_META_SCHEMA = (
 
 
 def video_container_metadata(
-    spark: SparkSession, path: str, glob: str = "*.{mp4,y4m}"
+    spark: SparkSession, path: str, glob: str = "*.{mp4,y4m,avi}"
 ) -> DataFrame:
     """REAL (no stub) container-metadata scan over video files: binaryFile
     scan + pure-stdlib ISO BMFF probe (sources/mp4.py) -> one row per file
@@ -195,6 +222,15 @@ def video_container_metadata(
                     try:
                         meta = probe_y4m(b)
                     except Y4MError:
+                        meta = dict.fromkeys(
+                            ("duration_s", "width", "height", "n_frames", "codec", "fps")
+                        )
+                elif is_avi(b):
+                    from distributed_video_analytics_flink_spark.sources.avi import probe_avi
+
+                    try:
+                        meta = probe_avi(b)
+                    except AviError:
                         meta = dict.fromkeys(
                             ("duration_s", "width", "height", "n_frames", "codec", "fps")
                         )

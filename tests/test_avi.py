@@ -1,0 +1,139 @@
+"""Raw-DIB AVI decode: the second codec-free REAL video container for S4
+(VERDICT r5 task 6). Pins (a) the RIFF header/chunk parse and bottom-up
+padded-row frame decode, (b) the encode->decode roundtrip being
+byte-exact, (c) the golden end-to-end: real AVI bytes on disk ->
+binaryFile scan -> decode -> motion boxes IDENTICAL to the Y4M twin fed
+the same pixels, and (d) PERMISSIVE handling of corrupt/compressed files.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from distributed_video_analytics_flink_spark.operators.video import detect_motion_batch
+from distributed_video_analytics_flink_spark.sources.avi import (
+    AviError,
+    decode_avi,
+    encode_avi,
+    is_avi,
+    parse_avi_header,
+    probe_avi,
+)
+from distributed_video_analytics_flink_spark.sources.video_files import (
+    read_video_files,
+    video_container_metadata,
+)
+from distributed_video_analytics_flink_spark.sources.y4m import decode_y4m, encode_y4m
+from tests.test_y4m import _square_planes
+
+
+def _bgr_square_frames(h, w, xs, side):
+    """Black background, white square at (8, x) — BGR twin of the Y4M
+    fixture's _square_planes."""
+    frames = []
+    for x in xs:
+        f = np.zeros((h, w, 3), np.uint8)
+        f[8 : 8 + side, x : x + side, :] = 255
+        frames.append(f)
+    return frames
+
+
+def test_header_parse_and_roundtrip():
+    frames = _bgr_square_frames(48, 62, [0, 16], 24)  # 62*3=186 -> stride 188
+    data = encode_avi(frames, fps=25)
+    assert is_avi(data)
+    hdr = parse_avi_header(data)
+    assert (hdr.width, hdr.height) == (62, 48)
+    assert hdr.fps == 25.0
+    assert hdr.stride == 188  # rows pad to 4 bytes
+    assert not hdr.top_down
+
+    hdr2, out = decode_avi(data)
+    decoded = list(out)
+    assert len(decoded) == 2
+    for got, want in zip(decoded, frames):
+        assert np.array_equal(got, want)  # byte-exact roundtrip
+
+
+def test_truncated_tail_and_frame_cap():
+    frames = _bgr_square_frames(16, 16, [0, 4, 8], 6)
+    data = encode_avi(frames)
+    _, capped = decode_avi(data, max_frames=2)
+    assert len(list(capped)) == 2
+    # chop mid-final-frame: the short chunk ends the stream, no raise
+    _, trunc = decode_avi(data[:-100])
+    assert len(list(trunc)) == 2
+
+
+def test_rejects_corrupt_and_compressed():
+    with pytest.raises(AviError):
+        parse_avi_header(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(AviError):
+        parse_avi_header(b"RIFF" + b"\xff\xff\xff\xff" + b"AVI " + b"\x00" * 64)
+    # a compressed (non-BI_RGB) strf must be refused, not mis-decoded
+    data = bytearray(encode_avi(_bgr_square_frames(16, 16, [0], 6)))
+    strf_at = bytes(data).find(b"strf")
+    data[strf_at + 8 + 16 : strf_at + 8 + 20] = b"MJPG"  # biCompression
+    with pytest.raises(AviError):
+        parse_avi_header(bytes(data))
+
+
+def test_probe_avi():
+    frames = _bgr_square_frames(32, 48, [0, 8, 16, 24], 8)
+    meta = probe_avi(encode_avi(frames, fps=10))
+    assert meta["n_frames"] == 4
+    assert meta["codec"] == "avi/rawbgr"
+    assert (meta["width"], meta["height"]) == (48.0, 32.0)
+    assert meta["duration_s"] == pytest.approx(0.4)
+
+
+def test_avi_motion_boxes_identical_to_y4m_twin(spark, tmp_path):
+    """The golden parity gate: build a Y4M of the jumping white square,
+    decode it, re-encode the DECODED BGR frames as a raw AVI — both files
+    now carry pixel-identical frames — and assert the motion pipeline
+    emits exactly the same boxes for both containers."""
+    side, h, w = 48, 480, 640
+    xs = [96 * i for i in range(5)]
+    y4m_bytes = encode_y4m([_square_planes(h, w, x, side) for x in xs])
+    _, decoded = decode_y4m(y4m_bytes)
+    (tmp_path / "cam7.y4m").write_bytes(y4m_bytes)
+    (tmp_path / "cam7avi.avi").write_bytes(encode_avi(list(decoded)))
+
+    df = read_video_files(spark, str(tmp_path))
+    out = detect_motion_batch(df).orderBy("camId", "ts_us").collect()
+    per_cam = {}
+    for r in out:
+        per_cam.setdefault(r["camId"], []).append(
+            (r["ts_us"], r["detection_count"], sorted(map(tuple, r["motion_boxes"])))
+        )
+    assert set(per_cam) == {"cam7", "cam7avi"}
+    assert per_cam["cam7"] == per_cam["cam7avi"], "containers diverged"
+    assert [d for _, d, _ in per_cam["cam7avi"]] == [0, 2, 2, 2, 2]
+
+
+def test_avi_resize_path(spark, tmp_path):
+    """A 320x240 AVI is bicubic-resized to the 640x480 pipeline dims inside
+    the source, same as the Y4M path."""
+    (tmp_path / "small.avi").write_bytes(
+        encode_avi(_bgr_square_frames(240, 320, [32], 24))
+    )
+    [row] = read_video_files(spark, str(tmp_path), glob="*.avi").collect()
+    import base64
+
+    px = np.frombuffer(base64.b64decode(row["data"]), np.uint8).reshape(480, 640, 3)
+    assert (px[40, 88] > 200).all()
+    assert (px[400, 600] < 30).all()
+
+
+def test_metadata_scan_covers_avi(spark, tmp_path):
+    (tmp_path / "a.avi").write_bytes(encode_avi(_bgr_square_frames(32, 48, [0, 8], 8)))
+    (tmp_path / "junk.avi").write_bytes(b"RIFF\x10\x00\x00\x00AVI LIST")
+    meta = {
+        r["camId"]: r
+        for r in video_container_metadata(spark, str(tmp_path), glob="*.avi").collect()
+    }
+    assert meta["a"]["codec"] == "avi/rawbgr"
+    assert meta["a"]["n_frames"] == 2
+    assert meta["a"]["fps"] == 30.0
+    assert meta["junk"]["codec"] is None  # corrupt header -> nulls, no failure
