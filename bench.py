@@ -113,6 +113,7 @@ HEADLINE = [
     # round 6: skew-proof semantic near-dup edge generation + refined PQ
     "sim_neardup_pairs_bucketed",
     "emb_pq_codes_refined",
+    "emb_pq_adc_topk_refined",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

@@ -1721,10 +1721,62 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "emb_pq_codes_refined",
-    oracle=f"""
-    WITH cents AS (
+def _pq_refined_codebook(emb: DataFrame):
+    """(CT0, CT1): the seeded PQ codebook and its one-Lloyd-round
+    refinement, both (subspace, centroid, dim) tensors. The E-step is a
+    zero-shuffle Arrow map; the M-step is a partial-aggregable groupBy
+    producing one row per (subspace, centroid, dim) — vector-count
+    independent — whose result returns to the driver as a tiny constant.
+    Empty cells keep their seed centroid (standard Lloyd)."""
+    import numpy as np
+
+    seed_rows = (
+        emb.filter(F.col("vec_id").between(1, _PQ_K))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    C = np.asarray(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows]
+    ).reshape(_PQ_K, _PQ_SUBSPACES, 16)
+    CT0 = np.transpose(C, (1, 0, 2))  # (s, j, d)
+
+    @F.pandas_udf("array<int>")
+    def _assign0(embs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in embs]).reshape(
+            len(embs), _PQ_SUBSPACES, 16
+        )
+        D = _np_q((X[:, :, None, :] - CT0[None, :, :, :]) ** 2 * _Q).sum(axis=3)
+        return pd.Series(list(D.argmin(axis=2).astype(np.int32)))
+
+    # M-step: distributed exact-integer per-(subspace, centroid, dim) means
+    mstep = (
+        emb.select("embedding", _assign0("embedding").alias("codes0"))
+        .select("codes0", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            F.expr("CAST(pos DIV 16 AS INT)").alias("s"),
+            F.expr("codes0[CAST(pos DIV 16 AS INT)]").alias("j"),
+            F.expr("CAST(pos % 16 AS INT)").alias("i"),
+            F.expr("CAST(round(val * 1e6) AS BIGINT)").alias("qv"),
+        )
+        .groupBy("s", "j", "i")
+        .agg(F.sum("qv").alias("sq"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    CT1 = CT0.copy()  # empty cells keep their seed centroid
+    for r in mstep:
+        CT1[r["s"], r["j"], r["i"]] = r["sq"] / 1e6 / r["n"]
+    return CT0, CT1
+
+
+# Shared oracle fragment: one Lloyd refinement round over the PQ
+# codebook — seeded assignment (d0/a0), exact-integer M-step (m), the
+# refined codebook with empty cells keeping their seed (c1), and
+# re-assignment under it (d1/a1). Used by emb_pq_codes_refined (training
+# audit) and emb_pq_adc_topk_refined (serving path), so both pin the SAME
+# refinement arithmetic.
+_DUCK_PQ_REFINED = f"""
+    cents AS (
       SELECT vec_id - 1 AS j, embedding AS cv FROM embeddings
       WHERE vec_id BETWEEN 1 AND {_PQ_K}
     ),
@@ -1778,7 +1830,13 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, j)
                  AS rn
         FROM d1) WHERE rn = 1
-    )
+    )"""
+
+
+@query(
+    "emb_pq_codes_refined",
+    oracle=f"""
+    WITH {_DUCK_PQ_REFINED}
     SELECT CAST(a0.s AS INT) AS s,
            CAST(SUM(a0.dist) AS BIGINT) AS seeded_err_q,
            CAST(SUM(a1.dist) AS BIGINT) AS refined_err_q,
@@ -1807,50 +1865,13 @@ def emb_pq_codes_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles one row per (subspace, centroid, dim) partial aggregate
     (= {_PQ_SUBSPACES} x {_PQ_K} x 16 rows, vector-count independent),
     and the refined codebook returns to the driver as a tiny constant
-    feeding the next map. Further Lloyd rounds and the `emb_pq_adc_topk`
-    serving path compose from the same two stages, nothing grows."""
+    feeding the next map. Further Lloyd rounds and the
+    `emb_pq_adc_topk_refined` serving path compose from the same two
+    stages, nothing grows."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
-    seed_rows = (
-        emb.filter(F.col("vec_id").between(1, _PQ_K))
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    )
-    C = np.asarray(
-        [np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows]
-    ).reshape(_PQ_K, _PQ_SUBSPACES, 16)
-    CT0 = np.transpose(C, (1, 0, 2))  # (s, j, d)
-
-    @F.pandas_udf("array<int>")
-    def _assign0(embs: pd.Series) -> pd.Series:
-        X = np.asarray([np.asarray(v, dtype=np.float64) for v in embs]).reshape(
-            len(embs), _PQ_SUBSPACES, 16
-        )
-        D = _np_q((X[:, :, None, :] - CT0[None, :, :, :]) ** 2 * _Q).sum(axis=3)
-        return pd.Series(list(D.argmin(axis=2).astype(np.int32)))
-
-    # E-step feeds both the M-step and nothing else; the re-encode pass
-    # rescans the raw embeddings, so no checkpoint is needed here.
-    assigned = emb.select("embedding", _assign0("embedding").alias("codes0"))
-
-    # M-step: distributed exact-integer per-(subspace, centroid, dim) means
-    mstep = (
-        assigned.select("codes0", F.posexplode("embedding").alias("pos", "val"))
-        .select(
-            F.expr("CAST(pos DIV 16 AS INT)").alias("s"),
-            F.expr("codes0[CAST(pos DIV 16 AS INT)]").alias("j"),
-            F.expr("CAST(pos % 16 AS INT)").alias("i"),
-            F.expr("CAST(round(val * 1e6) AS BIGINT)").alias("qv"),
-        )
-        .groupBy("s", "j", "i")
-        .agg(F.sum("qv").alias("sq"), F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    CT1 = CT0.copy()  # empty cells keep their seed centroid
-    for r in mstep:
-        CT1[r["s"], r["j"], r["i"]] = r["sq"] / 1e6 / r["n"]
+    CT0, CT1 = _pq_refined_codebook(emb)
 
     @F.pandas_udf("sd: array<long>, rd: array<long>, mv: array<int>")
     def _both(embs: pd.Series) -> pd.DataFrame:
@@ -1875,6 +1896,58 @@ def emb_pq_codes_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("improved", F.col("refined_err_q") <= F.col("seeded_err_q"))
         .orderBy("s")
+    )
+
+
+@query(
+    "emb_pq_adc_topk_refined",
+    oracle=f"""
+    WITH {_DUCK_PQ_REFINED},
+    qtab AS (SELECT s, j, dist FROM d1 WHERE vec_id = 0)
+    SELECT a1.vec_id, CAST(SUM(q.dist) AS BIGINT) AS adc_dist_q
+    FROM a1 JOIN qtab q ON q.s = a1.s AND q.j = a1.j
+    WHERE a1.vec_id <> 0
+    GROUP BY a1.vec_id
+    ORDER BY adc_dist_q ASC, vec_id ASC
+    LIMIT 5
+    """,
+)
+def emb_pq_adc_topk_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search served from the LLOYD-REFINED
+    codebook — `emb_pq_adc_topk` upgraded with `emb_pq_codes_refined`'s
+    training round, the production pairing (train the codebook, then
+    serve from it). The query's 64-integer distance table and every
+    database vector's 4 code lookups now both come from the refined
+    centroids; the shared refinement CTE pins the Spark and DuckDB sides
+    to identical training arithmetic.
+
+    Scale: identical to the seeded serving path — training cost is one
+    extra groupBy whose output is vector-count independent; serving stays
+    a zero-shuffle code scan + per-partition top-k heap."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, CT1 = _pq_refined_codebook(emb)
+    qv = np.asarray(
+        emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]["embedding"],
+        dtype=np.float64,
+    ).reshape(_PQ_SUBSPACES, 16)
+    qtab = _np_q((qv[:, None, :] - CT1) ** 2 * _Q).sum(axis=2)  # (s, j)
+
+    @F.pandas_udf("long")
+    def _adc(embs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in embs]).reshape(
+            len(embs), _PQ_SUBSPACES, 16
+        )
+        D = _np_q((X[:, :, None, :] - CT1[None, :, :, :]) ** 2 * _Q).sum(axis=3)
+        codes = D.argmin(axis=2)  # (n, s)
+        return pd.Series(qtab[np.arange(_PQ_SUBSPACES)[None, :], codes].sum(axis=1))
+
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", _adc("embedding").alias("adc_dist_q"))
+        .orderBy(F.asc("adc_dist_q"), F.asc("vec_id"))
+        .limit(5)
     )
 
 
