@@ -114,6 +114,7 @@ HEADLINE = [
     "sim_neardup_pairs_bucketed",
     "emb_pq_codes_refined",
     "emb_pq_adc_topk_refined",
+    "join_product_profit",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

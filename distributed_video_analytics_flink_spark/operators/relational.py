@@ -2766,3 +2766,58 @@ def agg_mode_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "join_product_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+               - CAST(round(p_retailprice * 100) AS BIGINT)
+               * CAST(round(l_quantity * 100) AS BIGINT)) / 10000.0
+             AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, o_year
+    ORDER BY nation ASC, o_year DESC
+    """,
+)
+def join_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analog: product-line profit by supplying nation and order
+    year. The testdata has no partsupp table, so supply cost is proxied by
+    the part's retail price per unit (the join/aggregation SHAPE — the
+    thing Q9 exercises — is unchanged; only the cost coefficient differs).
+    Both profit terms are exact integers in dollars x 1e-4, so the sum is
+    order-independent and hash-stable.
+
+    Scale: lineitem is the single fact; part (name-filtered BEFORE the
+    join — a semi-reduction that also prunes the fact via the join),
+    supplier, and nation broadcast; orders joins on the fact's own
+    orderkey, the one unavoidable fact-sized shuffle. The group key
+    (nation, year) is tiny, so the final aggregate is map-side-combined
+    almost to nothing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    qty_h = F.round(F.col("l_quantity") * 100).cast("long")
+    profit_u = cents("l_extendedprice") * _disc_bp() - cents("p_retailprice") * qty_h
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(profit_u) / 10000.0).alias("profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )

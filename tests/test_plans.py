@@ -453,3 +453,11 @@ def test_train_split_dupes_never_straddle(spark):
     assert per_text.filter(F.col("n_splits") > 1).count() == 0
     # and the corpus actually HAS duplicates, so the property is non-vacuous
     assert per_text.filter(F.col("n") > 1).count() > 0
+
+
+def test_product_profit_broadcasts_dimensions(spark):
+    """Q9 analog: part/supplier/nation are hint-broadcast; no dimension
+    may fall to a sort-merge exchange at this asymmetry."""
+    joins = join_strategies(_q(spark, "join_product_profit"))
+    assert len(joins) == 4
+    assert all(j == "BroadcastHashJoin" for j in joins)
