@@ -828,12 +828,12 @@ def sim_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bucketed(emb, planes, k=3)
 
 
-def _load_knn_planes(spark: SparkSession, sf_dir: str) -> list:
+def _load_knn_planes(spark: SparkSession, sf_dir: str, n: int = _KNN_BUCKET_PLANES) -> list:
     """The deterministic hyperplane set shared by every bucketed block key:
-    embeddings 1..{n} (same convention as sim_ann_lsh's plane choice)."""
+    embeddings 1..n (same convention as sim_ann_lsh's plane choice)."""
     emb = load_table(spark, sf_dir, "embeddings")
     rows = (
-        emb.filter(F.col("vec_id").between(1, _KNN_BUCKET_PLANES))
+        emb.filter(F.col("vec_id").between(1, n))
         .orderBy("vec_id")
         .select("embedding")
         .collect()
@@ -841,31 +841,37 @@ def _load_knn_planes(spark: SparkSession, sf_dir: str) -> list:
     return [r["embedding"] for r in rows]
 
 
-# Shared oracle fragment: the (label x LSH-bucket) blocked near-dup pair
-# set — verbatim the buckets CTE sim_knn_bucketed's oracle uses, so the
-# pair generator and the k-NN generator are pinned to the same blocking.
-_DUCK_BUCKETED_PAIRS = f"""
-    planes AS (
+def _duck_bucketed_pairs_sql(lo: int, hi: int, suffix: str = "") -> str:
+    """The (label x LSH-bucket) blocked near-dup pair CTEs for the plane
+    set embeddings ``lo..hi`` — the same buckets CTE sim_knn_bucketed's
+    oracle uses, so every bucketed generator is pinned to one blocking.
+    ``suffix`` disambiguates CTE names when several plane sets compose
+    into one query (the multiband union)."""
+    return f"""
+    planes{suffix} AS (
       SELECT vec_id AS plane_id, embedding AS pv FROM embeddings
-      WHERE vec_id BETWEEN 1 AND {_KNN_BUCKET_PLANES}
+      WHERE vec_id BETWEEN {lo} AND {hi}
     ),
-    buckets AS (
+    buckets{suffix} AS (
       SELECT e.vec_id, e.label, e.embedding,
              CAST(SUM(CASE WHEN {_duck_dot_q("e.embedding", "p.pv")} > 0
-                      THEN 1 << (p.plane_id - 1) ELSE 0 END) AS BIGINT) AS bucket
-      FROM embeddings e, planes p
+                      THEN 1 << (p.plane_id - {lo}) ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings e, planes{suffix} p
       GROUP BY e.vec_id, e.label, e.embedding
     ),
-    pairs AS (
+    pairs{suffix} AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label, a.bucket,
              {_duck_cos_q(
                  _duck_dot_q("a.embedding", "b.embedding"),
                  _duck_dot_q("a.embedding", "a.embedding"),
                  _duck_dot_q("b.embedding", "b.embedding"),
              )} AS cosine
-      FROM buckets a JOIN buckets b
+      FROM buckets{suffix} a JOIN buckets{suffix} b
         ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     )"""
+
+
+_DUCK_BUCKETED_PAIRS = _duck_bucketed_pairs_sql(1, _KNN_BUCKET_PLANES)
 
 
 @query(
@@ -891,6 +897,41 @@ def sim_neardup_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the exact recall baseline this variant is measured against."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     return neardup_pairs_bucketed(emb, _load_knn_planes(spark, sf_dir), threshold=0.35)
+
+
+@query(
+    "sim_neardup_pairs_multiband",
+    oracle=f"""
+    WITH {_duck_bucketed_pairs_sql(1, 2, "_s1")},
+    {_duck_bucketed_pairs_sql(3, 4, "_s2")}
+    SELECT vec_a, vec_b, label, cosine FROM pairs_s1 WHERE cosine >= 0.35
+    UNION
+    SELECT vec_a, vec_b, label, cosine FROM pairs_s2 WHERE cosine >= 0.35
+    """,
+)
+def sim_neardup_pairs_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall recovery for the bucketed near-dup generator — the
+    multi-plane-set union its docstring prescribes: TWO independent
+    hyperplane sets (embeddings 1-2 and 3-4) each run the bounded
+    label x bucket pair pass, and the edge sets union with DISTINCT (a
+    pair caught by both sets carries the identical exact-integer cosine,
+    so UNION dedups it). A true pair is missed only if the two vectors
+    split in EVERY set — miss probability decays geometrically with the
+    number of sets — while per-task work stays the bucketed bound per
+    pass. This is the standard banding trade (same mechanism as
+    dedup_minhash_lsh_pairs' b bands): sets multiply recall, planes per
+    set divide block size.
+
+    Scale: each pass is the proven bounded shape (one shuffle on its own
+    block key); the union's DISTINCT shuffles only (vec_a, vec_b, label,
+    cosine) edge tuples, never embeddings. tests/test_neardup_bucketed.py
+    pins multiband ⊇ each single set."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    planes = _load_knn_planes(spark, sf_dir, n=4)
+    cols = ["vec_a", "vec_b", "label", "cosine"]
+    p1 = neardup_pairs_bucketed(emb, planes[0:2], threshold=0.35).select(cols)
+    p2 = neardup_pairs_bucketed(emb, planes[2:4], threshold=0.35).select(cols)
+    return p1.union(p2).distinct()
 
 
 @query(

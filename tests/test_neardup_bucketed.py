@@ -107,3 +107,22 @@ def test_bucketed_pairs_match_bruteforce(spark):
     )
     got = out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()), exp, check_exact=True)
+
+
+def test_multiband_union_is_superset_of_each_set(spark):
+    """Recall recovery: the multiband union must contain every pair either
+    single plane set finds (and, on this fixture, strictly more than one
+    set alone — otherwise the union is vacuous)."""
+    V, labels, planes = _make_data()
+    df = _spark_df(spark, V, labels)
+    sets = [planes[0:2], planes[1:3]]
+    singles = []
+    for ps in sets:
+        out = neardup_pairs_bucketed(df, [p.tolist() for p in ps], threshold=THRESHOLD)
+        singles.append({(r.vec_a, r.vec_b) for r in out.collect()})
+    union = singles[0] | singles[1]
+    assert singles[0] != union or singles[1] != union, (
+        "fixture degenerate: both plane sets found identical pairs"
+    )
+    for s in singles:
+        assert s <= union
