@@ -115,6 +115,8 @@ HEADLINE = [
     "emb_pq_codes_refined",
     "emb_pq_adc_topk_refined",
     "join_product_profit",
+    "sim_neardup_pairs_multiband",
+    "agg_correlation_portable",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

@@ -2821,3 +2821,62 @@ def join_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(profit_u) / 10000.0).alias("profit"))
         .orderBy(F.asc("nation"), F.desc("o_year"))
     )
+
+
+@query(
+    "agg_correlation_portable",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag,
+             CAST(CAST(round(l_quantity * 100) AS BIGINT) AS HUGEINT) AS x,
+             CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM t GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             / sqrt(CAST(n * syy - sy * sy AS DOUBLE) ) AS corr_qty_price
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def agg_correlation_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation (quantity vs extended price per return flag)
+    from EXACT integer second moments: corr = (nSxy - SxSy) /
+    sqrt(nSxx - Sx^2) / sqrt(nSyy - Sy^2), where every S accumulates
+    integer cents on 128-bit decimals (per-term cast BEFORE the SUM —
+    the events_anomaly_zscore discipline) and floats appear only in the
+    final three-operation division, computed in the same order on both
+    engines. Spark's built-in corr() accumulates doubles, so its last
+    ulp depends on partition order — it could never be driver-hashed.
+
+    Scale: one partial-aggregable groupBy (map-side combine collapses
+    each partition to 6 numbers per flag); the moment products n*Sxy etc.
+    ride decimal(38,0), which caps at ~10^38 — beyond ~10^15 rows of
+    cent-scaled pairs shard the key space first (same ceiling note as
+    events_anomaly_zscore)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    cx = cents("l_quantity")
+    cy = cents("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(cx.cast(dec)).alias("sx"),
+        F.sum(cy.cast(dec)).alias("sy"),
+        F.sum((cx * cx).cast(dec)).alias("sxx"),
+        F.sum((cy * cy).cast(dec)).alias("syy"),
+        F.sum((cx * cy).cast(dec)).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        (num / F.sqrt(vx) / F.sqrt(vy)).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
