@@ -137,3 +137,28 @@ def test_metadata_scan_covers_avi(spark, tmp_path):
     assert meta["a"]["n_frames"] == 2
     assert meta["a"]["fps"] == 30.0
     assert meta["junk"]["codec"] is None  # corrupt header -> nulls, no failure
+
+
+def test_avi_python_datasource(spark, tmp_path):
+    """Spark 4 Python Data Source: spark.read.format('avi') yields the
+    same wire-format frames as read_video_files (one partition per file)
+    and feeds the motion pipeline unchanged."""
+    from distributed_video_analytics_flink_spark.sources.avi_datasource import (
+        register_avi_source,
+    )
+
+    side, h, w = 48, 480, 640
+    xs = [96 * i for i in range(5)]
+    frames = _bgr_square_frames(h, w, xs, side)
+    (tmp_path / "cam7.avi").write_bytes(encode_avi(frames))
+    (tmp_path / "cam8.avi").write_bytes(encode_avi(frames[:3]))
+
+    register_avi_source(spark)
+    df = spark.read.format("avi").load(str(tmp_path))
+    assert df.rdd.getNumPartitions() == 2  # one per file
+    rows = df.collect()
+    assert {r["camId"] for r in rows} == {"cam7", "cam8"}
+    assert len(rows) == 8
+
+    out = detect_motion_batch(df.filter(df.camId == "cam7")).orderBy("ts_us").collect()
+    assert [r["detection_count"] for r in out] == [0, 2, 2, 2, 2]
