@@ -461,3 +461,47 @@ def test_product_profit_broadcasts_dimensions(spark):
     joins = join_strategies(_q(spark, "join_product_profit"))
     assert len(joins) == 4
     assert all(j == "BroadcastHashJoin" for j in joins)
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    """100 TB scan-reduction insurance: when a filtered dimension is too
+    big to broadcast (simulated by disabling broadcast), Spark must inject
+    a runtime bloom filter built from the dimension's join keys and apply
+    it as a might_contain() predicate on the fact scan — the shuffle-join
+    analog of broadcast pruning. The application-side size threshold is
+    lowered to stand in for a 100 TB fact table (default gate: 10 GB scan;
+    the sf0.001 fixture would never cross it)."""
+    from distributed_video_analytics_flink_spark.operators.relational import load_table
+    from pyspark.sql import functions as F
+
+    saved = {}
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    for k, v in overrides.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset conf
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF, "lineitem")
+        part = load_table(spark, SF, "part").filter(F.col("p_name").like("%widget%"))
+        df = (
+            li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+            .groupBy("p_brand")
+            .count()
+        )
+        plan = formatted_plan(df)
+        assert "might_contain" in plan, "no runtime bloom filter on the fact scan"
+        assert "bloom_filter_agg" in plan, "no bloom build on the dimension side"
+        # sanity: the join really is non-broadcast in this configuration
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
