@@ -117,6 +117,7 @@ HEADLINE = [
     "join_product_profit",
     "sim_neardup_pairs_multiband",
     "agg_correlation_portable",
+    "events_ema_smoothed",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

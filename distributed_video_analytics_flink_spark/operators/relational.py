@@ -2880,3 +2880,44 @@ def agg_correlation_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         (num / F.sqrt(vx) / F.sqrt(vy)).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "events_ema_smoothed",
+    oracle="""
+    SELECT user_id, CAST(len(l) AS INT) AS n_events,
+           list_reduce(l, (acc, x) -> 0.5 * x + 0.5 * acc) AS ema_value
+    FROM (SELECT user_id, list(value ORDER BY ts, event_id) AS l
+          FROM events GROUP BY user_id)
+    ORDER BY user_id
+    """,
+)
+def events_ema_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average (alpha = 0.5) of each user's event
+    values in time order — the order-DEPENDENT recurrence (ema_t =
+    a*x_t + (1-a)*ema_{t-1}) that no commutative aggregate can express.
+    The portable shape: collect the per-key sequence sorted on the full
+    deterministic key (ts, event_id tie-break), then fold it with
+    Catalyst's higher-order aggregate() — a codegen'd lambda, no Python.
+    Both engines run the IDENTICAL left fold over the identical order
+    with exact-in-binary alpha = 0.5, so the float result is
+    bit-reproducible and driver-hashable (a window-based running EMA
+    cannot be written in SQL at all without recursion; built-in float
+    aggs wouldn't hash).
+
+    Scale: one shuffle on user_id; the fold runs inside the row, bounded
+    by per-key history length — right for bounded sequences (sessions,
+    per-entity logs). Unbounded streams move the same recurrence into
+    applyInPandasWithState, carrying ema as the state value."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias("s")
+    )
+    ema = F.aggregate(
+        F.col("s"),
+        F.lit(None).cast("double"),
+        lambda acc, x: F.coalesce(0.5 * x["value"] + 0.5 * acc, x["value"]),
+    )
+    return seq.select(
+        "user_id", F.size("s").alias("n_events"), ema.alias("ema_value")
+    ).orderBy("user_id")
