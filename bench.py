@@ -118,6 +118,7 @@ HEADLINE = [
     "sim_neardup_pairs_multiband",
     "agg_correlation_portable",
     "events_ema_smoothed",
+    "graph_triangle_count",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

@@ -2129,3 +2129,105 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("adc_dist_q"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             {_duck_cos_q(
+                 _duck_dot_q("a.embedding", "b.embedding"),
+                 _duck_dot_q("a.embedding", "a.embedding"),
+                 _duck_dot_q("b.embedding", "b.embedding"),
+             )} AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    knn AS (
+      SELECT va, vb FROM (
+        SELECT va, vb,
+               ROW_NUMBER() OVER (PARTITION BY va
+                                  ORDER BY cosine DESC, vb ASC) AS rn
+        FROM scored) WHERE rn <= 3
+    ),
+    und AS (
+      SELECT LEAST(va, vb) AS u, GREATEST(va, vb) AS v FROM knn GROUP BY 1, 2
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+      GROUP BY node
+    ),
+    agg AS (
+      SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+             (SELECT COUNT(*) FROM und) AS n_edges,
+             (SELECT SUM(d * (d - 1) // 2) FROM deg) AS n_wedges,
+             (SELECT COUNT(*) FROM und e1
+              JOIN und e2 ON e1.v = e2.u
+              JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_wedges AS BIGINT) AS n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           CAST(3 * n_triangles AS DOUBLE) / n_wedges AS clustering_coeff
+    FROM agg
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the semantic
+    k-NN graph (k=3 per vector within label blocks — `sim_label_knn`'s
+    edge set, undirected and deduped). Triangles measure how clique-like
+    the near-duplicate neighborhoods are: a high coefficient means dup
+    CLUSTERS (transitive groups a keep-one pass can drop together), a
+    low one means chains of borderline pairs — the QA metric for
+    semantic-dedup threshold tuning. Counting is the classic two-join
+    form: wedges e1(u,v)+e2(v,w) close with e3(u,w); the u<v<w
+    orientation from LEAST/GREATEST counts each triangle exactly once.
+
+    Scale: edges come from the bounded k-NN generator (k per node, so
+    |E| <= k|V| and the wedge join fans out <= k per edge — no
+    quadratic blowup; for power-law graphs the standard hardening is
+    degree-ordered orientation, same join shape). Two shuffles: the
+    wedge join on the shared vertex, the closure join on (u, w).
+    Wedge/triangle totals are exact integers; the coefficient is one
+    division of exact integers, bit-stable on both engines."""
+    knn = sim_label_knn(spark, sf_dir)
+    und = (
+        knn.select(
+            F.least("vec_id", "neighbor_id").alias("u"),
+            F.greatest("vec_id", "neighbor_id").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # reused by deg, e1, e2, e3
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    nodes_edges = und.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+    )
+    wedges = deg.agg(F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"))
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        nodes_edges.crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            ((3 * F.col("n_triangles")).cast("double") / F.col("n_wedges")).alias(
+                "clustering_coeff"
+            ),
+        )
+    )
