@@ -348,6 +348,19 @@ def sim_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     choice as the oracle's ORDER BY cosine DESC, cent_id ASC tie-break,
     since centroids are scanned in cent_id order and all arithmetic is
     bit-identical."""
+    return (
+        ivf_assignments(spark, sf_dir)
+        .groupBy("cent_id")
+        .agg(F.count(F.lit(1)).alias("cell_size"))
+    )
+
+
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector IVF cell assignment (vec_id, cent_id, embedding) — the
+    table an IVF index materializes `partitionBy("cent_id")` so probe
+    search prunes whole partitions at the scan
+    (tests/test_ivf_at_rest.py pins the pruning on real parquet);
+    sim_ivf_cells aggregates it into the cell histogram."""
     emb = load_table(spark, sf_dir, "embeddings")
     cent_rows = (
         emb.filter(F.col("vec_id") < 10).orderBy("vec_id").select("embedding").collect()
@@ -363,11 +376,7 @@ def sim_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         cos = dots / (vnorm_sqrt[:, None] * cnorm_sqrt[None, :])
         return pd.Series(np.argmax(cos, axis=1).astype(np.int32))
 
-    return (
-        emb.select(_nearest("embedding").alias("cent_id"))
-        .groupBy("cent_id")
-        .agg(F.count(F.lit(1)).alias("cell_size"))
-    )
+    return emb.select("vec_id", "embedding", _nearest("embedding").alias("cent_id"))
 
 
 _N_PROBE = 3
