@@ -807,3 +807,52 @@ def test_stream_anomaly_matches_batch(spark, tmp_path):
         for r in QUERIES["events_anomaly_zscore"].fn(spark, ORACLE_SF_DIR).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_ema_matches_batch(spark, tmp_path):
+    """The state-carried EMA replayed in event-time order across multiple
+    micro-batches must land on exactly the batch fold's per-user values
+    (same deterministic order, same exact-in-binary alpha)."""
+    from distributed_video_analytics_flink_spark.operators import QUERIES
+    from distributed_video_analytics_flink_spark.sources.tables import load_table
+    from distributed_video_analytics_flink_spark.streaming.ema import ema_stream
+    from tests.conftest import ORACLE_SF_DIR
+
+    events = load_table(spark, ORACLE_SF_DIR, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+    # two event-time halves, appended sequentially so micro-batch order
+    # respects event-time order (the recurrence's cross-batch contract)
+    first = events.filter(F.col("ts") <= F.lit("2024-02-01"))
+    second = events.filter(F.col("ts") > F.lit("2024-02-01"))
+    data_dir = tmp_path / "ev"
+    first.coalesce(1).write.json(str(data_dir))
+
+    stream = spark.readStream.schema(events.schema).json(str(data_dir))
+    q = (
+        ema_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ema_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    second.coalesce(1).write.mode("append").json(str(data_dir))
+    q.processAllAvailable()
+    q.stop()
+
+    # last update per user wins (the keyed-upsert read of update mode)
+    updates = spark.sql(
+        "SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY n_events DESC) rn FROM ema_stream) WHERE rn = 1"
+    ).collect()
+    got = {r["user_id"]: (r["n_events"], r["ema_value"]) for r in updates}
+    want = {
+        r["user_id"]: (r["n_events"], r["ema_value"])
+        for r in QUERIES["events_ema_smoothed"].fn(spark, ORACLE_SF_DIR).collect()
+    }
+    assert len(want) > 0 and set(got) == set(want)
+    for uid, (n, ema) in want.items():
+        assert got[uid] == (n, ema), f"user {uid}: stream {got[uid]} != batch {(n, ema)}"
