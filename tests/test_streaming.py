@@ -10,6 +10,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from distributed_video_analytics_flink_spark.operators.video import (
@@ -856,3 +857,67 @@ def test_stream_ema_matches_batch(spark, tmp_path):
     assert len(want) > 0 and set(got) == set(want)
     for uid, (n, ema) in want.items():
         assert got[uid] == (n, ema), f"user {uid}: stream {got[uid]} != batch {(n, ema)}"
+
+
+def test_stream_ema_state_survives_restart(spark, tmp_path):
+    """Kill the EMA query between micro-batches and restart from the same
+    checkpoint: the carried (ema, n) state must survive, so the resumed
+    stream still lands exactly on the batch fold — the K4 restart
+    contract applied to the recurrence operator."""
+    from distributed_video_analytics_flink_spark.operators import QUERIES
+    from distributed_video_analytics_flink_spark.sources.tables import load_table
+    from distributed_video_analytics_flink_spark.streaming.ema import ema_stream
+    from tests.conftest import ORACLE_SF_DIR
+
+    events = load_table(spark, ORACLE_SF_DIR, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    data_dir, ck = str(tmp_path / "ev"), str(tmp_path / "ck")
+    events.filter(F.col("ts") <= F.lit("2024-02-01")).coalesce(1).write.json(data_dir)
+
+    out_dir = str(tmp_path / "out")
+
+    def _start():
+        # memory sink refuses checkpoint recovery; foreachBatch + parquet
+        # append is the recoverable shape (same as the results sink)
+        stream = spark.readStream.schema(events.schema).json(data_dir)
+        return (
+            ema_stream(stream)
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    q = _start()
+    q.processAllAvailable()
+    q.stop()  # hard stop between batches
+
+    events.filter(F.col("ts") > F.lit("2024-02-01")).coalesce(1).write.mode(
+        "append"
+    ).json(data_dir)
+    q2 = _start()  # same checkpoint: resumes with carried state
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = {
+        r["user_id"]: (r["n_events"], r["ema_value"])
+        for r in spark.read.parquet(out_dir)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["ema_value"])
+        for r in QUERIES["events_ema_smoothed"].fn(spark, ORACLE_SF_DIR).collect()
+    }
+    assert len(want) > 0
+    for uid, nv in want.items():
+        assert got[uid] == nv, f"user {uid}: resumed {got[uid]} != batch {nv}"
