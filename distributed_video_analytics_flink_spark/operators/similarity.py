@@ -2240,3 +2240,109 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "sim_ivf_pq_topk_refined",
+    oracle=f"""
+    WITH {_DUCK_PQ_REFINED},
+    coarse AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+      WHERE vec_id < 10
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probes AS (
+      SELECT cent_id FROM coarse, q
+      ORDER BY {_duck_cos_q(
+          _duck_dot_q("cv", "qv"),
+          _duck_dot_q("cv", "cv"),
+          _duck_dot_q("qv", "qv"),
+      )} DESC, cent_id ASC
+      LIMIT {_N_PROBE}
+    ),
+    ccos AS (
+      SELECT e.vec_id, c.cent_id,
+             {_duck_cos_q(
+                 _duck_dot_q("e.embedding", "c.cv"),
+                 _duck_dot_q("e.embedding", "e.embedding"),
+                 _duck_dot_q("c.cv", "c.cv"),
+             )} AS ccos
+      FROM embeddings e, coarse c
+    ),
+    assigned AS (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, cent_id ASC) AS rn
+      FROM ccos
+    ),
+    qtab AS (SELECT s, j, dist FROM d1 WHERE vec_id = 0),
+    adc AS (
+      SELECT a1.vec_id, CAST(SUM(qt.dist) AS BIGINT) AS adc_dist_q
+      FROM a1 JOIN qtab qt ON qt.s = a1.s AND qt.j = a1.j
+      GROUP BY a1.vec_id
+    )
+    SELECT a.vec_id, a.adc_dist_q
+    FROM adc a
+    JOIN assigned asg ON asg.vec_id = a.vec_id AND asg.rn = 1
+    JOIN probes p ON p.cent_id = asg.cent_id
+    WHERE a.vec_id <> 0
+    ORDER BY a.adc_dist_q ASC, a.vec_id ASC
+    LIMIT 5
+    """,
+)
+def sim_ivf_pq_topk_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ served from the Lloyd-REFINED subspace codebooks — the full
+    production index build: coarse cells prune the scan (sim_ivf_topk's
+    probing), Lloyd-trained PQ codes score the survivors by ADC lookups
+    (emb_pq_adc_topk_refined's serving path). The shared refinement CTE
+    pins training arithmetic identically on both engines, so the whole
+    composed index — coarse assignment, trained codes, query table,
+    top-5 — is one driver hash.
+
+    Scale: unchanged from sim_ivf_pq_topk — partition-pruned scan of ~1
+    byte/vector codes, one Arrow pass per vector; the training round adds
+    one vector-count-independent groupBy at build time."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 10).orderBy("vec_id").select("embedding").collect()
+    )
+    C = np.asarray([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
+    cn = np.sqrt(_np_q(C * C * _Q).sum(axis=1).astype(np.float64))
+    _, CT1 = _pq_refined_codebook(emb)
+    qv = np.asarray(
+        emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]["embedding"],
+        dtype=np.float64,
+    )
+    qn = float(np.sqrt(_np_q(qv * qv * _Q).sum()))
+    probe_cos = _np_q(C * qv[None, :] * _Q).sum(axis=1) / (cn * qn)
+    order = np.lexsort((np.arange(len(C)), -probe_cos))
+    probes = [int(i) for i in order[:_N_PROBE]]
+    qtab = _np_q((qv.reshape(_PQ_SUBSPACES, 16)[:, None, :] - CT1) ** 2 * _Q).sum(
+        axis=2
+    )
+
+    @F.pandas_udf("struct<cent_id: int, adc_dist_q: long>")
+    def _cell_and_adc(embs: pd.Series) -> pd.DataFrame:
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in embs])
+        vn = np.sqrt(_np_q(V * V * _Q).sum(axis=1).astype(np.float64))
+        ccos = _np_q(V[:, None, :] * C[None, :, :] * _Q).sum(axis=2) / (
+            vn[:, None] * cn[None, :]
+        )
+        X = V.reshape(len(embs), _PQ_SUBSPACES, 16)
+        D = _np_q((X[:, :, None, :] - CT1[None, :, :, :]) ** 2 * _Q).sum(axis=3)
+        codes = D.argmin(axis=2)
+        adc = qtab[np.arange(_PQ_SUBSPACES)[None, :], codes].sum(axis=1)
+        return pd.DataFrame(
+            {"cent_id": np.argmax(ccos, axis=1).astype(np.int32), "adc_dist_q": adc}
+        )
+
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", _cell_and_adc("embedding").alias("s"))
+        .filter(F.col("s.cent_id").isin(probes))
+        .select("vec_id", F.col("s.adc_dist_q").alias("adc_dist_q"))
+        .orderBy(F.asc("adc_dist_q"), F.asc("vec_id"))
+        .limit(5)
+    )
