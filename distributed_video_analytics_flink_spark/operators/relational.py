@@ -2793,8 +2793,12 @@ def join_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     year. The testdata has no partsupp table, so supply cost is proxied by
     the part's retail price per unit (the join/aggregation SHAPE — the
     thing Q9 exercises — is unchanged; only the cost coefficient differs).
-    Both profit terms are exact integers in dollars x 1e-4, so the sum is
-    order-independent and hash-stable.
+    Both profit terms are exact integers in dollars x 1e-4, summed on a
+    128-bit decimal accumulator (per-term cast BEFORE the SUM — the
+    events_anomaly_zscore discipline; a BIGINT accumulator would wrap at
+    ~1e9 rows of ~1e10-magnitude terms while DuckDB auto-promotes to
+    HUGEINT), so the sum is order-independent and hash-stable at any
+    scale.
 
     Scale: lineitem is the single fact; part (name-filtered BEFORE the
     join — a semi-reduction that also prunes the fact via the join),
@@ -2818,7 +2822,7 @@ def join_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg((F.sum(profit_u) / 10000.0).alias("profit"))
+        .agg((F.sum(profit_u.cast("decimal(38,0)")) / 10000.0).alias("profit"))
         .orderBy(F.asc("nation"), F.desc("o_year"))
     )
 
@@ -2888,7 +2892,7 @@ def agg_correlation_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, CAST(len(l) AS INT) AS n_events,
            list_reduce(l, (acc, x) -> 0.5 * x + 0.5 * acc) AS ema_value
     FROM (SELECT user_id, list(value ORDER BY ts, event_id) AS l
-          FROM events GROUP BY user_id)
+          FROM events WHERE value IS NOT NULL GROUP BY user_id)
     ORDER BY user_id
     """,
 )
@@ -2909,7 +2913,12 @@ def events_ema_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
     by per-key history length — right for bounded sequences (sessions,
     per-entity logs). Unbounded streams move the same recurrence into
     applyInPandasWithState, carrying ema as the state value."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL values are excluded up front: the three fold implementations
+    # (Spark coalesce, DuckDB list_reduce, the streaming state carry)
+    # would each treat an embedded NULL differently — restart vs
+    # propagate-to-NULL vs NaN — so the operator's contract is "EMA over
+    # the present values" and the filter makes that identical everywhere.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     seq = ev.groupBy("user_id").agg(
         F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias("s")
     )

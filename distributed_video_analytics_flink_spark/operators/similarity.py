@@ -139,9 +139,6 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
 
-    def _q(t: "np.ndarray") -> "np.ndarray":
-        return (np.floor(np.abs(t) + 0.5) * np.sign(t)).astype(np.int64)
-
     def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
@@ -158,13 +155,13 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()
         label = int(pdf["label"].iloc[0])
         V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-        norms = _q(V * V * _Q).sum(axis=1)
+        norms = _np_q(V * V * _Q).sum(axis=1)
         sqrt_norms = np.sqrt(norms.astype(np.float64))
         out = []
         chunk = max(1, (64 << 20) // max(1, n * V.shape[1] * 8))  # ~64 MB per outer product
         for i0 in range(0, n, chunk):
             A = V[i0 : i0 + chunk]
-            dots = _q(A[:, None, :] * V[None, :, :] * _Q).sum(axis=2)
+            dots = _np_q(A[:, None, :] * V[None, :, :] * _Q).sum(axis=2)
             cos = dots / (sqrt_norms[i0 : i0 + chunk, None] * sqrt_norms[None, :])
             ii, jj = np.nonzero((cos >= 0.35) & (ids[i0 : i0 + chunk, None] < ids[None, :]))
             for a_i, b_j in zip(ii, jj):
@@ -577,9 +574,6 @@ def sim_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     k = 3
 
-    def _q(t: "np.ndarray") -> "np.ndarray":
-        return (np.floor(np.abs(t) + 0.5) * np.sign(t)).astype(np.int64)
-
     def _block_knn(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
@@ -597,13 +591,13 @@ def sim_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()
         label = int(pdf["label"].iloc[0])
         V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-        sqrt_norms = np.sqrt(_q(V * V * _Q).sum(axis=1).astype(np.float64))
+        sqrt_norms = np.sqrt(_np_q(V * V * _Q).sum(axis=1).astype(np.float64))
         out = []
         kk = min(k, n - 1)
         chunk = max(1, (64 << 20) // max(1, n * V.shape[1] * 8))
         for i0 in range(0, n, chunk):
             A = V[i0 : i0 + chunk]
-            dots = _q(A[:, None, :] * V[None, :, :] * _Q).sum(axis=2)
+            dots = _np_q(A[:, None, :] * V[None, :, :] * _Q).sum(axis=2)
             cos = dots / (sqrt_norms[i0 : i0 + chunk, None] * sqrt_norms[None, :])
             for li in range(A.shape[0]):
                 gi = i0 + li
@@ -655,9 +649,6 @@ def knn_bucketed(emb: DataFrame, planes: list, k: int = 3) -> DataFrame:
         "vec_id", "label", "embedding", dots("embedding").alias("ds")
     ).select("vec_id", "label", "embedding", bucket.cast("long").alias("bucket"))
 
-    def _q(t: "np.ndarray") -> "np.ndarray":
-        return (np.floor(np.abs(t) + 0.5) * np.sign(t)).astype(np.int64)
-
     def _block_knn(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
@@ -677,13 +668,13 @@ def knn_bucketed(emb: DataFrame, planes: list, k: int = 3) -> DataFrame:
         label = int(pdf["label"].iloc[0])
         bkt = int(pdf["bucket"].iloc[0])
         V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-        sqrt_norms = np.sqrt(_q(V * V * _Q).sum(axis=1).astype(np.float64))
+        sqrt_norms = np.sqrt(_np_q(V * V * _Q).sum(axis=1).astype(np.float64))
         out = []
         kk = min(k, n - 1)
         chunk = max(1, (64 << 20) // max(1, n * V.shape[1] * 8))
         for i0 in range(0, n, chunk):
             A = V[i0 : i0 + chunk]
-            dots_blk = _q(A[:, None, :] * V[None, :, :] * _Q).sum(axis=2)
+            dots_blk = _np_q(A[:, None, :] * V[None, :, :] * _Q).sum(axis=2)
             cos = dots_blk / (sqrt_norms[i0 : i0 + chunk, None] * sqrt_norms[None, :])
             for li in range(A.shape[0]):
                 gi = i0 + li
@@ -737,9 +728,6 @@ def neardup_pairs_bucketed(emb: DataFrame, planes: list, threshold: float = 0.35
         "vec_id", "label", "embedding", dots("embedding").alias("ds")
     ).select("vec_id", "label", "embedding", bucket.cast("long").alias("bucket"))
 
-    def _q(t: "np.ndarray") -> "np.ndarray":
-        return (np.floor(np.abs(t) + 0.5) * np.sign(t)).astype(np.int64)
-
     def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
@@ -758,12 +746,12 @@ def neardup_pairs_bucketed(emb: DataFrame, planes: list, threshold: float = 0.35
         label = int(pdf["label"].iloc[0])
         bkt = int(pdf["bucket"].iloc[0])
         V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-        sqrt_norms = np.sqrt(_q(V * V * _Q).sum(axis=1).astype(np.float64))
+        sqrt_norms = np.sqrt(_np_q(V * V * _Q).sum(axis=1).astype(np.float64))
         out = []
         chunk = max(1, (64 << 20) // max(1, n * V.shape[1] * 8))
         for i0 in range(0, n, chunk):
             A = V[i0 : i0 + chunk]
-            dots_blk = _q(A[:, None, :] * V[None, :, :] * _Q).sum(axis=2)
+            dots_blk = _np_q(A[:, None, :] * V[None, :, :] * _Q).sum(axis=2)
             cos = dots_blk / (sqrt_norms[i0 : i0 + chunk, None] * sqrt_norms[None, :])
             ii, jj = np.nonzero(
                 (cos >= threshold) & (ids[i0 : i0 + chunk, None] < ids[None, :])

@@ -80,7 +80,7 @@ def parse_avi_header(data: bytes) -> AviHeader:
         raise AviError("not a RIFF/AVI stream")
     end = min(len(data), 8 + struct.unpack_from("<I", data, 4)[0])
     width = height = n_frames = 0
-    fps_num, fps_den = 30, 1
+    fps_num = fps_den = 0  # set from strh; avih/default fallbacks below
     us_per_frame = 0
     movi = None
     stream_id = -1
@@ -133,8 +133,11 @@ def parse_avi_header(data: bytes) -> AviHeader:
         raise AviError("missing movi list or vids stream")
     if width <= 0 or height <= 0:
         raise AviError("missing stream dimensions")
-    if not fps_den and us_per_frame:
-        fps_num, fps_den = 1_000_000, us_per_frame
+    if not fps_den:  # strh rate/scale absent or zero
+        if us_per_frame:
+            fps_num, fps_den = 1_000_000, us_per_frame  # avih fallback
+        else:
+            fps_num, fps_den = 30, 1  # last-resort default
     return AviHeader(
         width, height, fps_num, fps_den, n_frames, stream_id, top_down, *movi
     )

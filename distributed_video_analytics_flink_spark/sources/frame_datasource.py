@@ -1,0 +1,71 @@
+"""Shared machinery for the per-file video Data Sources (y4m, avi).
+
+Both formats expose the same surface — one InputPartition per file,
+decode on the scheduled partition, wire-frame rows (FRAME_SCHEMA) — and
+differ only in extension and decoder. This module holds the single copy
+of the partition listing and the frame-row emission (camId from the file
+stem, timestamps paced FRAME_INTERVAL_MS from the deterministic epoch),
+so a timestamp or schema fix lands once for every container format.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as _dt
+import glob as _glob
+import os
+from collections.abc import Callable, Iterator
+
+from pyspark.sql.datasource import InputPartition
+
+from distributed_video_analytics_flink_spark.sources.video_files import (
+    _EPOCH_US,
+    FRAME_INTERVAL_MS,
+)
+
+FRAME_DDL_SCHEMA = (
+    "camId string, timestamp timestamp, rows int, cols int, type int, data string"
+)
+
+
+class FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def file_partitions(path: str | None, ext: str) -> list[FilePartition]:
+    """One InputPartition per file — a directory lists ``*.{ext}``, a
+    single file is itself the one partition."""
+    if not path:
+        raise ValueError(f"{ext} source requires a path: .load('/dir/or/file')")
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, f"*.{ext}")))
+    else:
+        files = [path]
+    return [FilePartition(p) for p in files]
+
+
+def wire_frame_rows(
+    path: str,
+    decode: Callable[[bytes, int | None], tuple],
+    max_frames: int,
+) -> Iterator[tuple]:
+    """Decode one file into wire-format frame tuples (FRAME_SCHEMA order).
+    ``decode(data, max_frames) -> (header, iterator of (H, W, 3) BGR)`` —
+    the signature both decode_y4m and decode_avi share."""
+    with open(path, "rb") as f:
+        data = f.read()
+    cam = os.path.splitext(os.path.basename(path))[0]
+    _, frames = decode(data, max_frames)
+    for i, bgr in enumerate(frames):
+        ts_us = _EPOCH_US + i * FRAME_INTERVAL_MS * 1000
+        yield (
+            cam,
+            _dt.datetime.fromtimestamp(ts_us / 1e6, tz=_dt.timezone.utc).replace(
+                tzinfo=None
+            ),
+            int(bgr.shape[0]),
+            int(bgr.shape[1]),
+            16,  # CV_8UC3
+            base64.b64encode(bgr.tobytes()).decode("ascii"),
+        )

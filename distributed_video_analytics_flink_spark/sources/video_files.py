@@ -94,20 +94,27 @@ def _decode_frame_png(content: bytes, rows: int, cols: int) -> Iterator[np.ndarr
     yield bgr
 
 
+def _resized(frames: Iterator[np.ndarray], rows: int, cols: int) -> Iterator[np.ndarray]:
+    from distributed_video_analytics_flink_spark.functions.resize import cubic_resize
+
+    for bgr in frames:
+        if bgr.shape[:2] != (rows, cols):
+            bgr = cubic_resize(bgr, rows, cols)
+        yield bgr
+
+
 def _decode_frames_y4m(
     content: bytes, rows: int, cols: int, max_frames: int
 ) -> Iterator[np.ndarray]:
     """REAL decoder for uncompressed Y4M bytes: frame slices -> BGR ->
     bicubic resize to the pipeline dims when the container dims differ
     (VideoEventCreator.java:75's resize step). Malformed tails end the
-    stream (PERMISSIVE)."""
-    from distributed_video_analytics_flink_spark.functions.resize import cubic_resize
-
-    _, frames = decode_y4m(content, max_frames=max_frames)
-    for bgr in frames:
-        if bgr.shape[:2] != (rows, cols):
-            bgr = cubic_resize(bgr, rows, cols)
-        yield bgr
+    stream (PERMISSIVE). NOT a generator function: the header parse (and
+    its Y4MError on corrupt input) runs HERE, so the caller's try/except
+    actually sees it — a lazy generator would defer the raise into the
+    iteration loop, past the guard (ADVICE-grade bug found in r6 review)."""
+    _, frames = decode_y4m(content, max_frames=max_frames)  # eager header parse
+    return _resized(frames, rows, cols)
 
 
 def _decode_frames_avi(
@@ -115,14 +122,11 @@ def _decode_frames_avi(
 ) -> Iterator[np.ndarray]:
     """REAL decoder for raw-DIB AVI bytes (sources/avi.py): movi chunks
     are already literal BGR rows, so this is slicing + the same resize
-    step as the Y4M path. Malformed tails end the stream (PERMISSIVE)."""
-    from distributed_video_analytics_flink_spark.functions.resize import cubic_resize
-
-    _, frames = decode_avi(content, max_frames=max_frames)
-    for bgr in frames:
-        if bgr.shape[:2] != (rows, cols):
-            bgr = cubic_resize(bgr, rows, cols)
-        yield bgr
+    step as the Y4M path. Same eager-header contract as the Y4M twin:
+    AviError (corrupt header, compressed stream) raises here, inside the
+    caller's guard, not lazily at first iteration."""
+    _, frames = decode_avi(content, max_frames=max_frames)  # eager header parse
+    return _resized(frames, rows, cols)
 
 
 def read_video_files(

@@ -53,9 +53,19 @@ def _fold_group(
         state.remove()
         return
     # event-time order within the micro-batch: same (ts, event_id) key the
-    # batch query's array_sort uses, so the fold order is identical
+    # batch query's array_sort uses, so the fold order is identical; NULL
+    # values are dropped to match the batch operator's
+    # "EMA over present values" contract
+    batch = batch[batch["value"].notna()]
     batch = batch.sort_values(["ts", "event_id"], kind="stable")
     ema, n = (state.get if state.exists else (None, 0))
+    if batch.empty:  # all-NULL micro-batch for this key: state unchanged
+        if state.exists:
+            yield pd.DataFrame(
+                [(int(key[0]), int(n), float(ema))],
+                columns=["user_id", "n_events", "ema_value"],
+            )
+        return
     for v in batch["value"]:
         v = float(v)
         ema = v if ema is None else EMA_ALPHA * v + (1.0 - EMA_ALPHA) * ema

@@ -162,3 +162,21 @@ def test_avi_python_datasource(spark, tmp_path):
 
     out = detect_motion_batch(df.filter(df.camId == "cam7")).orderBy("ts_us").collect()
     assert [r["detection_count"] for r in out] == [0, 2, 2, 2, 2]
+
+
+def test_compressed_avi_yields_no_rows_not_failure(spark, tmp_path):
+    """PERMISSIVE read path, actually exercised: a compressed (MJPG) AVI
+    alongside a good one must contribute zero rows without failing the
+    job. Regression for the lazy-generator bug where the AviError raised
+    inside the iteration loop, past the try/except guard."""
+    good = encode_avi(_bgr_square_frames(32, 48, [0, 8], 8))
+    bad = bytearray(encode_avi(_bgr_square_frames(32, 48, [0], 8)))
+    strf_at = bytes(bad).find(b"strf")
+    bad[strf_at + 8 + 16 : strf_at + 8 + 20] = b"MJPG"  # biCompression
+    (tmp_path / "good.avi").write_bytes(good)
+    (tmp_path / "bad.avi").write_bytes(bytes(bad))
+    (tmp_path / "junk.y4m").write_bytes(b"YUV4MPEG2 Wnope\n")
+
+    rows = read_video_files(spark, str(tmp_path)).collect()
+    assert {r["camId"] for r in rows} == {"good"}
+    assert len(rows) == 2

@@ -921,3 +921,42 @@ def test_stream_ema_state_survives_restart(spark, tmp_path):
     assert len(want) > 0
     for uid, nv in want.items():
         assert got[uid] == nv, f"user {uid}: resumed {got[uid]} != batch {nv}"
+
+
+def test_stream_ema_drops_null_values(spark, tmp_path):
+    """NULL values must be excluded from the fold (the operator contract:
+    EMA over present values) — not restart the average, not poison it to
+    NULL/NaN. A user whose batch is entirely NULL must keep prior state."""
+    from distributed_video_analytics_flink_spark.streaming.ema import ema_stream
+
+    data_dir, ck = str(tmp_path / "ev"), str(tmp_path / "ck")
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    rows1 = [
+        (1, 1, "2024-01-01 00:00:00", 10.0),
+        (1, 2, "2024-01-01 00:01:00", None),
+        (1, 3, "2024-01-01 00:02:00", 20.0),
+    ]
+    spark.createDataFrame(
+        [(u, e, __import__("datetime").datetime.fromisoformat(t), v) for u, e, t, v in rows1],
+        schema,
+    ).coalesce(1).write.json(data_dir)
+
+    stream = spark.readStream.schema(
+        spark.read.json(data_dir, schema=schema).schema
+    ).json(data_dir)
+    q = (
+        ema_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ema_nulls")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    [row] = spark.sql("SELECT * FROM ema_nulls ORDER BY n_events DESC LIMIT 1").collect()
+    # fold over [10.0, 20.0] only: 0.5*20 + 0.5*10 = 15.0; n counts non-null
+    assert row["user_id"] == 1
+    assert row["n_events"] == 2
+    assert row["ema_value"] == 15.0
