@@ -2930,3 +2930,45 @@ def events_ema_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.select(
         "user_id", F.size("s").alias("n_events"), ema.alias("ema_value")
     ).orderBy("user_id")
+
+
+@query(
+    "window_range_trailing",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+           SUM(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0 AS sum_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frames — each event's trailing-7-day activity
+    (count + exact-cents value sum) for its user: the sliding-window
+    feature-engineering shape (recency features for ranking/fraud models)
+    that ROWS frames cannot express, because the frame must include
+    however many rows fall in the interval, zero or thousands. The order
+    key is integer epoch SECONDS on both engines (floor, not round —
+    DuckDB CASTs of doubles round while Spark truncates, the shard
+    manifest's cross-engine pitfall), so frame boundaries and the
+    all-peers-of-equal-key RANGE semantics are bit-identical.
+
+    Scale: one shuffle on user_id; Spark evaluates the range frame with a
+    sliding two-pointer over each partition's sort — O(rows) amortized,
+    not O(rows x frame). Unbounded keys with bounded interval = bounded
+    memory."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-604800, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        (F.sum(cents("value")).over(w) / 100.0).alias("sum_7d"),
+    ).orderBy("user_id", "event_id")
