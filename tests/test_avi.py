@@ -180,3 +180,60 @@ def test_compressed_avi_yields_no_rows_not_failure(spark, tmp_path):
     rows = read_video_files(spark, str(tmp_path)).collect()
     assert {r["camId"] for r in rows} == {"good"}
     assert len(rows) == 2
+
+
+def test_avi_parser_never_crashes_on_fuzz():
+    """Robustness: arbitrary byte mangling of a valid AVI must either
+    parse, raise AviError, or end the frame stream early — never raise
+    anything else, hang, or mis-shape a frame."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = encode_avi(_bgr_square_frames(16, 24, [0, 4], 6), fps=10)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        pos=st.integers(min_value=0, max_value=len(base) - 1),
+        val=st.integers(min_value=0, max_value=255),
+        cut=st.integers(min_value=0, max_value=len(base)),
+    )
+    def _fuzz(pos, val, cut):
+        data = bytearray(base[:cut] if cut < len(base) else base)
+        if pos < len(data):
+            data[pos] = val
+        try:
+            _, frames = decode_avi(bytes(data), max_frames=4)
+            for f in frames:
+                assert f.ndim == 3 and f.shape[2] == 3
+        except AviError:
+            pass  # the one sanctioned failure mode
+
+    _fuzz()
+
+
+def test_avi_roundtrip_property():
+    """Any frame stack round-trips byte-exactly through encode/decode,
+    across odd widths (stride padding) and frame counts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=24),
+        w=st.integers(min_value=1, max_value=25),
+        n=st.integers(min_value=1, max_value=4),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def _roundtrip(h, w, n, seed):
+        rng = np.random.default_rng(seed)
+        frames = [
+            rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8) for _ in range(n)
+        ]
+        hdr, out = decode_avi(encode_avi(frames, fps=12))
+        decoded = list(out)
+        assert (hdr.width, hdr.height, hdr.fps) == (w, h, 12.0)
+        assert len(decoded) == n
+        for got, want in zip(decoded, frames):
+            assert np.array_equal(got, want)
+
+    _roundtrip()
