@@ -2892,7 +2892,8 @@ def agg_correlation_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, CAST(len(l) AS INT) AS n_events,
            list_reduce(l, (acc, x) -> 0.5 * x + 0.5 * acc) AS ema_value
     FROM (SELECT user_id, list(value ORDER BY ts, event_id) AS l
-          FROM events WHERE value IS NOT NULL GROUP BY user_id)
+          FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+          GROUP BY user_id)
     ORDER BY user_id
     """,
 )
@@ -2913,12 +2914,16 @@ def events_ema_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
     by per-key history length — right for bounded sequences (sessions,
     per-entity logs). Unbounded streams move the same recurrence into
     applyInPandasWithState, carrying ema as the state value."""
-    # NULL values are excluded up front: the three fold implementations
-    # (Spark coalesce, DuckDB list_reduce, the streaming state carry)
-    # would each treat an embedded NULL differently — restart vs
-    # propagate-to-NULL vs NaN — so the operator's contract is "EMA over
-    # the present values" and the filter makes that identical everywhere.
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # NULL and NaN values are excluded up front: the three fold
+    # implementations (Spark coalesce, DuckDB list_reduce, the streaming
+    # state carry, where Arrow conversion makes NULL and NaN
+    # indistinguishable) would each treat an embedded NULL/NaN
+    # differently — restart vs propagate vs drop — so the operator's
+    # contract is "EMA over the FINITE PRESENT values" and the shared
+    # filter makes that identical everywhere.
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
     seq = ev.groupBy("user_id").agg(
         F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias("s")
     )

@@ -616,6 +616,21 @@ def sim_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_BUCKET_PLANES = 2  # 4 buckets at test SF; production raises this (see below)
 
 
+def _with_bucket_key(emb: DataFrame, planes: list) -> DataFrame:
+    """(vec_id, label, embedding, bucket): the shared label x LSH block
+    key — bucket = sign-bits of the quantized plane dots. ONE copy so the
+    k-NN, near-dup, and multiband generators can never diverge from each
+    other or from the oracles' buckets CTE."""
+    dots = _dots_q_udf(planes)
+    bucket = sum(
+        F.when(F.col("ds")[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(len(planes))
+    )
+    return emb.select(
+        "vec_id", "label", "embedding", dots("embedding").alias("ds")
+    ).select("vec_id", "label", "embedding", bucket.cast("long").alias("bucket"))
+
+
 def knn_bucketed(emb: DataFrame, planes: list, k: int = 3) -> DataFrame:
     """Core of sim_knn_bucketed, factored out so tests can feed synthetic
     skewed frames: k-NN within (label x hyperplane-LSH bucket) blocks.
@@ -639,15 +654,7 @@ def knn_bucketed(emb: DataFrame, planes: list, k: int = 3) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    dots = _dots_q_udf(planes)
-    n_planes = len(planes)
-    bucket = sum(
-        F.when(F.col("ds")[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(n_planes)
-    )
-    bucketed = emb.select(
-        "vec_id", "label", "embedding", dots("embedding").alias("ds")
-    ).select("vec_id", "label", "embedding", bucket.cast("long").alias("bucket"))
+    bucketed = _with_bucket_key(emb, planes)
 
     def _block_knn(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -718,15 +725,7 @@ def neardup_pairs_bucketed(emb: DataFrame, planes: list, threshold: float = 0.35
     import numpy as np
     import pandas as pd
 
-    dots = _dots_q_udf(planes)
-    n_planes = len(planes)
-    bucket = sum(
-        F.when(F.col("ds")[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(n_planes)
-    )
-    bucketed = emb.select(
-        "vec_id", "label", "embedding", dots("embedding").alias("ds")
-    ).select("vec_id", "label", "embedding", bucket.cast("long").alias("bucket"))
+    bucketed = _with_bucket_key(emb, planes)
 
     def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -815,14 +814,7 @@ def sim_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     O((label/2^planes)^2); recall is same-bucket only — the standard
     LSH trade, measured against the exact sim_label_knn graph."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    plane_rows = (
-        emb.filter(F.col("vec_id").between(1, _KNN_BUCKET_PLANES))
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    )
-    planes = [r["embedding"] for r in plane_rows]
-    return knn_bucketed(emb, planes, k=3)
+    return knn_bucketed(emb, _load_knn_planes(spark, sf_dir), k=3)
 
 
 def _load_knn_planes(spark: SparkSession, sf_dir: str, n: int = _KNN_BUCKET_PLANES) -> list:
@@ -1759,13 +1751,24 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_refined_codebook(emb: DataFrame):
+_PQ_CODEBOOK_CACHE: dict = {}
+
+
+def _pq_refined_codebook(emb: DataFrame, cache_key: str | None = None):
     """(CT0, CT1): the seeded PQ codebook and its one-Lloyd-round
     refinement, both (subspace, centroid, dim) tensors. The E-step is a
     zero-shuffle Arrow map; the M-step is a partial-aggregable groupBy
     producing one row per (subspace, centroid, dim) — vector-count
     independent — whose result returns to the driver as a tiny constant.
-    Empty cells keep their seed centroid (standard Lloyd)."""
+    Empty cells keep their seed centroid (standard Lloyd).
+
+    ``cache_key`` (the sf_dir) memoizes the trained tensors per process:
+    three refined queries share one training index in production, so one
+    bench/driver round should run the two training jobs once, not three
+    times (r6 review). Safe because the parquet fixtures are immutable
+    within a process."""
+    if cache_key is not None and cache_key in _PQ_CODEBOOK_CACHE:
+        return _PQ_CODEBOOK_CACHE[cache_key]
     import numpy as np
 
     seed_rows = (
@@ -1804,6 +1807,8 @@ def _pq_refined_codebook(emb: DataFrame):
     CT1 = CT0.copy()  # empty cells keep their seed centroid
     for r in mstep:
         CT1[r["s"], r["j"], r["i"]] = r["sq"] / 1e6 / r["n"]
+    if cache_key is not None:
+        _PQ_CODEBOOK_CACHE[cache_key] = (CT0, CT1)
     return CT0, CT1
 
 
@@ -1909,7 +1914,7 @@ def emb_pq_codes_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
-    CT0, CT1 = _pq_refined_codebook(emb)
+    CT0, CT1 = _pq_refined_codebook(emb, cache_key=sf_dir)
 
     @F.pandas_udf("sd: array<long>, rd: array<long>, mv: array<int>")
     def _both(embs: pd.Series) -> pd.DataFrame:
@@ -1965,7 +1970,7 @@ def emb_pq_adc_topk_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
-    _, CT1 = _pq_refined_codebook(emb)
+    _, CT1 = _pq_refined_codebook(emb, cache_key=sf_dir)
     qv = np.asarray(
         emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]["embedding"],
         dtype=np.float64,
@@ -2298,7 +2303,7 @@ def sim_ivf_pq_topk_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     C = np.asarray([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
     cn = np.sqrt(_np_q(C * C * _Q).sum(axis=1).astype(np.float64))
-    _, CT1 = _pq_refined_codebook(emb)
+    _, CT1 = _pq_refined_codebook(emb, cache_key=sf_dir)
     qv = np.asarray(
         emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]["embedding"],
         dtype=np.float64,

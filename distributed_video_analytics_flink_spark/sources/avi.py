@@ -105,28 +105,37 @@ def parse_avi_header(data: bytes) -> AviHeader:
                     n_streams_seen += 1
                     if found_vids:
                         continue
+                    # collect BOTH headers first, decide after: gating strf
+                    # on having already seen strh would skip validation in
+                    # a strf-before-strh strl, letting a compressed stream
+                    # decode as garbage instead of raising (r6 review)
+                    strh_at = strf_at = None
                     for scid, sbody, ssize in _chunks(data, hbody + 4, hbody + hsize):
-                        if scid == b"strh" and ssize >= 32:
-                            if data[sbody : sbody + 4] != b"vids":
-                                break  # not video: skip this strl
-                            scale, rate = struct.unpack_from("<II", data, sbody + 20)
-                            if rate and scale:
-                                fps_num, fps_den = rate, scale
-                            stream_id = this_stream
-                            found_vids = True
-                        elif scid == b"strf" and ssize >= 20 and found_vids:
-                            bw, bh = struct.unpack_from("<ii", data, sbody + 4)
-                            bits, comp = (
-                                struct.unpack_from("<H", data, sbody + 14)[0],
-                                struct.unpack_from("<I", data, sbody + 16)[0],
-                            )
-                            if comp != 0 or bits != 24:
-                                raise AviError(
-                                    f"unsupported stream (compression={comp}, "
-                                    f"{bits}-bit) — raw 24-bit BI_RGB only"
-                                )
-                            width, height = bw, abs(bh)
-                            top_down = bh < 0
+                        if scid == b"strh" and ssize >= 32 and strh_at is None:
+                            strh_at = sbody
+                        elif scid == b"strf" and ssize >= 20 and strf_at is None:
+                            strf_at = sbody
+                    if strh_at is None or data[strh_at : strh_at + 4] != b"vids":
+                        continue  # not a video stream: skip this strl
+                    scale, rate = struct.unpack_from("<II", data, strh_at + 20)
+                    if rate and scale:
+                        fps_num, fps_den = rate, scale
+                    stream_id = this_stream
+                    found_vids = True
+                    if strf_at is None:
+                        raise AviError("vids stream missing strf")
+                    bw, bh = struct.unpack_from("<ii", data, strf_at + 4)
+                    bits, comp = (
+                        struct.unpack_from("<H", data, strf_at + 14)[0],
+                        struct.unpack_from("<I", data, strf_at + 16)[0],
+                    )
+                    if comp != 0 or bits != 24:
+                        raise AviError(
+                            f"unsupported stream (compression={comp}, "
+                            f"{bits}-bit) — raw 24-bit BI_RGB only"
+                        )
+                    width, height = bw, abs(bh)
+                    top_down = bh < 0
         elif ltype == b"movi":
             movi = (body + 4, body + size)
     if movi is None or stream_id < 0:

@@ -48,14 +48,24 @@ _EMA_STATE_SCHEMA = T.StructType(
 def _fold_group(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    batch = pd.concat(list(pdfs), ignore_index=True)
+    # drain the iterator BEFORE the timeout check, but concat only after:
+    # a timed-out invocation passes an EMPTY iterator and pd.concat([])
+    # raises, which would crash the query before state.remove() ran
+    pdfs = list(pdfs)
     if state.hasTimedOut:  # pragma: no cover - NoTimeout default
         state.remove()
         return
+    batch = (
+        pd.concat(pdfs, ignore_index=True)
+        if pdfs
+        else pd.DataFrame(columns=["user_id", "event_id", "ts", "value"])
+    )
     # event-time order within the micro-batch: same (ts, event_id) key the
-    # batch query's array_sort uses, so the fold order is identical; NULL
-    # values are dropped to match the batch operator's
-    # "EMA over present values" contract
+    # batch query's array_sort uses, so the fold order is identical.
+    # notna() drops BOTH SQL NULLs and NaNs — Arrow conversion makes them
+    # indistinguishable here, so the batch operator and its oracle exclude
+    # both as well ("EMA over finite present values"); the three
+    # implementations agree on any input
     batch = batch[batch["value"].notna()]
     batch = batch.sort_values(["ts", "event_id"], kind="stable")
     ema, n = (state.get if state.exists else (None, 0))

@@ -237,3 +237,27 @@ def test_avi_roundtrip_property():
             assert np.array_equal(got, want)
 
     _roundtrip()
+
+
+def test_reordered_strl_still_validates_compression(spark=None):
+    """A strf-before-strh strl (legal chunk order) must still validate the
+    stream format: compressed streams raise AviError, raw ones decode."""
+    data = encode_avi(_bgr_square_frames(16, 16, [0], 6))
+    i_strh = data.find(b"strh")
+    i_strf = data.find(b"strf")
+    strh_chunk = data[i_strh : i_strh + 8 + 56]
+    strf_chunk = data[i_strf : i_strf + 8 + 40]
+    assert i_strf == i_strh + len(strh_chunk)
+    reordered = data[:i_strh] + strf_chunk + strh_chunk + data[i_strf + len(strf_chunk):]
+
+    # raw stream, reordered headers: parses and decodes identically
+    hdr = parse_avi_header(reordered)
+    assert (hdr.width, hdr.height) == (16, 16)
+    assert len(list(decode_avi(reordered)[1])) == 1
+
+    # compressed stream, reordered headers: must refuse, not decode garbage
+    bad = bytearray(reordered)
+    j = bytes(bad).find(b"strf")
+    bad[j + 8 + 16 : j + 8 + 20] = b"MJPG"
+    with pytest.raises(AviError):
+        parse_avi_header(bytes(bad))
