@@ -2977,3 +2977,53 @@ def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_7d"),
         (F.sum(cents("value")).over(w) / 100.0).alias("sum_7d"),
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "agg_important_parts",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS vq
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (
+      SELECT CAST(SUM(vq) AS HUGEINT) AS total,
+             CAST(COUNT(*) AS HUGEINT) AS n
+      FROM v
+    )
+    SELECT l_partkey, vq / 100.0 AS part_value
+    FROM v, tot
+    WHERE CAST(vq AS HUGEINT) * n * 2 > total * 3
+    ORDER BY part_value DESC, l_partkey ASC
+    """,
+)
+def agg_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11's plan shape (important stock): a grouped aggregate
+    filtered AGAINST A SCALAR SUBQUERY of itself — parts whose lineitem
+    value exceeds 1.5x the mean part value. (Faithful Q11 sums
+    partsupp.supplycost*availqty; the testdata has no partsupp, so
+    lineitem value stands in — the aggregate + post-aggregation
+    scalar-threshold HAVING is what Q11 exercises.) The threshold test
+    cross-multiplies in 128-bit integers (2*vq*n > 3*total) instead of
+    dividing — no float enters the boundary decision, so membership is
+    exact on any engine at any scale.
+
+    Scale: one partial-aggregable groupBy builds v; the 1-row total
+    broadcasts back over it (Spark evaluates the DuckDB scalar subquery
+    the same way: aggregate once, broadcast the scalar — never a
+    re-scan per group)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    v = li.groupBy("l_partkey").agg(
+        F.sum(cents("l_extendedprice").cast(dec)).alias("vq")
+    )
+    tot = v.agg(
+        F.sum("vq").alias("total"), F.count(F.lit(1)).cast(dec).alias("n")
+    )
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("vq") * F.col("n") * 2 > F.col("total") * 3)
+        .select("l_partkey", (F.col("vq") / 100.0).alias("part_value"))
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
