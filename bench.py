@@ -478,7 +478,9 @@ FINAL_LINE_BUDGET = 1500
 DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
 
 
-def compact_payload(payload: dict, budget: int = FINAL_LINE_BUDGET) -> dict:
+def compact_payload(
+    payload: dict, budget: int = FINAL_LINE_BUDGET, detail_written: bool = True
+) -> dict:
     """Shrink the bench payload to a JSON line of at most ``budget`` chars.
 
     Keeps every scalar headline field; replaces the full per-query map with
@@ -486,10 +488,12 @@ def compact_payload(payload: dict, budget: int = FINAL_LINE_BUDGET) -> dict:
     ``n_queries``/``queries_detail`` so nothing is silently dropped. k is
     reduced until the serialized line fits, so headline-set growth can
     never push the final line past the driver's tail capture again.
-    """
+    ``queries_detail`` is null when the sidecar write failed (read-only
+    checkout) so the summary never points at a file that was never
+    written (ADVICE r6)."""
     scalars = {k: v for k, v in payload.items() if k not in ("queries", "errors")}
     scalars["n_queries"] = len(payload.get("queries", {}))
-    scalars["queries_detail"] = os.path.basename(DETAIL_PATH)
+    scalars["queries_detail"] = os.path.basename(DETAIL_PATH) if detail_written else None
     if payload.get("errors"):
         # names only, capped — full messages live in the sidecar
         scalars["failed"] = sorted(payload["errors"])[:8]
@@ -506,16 +510,17 @@ def compact_payload(payload: dict, budget: int = FINAL_LINE_BUDGET) -> dict:
 
 
 def emit(payload: dict) -> None:
+    detail_written = True
     try:
         with open(DETAIL_PATH, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
     except OSError:
-        pass  # read-only checkout: stdout lines still carry the detail
+        detail_written = False  # read-only checkout: stdout still has detail
     for name in sorted(payload.get("queries", {})):
         err = (payload.get("errors") or {}).get(name)
         line = f"# query {name}: {payload['queries'][name]}"
         print(line + (f" ERROR {err}" if err else ""))
-    print(json.dumps(compact_payload(payload)))
+    print(json.dumps(compact_payload(payload, detail_written=detail_written)))
 
 
 if __name__ == "__main__":

@@ -94,12 +94,19 @@ def parse_avi_header(data: bytes) -> AviHeader:
         if ltype == b"hdrl":
             for hcid, hbody, hsize in _chunks(data, body + 4, body + size):
                 if hcid == b"avih" and hsize >= 40:
-                    us_per_frame, n_frames, width, height = (
+                    us_per_frame, n_frames = (
                         struct.unpack_from("<I", data, hbody)[0],
                         struct.unpack_from("<I", data, hbody + 16)[0],
-                        struct.unpack_from("<I", data, hbody + 32)[0],
-                        struct.unpack_from("<I", data, hbody + 36)[0],
                     )
+                    if not found_vids:
+                        # avih dims are a fallback only: once a vids strf has
+                        # been parsed its dimensions are authoritative, and a
+                        # reordered avih-after-strl must not clobber the
+                        # stride/frame size (ADVICE r6)
+                        width, height = (
+                            struct.unpack_from("<I", data, hbody + 32)[0],
+                            struct.unpack_from("<I", data, hbody + 36)[0],
+                        )
                 elif hcid == b"LIST" and hsize >= 4 and data[hbody : hbody + 4] == b"strl":
                     this_stream = n_streams_seen
                     n_streams_seen += 1

@@ -40,7 +40,13 @@ def file_partitions(path: str | None, ext: str) -> list[FilePartition]:
         raise ValueError(f"{ext} source requires a path: .load('/dir/or/file')")
     if os.path.isdir(path):
         files = sorted(_glob.glob(os.path.join(path, f"*.{ext}")))
+        if not files:
+            # a typo'd directory must fail loudly at planning time, not
+            # yield a silently-empty DataFrame (ADVICE r6)
+            raise ValueError(f"no *.{ext} files under directory {path!r}")
     else:
+        if not os.path.isfile(path):
+            raise ValueError(f"{ext} source path does not exist: {path!r}")
         files = [path]
     return [FilePartition(p) for p in files]
 

@@ -239,7 +239,7 @@ def test_avi_roundtrip_property():
     _roundtrip()
 
 
-def test_reordered_strl_still_validates_compression(spark=None):
+def test_reordered_strl_still_validates_compression():
     """A strf-before-strh strl (legal chunk order) must still validate the
     stream format: compressed streams raise AviError, raw ones decode."""
     data = encode_avi(_bgr_square_frames(16, 16, [0], 6))
@@ -261,3 +261,45 @@ def test_reordered_strl_still_validates_compression(spark=None):
     bad[j + 8 + 16 : j + 8 + 20] = b"MJPG"
     with pytest.raises(AviError):
         parse_avi_header(bytes(bad))
+
+
+def test_file_partitions_rejects_empty_dir_and_missing_file(tmp_path):
+    """A typo'd .load() path must error at planning time, not yield a
+    silently-empty DataFrame (ADVICE r6): a directory with zero matching
+    files and a nonexistent single-file path both raise."""
+    from distributed_video_analytics_flink_spark.sources.frame_datasource import (
+        file_partitions,
+    )
+
+    with pytest.raises(ValueError, match="no \\*\\.avi files"):
+        file_partitions(str(tmp_path), "avi")
+    with pytest.raises(ValueError, match="does not exist"):
+        file_partitions(str(tmp_path / "nope.avi"), "avi")
+    # a real file still lists as its own single partition
+    p = tmp_path / "cam0.avi"
+    p.write_bytes(encode_avi(_bgr_square_frames(8, 8, [0], 4)))
+    assert [fp.path for fp in file_partitions(str(p), "avi")] == [str(p)]
+    assert [fp.path for fp in file_partitions(str(tmp_path), "avi")] == [str(p)]
+
+
+def test_avih_after_strl_does_not_clobber_strf_dims():
+    """An avih chunk appearing AFTER the vids strl (legal — the hdrl parse
+    is chunk-order-tolerant) must not overwrite the authoritative strf
+    dimensions, even when its own width/height disagree (ADVICE r6)."""
+    import struct
+
+    data = encode_avi(_bgr_square_frames(16, 16, [0], 6))
+    i_avih = data.find(b"avih")
+    avih_chunk = bytearray(data[i_avih : i_avih + 8 + 56])
+    # lie in avih: claim 640x480 so a clobber is detectable
+    struct.pack_into("<II", avih_chunk, 8 + 32, 640, 480)
+    i_list = data.find(b"LIST", i_avih)  # the strl LIST follows avih
+    strl_list = data[i_list : i_list + 8 + struct.unpack_from("<I", data, i_list + 4)[0]]
+    assert i_list == i_avih + len(avih_chunk)
+    reordered = (
+        data[:i_avih] + strl_list + bytes(avih_chunk) + data[i_list + len(strl_list):]
+    )
+    hdr = parse_avi_header(reordered)
+    assert (hdr.width, hdr.height) == (16, 16)  # strf wins
+    frames = list(decode_avi(reordered)[1])
+    assert len(frames) == 1 and frames[0].shape == (16, 16, 3)

@@ -456,11 +456,17 @@ def test_train_split_dupes_never_straddle(spark):
 
 
 def test_product_profit_broadcasts_dimensions(spark):
-    """Q9 analog: part/supplier/nation are hint-broadcast; no dimension
-    may fall to a sort-merge exchange at this asymmetry."""
+    """Q9 analog: the three hint-broadcast dimension joins (part, supplier,
+    nation) must be BroadcastHashJoin. The lineitem-orders join is the one
+    unavoidable fact-sized shuffle and is allowed either strategy — at
+    sf0.001 it happens to auto-broadcast, but pinning that would encode a
+    small-fixture accident, not the plan contract (ADVICE r6)."""
     joins = join_strategies(_q(spark, "join_product_profit"))
     assert len(joins) == 4
-    assert all(j == "BroadcastHashJoin" for j in joins)
+    assert joins.count("BroadcastHashJoin") >= 3
+    assert all(
+        j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin") for j in joins
+    )
 
 
 def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
