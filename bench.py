@@ -119,6 +119,8 @@ HEADLINE = [
     "agg_correlation_portable",
     "events_ema_smoothed",
     "graph_triangle_count",
+    # round 7: bucketed triangle edges, segmented EMA, at-rest IVF+PQ
+    "graph_triangle_count_bucketed",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

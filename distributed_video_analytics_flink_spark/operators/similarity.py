@@ -2188,14 +2188,28 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     form: wedges e1(u,v)+e2(v,w) close with e3(u,w); the u<v<w
     orientation from LEAST/GREATEST counts each triangle exactly once.
 
-    Scale: edges come from the bounded k-NN generator (k per node, so
-    |E| <= k|V| and the wedge join fans out <= k per edge — no
-    quadratic blowup; for power-law graphs the standard hardening is
-    degree-ordered orientation, same join shape). Two shuffles: the
-    wedge join on the shared vertex, the closure join on (u, w).
-    Wedge/triangle totals are exact integers; the coefficient is one
-    division of exact integers, bit-stable on both engines."""
-    knn = sim_label_knn(spark, sf_dir)
+    Scale: the counting joins are bounded (k per node, so |E| <= k|V| and
+    the wedge join fans out <= k per edge; for power-law graphs the
+    standard hardening is degree-ordered orientation, same join shape) —
+    but edge GENERATION here is sim_label_knn's exact all-pairs-per-label
+    scoring, O(block^2) in one task under a dominant label. This variant
+    is therefore retained as the exact-recall BASELINE only; the
+    production-scale form is graph_triangle_count_bucketed, whose edges
+    come from the skew-proof (label x LSH bucket) generator. Two shuffles
+    after generation: the wedge join on the shared vertex, the closure
+    join on (u, w). Wedge/triangle totals are exact integers; the
+    coefficient is one division of exact integers, bit-stable on both
+    engines."""
+    return triangle_stats(sim_label_knn(spark, sf_dir))
+
+
+def triangle_stats(knn: DataFrame) -> DataFrame:
+    """Triangle count + global clustering coefficient over a directed k-NN
+    edge frame carrying (vec_id, neighbor_id) columns — the shared core of
+    graph_triangle_count and its bucketed twin, so the counting join shape
+    is written once. Undirects + dedups edges, then the classic two-join
+    count: wedges e1(u,v)+e2(v,w) close with e3(u,w); the u<v<w orientation
+    from LEAST/GREATEST counts each triangle exactly once."""
     und = (
         knn.select(
             F.least("vec_id", "neighbor_id").alias("u"),
@@ -2233,6 +2247,81 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "graph_triangle_count_bucketed",
+    oracle=f"""
+    WITH planes AS (
+      SELECT vec_id AS plane_id, embedding AS pv FROM embeddings
+      WHERE vec_id BETWEEN 1 AND {_KNN_BUCKET_PLANES}
+    ),
+    buckets AS (
+      SELECT e.vec_id, e.label, e.embedding,
+             CAST(SUM(CASE WHEN {_duck_dot_q("e.embedding", "p.pv")} > 0
+                      THEN 1 << (p.plane_id - 1) ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings e, planes p
+      GROUP BY e.vec_id, e.label, e.embedding
+    ),
+    scored AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             {_duck_cos_q(
+                 _duck_dot_q("a.embedding", "b.embedding"),
+                 _duck_dot_q("a.embedding", "a.embedding"),
+                 _duck_dot_q("b.embedding", "b.embedding"),
+             )} AS cosine
+      FROM buckets a JOIN buckets b
+        ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    knn AS (
+      SELECT va, vb FROM (
+        SELECT va, vb,
+               ROW_NUMBER() OVER (PARTITION BY va
+                                  ORDER BY cosine DESC, vb ASC) AS rn
+        FROM scored) WHERE rn <= 3
+    ),
+    und AS (
+      SELECT LEAST(va, vb) AS u, GREATEST(va, vb) AS v FROM knn GROUP BY 1, 2
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+      GROUP BY node
+    ),
+    agg AS (
+      SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+             (SELECT COUNT(*) FROM und) AS n_edges,
+             (SELECT SUM(d * (d - 1) // 2) FROM deg) AS n_wedges,
+             (SELECT COUNT(*) FROM und e1
+              JOIN und e2 ON e1.v = e2.u
+              JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_wedges AS BIGINT) AS n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           CAST(3 * n_triangles AS DOUBLE) / n_wedges AS clustering_coeff
+    FROM agg
+    """,
+)
+def graph_triangle_count_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_triangle_count with its edge GENERATION on the skew-proof
+    bucketed k-NN generator (sim_knn_bucketed's label x LSH-bucket blocks)
+    instead of the exact label-block baseline — closing VERDICT r6's last
+    label-block-all-pairs shape reachable from a registered query. The
+    counting joins were already bounded (|E| <= k|V|); what the exact
+    variant inherited was O(block^2) edge SCORING inside one task under a
+    dominant label. Here scoring runs per (label, bucket) cell — hottest
+    block bounded by label_size / 2^planes regardless of label skew
+    (tests/test_triangle_bucketed.py pins the bound + exactness on a
+    90%-one-label fixture). graph_triangle_count stays registered as the
+    exact-recall baseline; the coefficient measured here is the bucketed
+    graph's — the same graph the production near-dup pipeline clusters, so
+    it is the QA metric actually wanted for threshold tuning.
+
+    Scale: one shuffle on (label, bucket) for edge generation, then the
+    shared two-join wedge closure on edge tuples only (never embeddings)."""
+    return triangle_stats(sim_knn_bucketed(spark, sf_dir))
 
 
 @query(
