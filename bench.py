@@ -121,6 +121,7 @@ HEADLINE = [
     "graph_triangle_count",
     # round 7: bucketed triangle edges, segmented EMA, at-rest IVF+PQ
     "graph_triangle_count_bucketed",
+    "events_ema_segmented",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

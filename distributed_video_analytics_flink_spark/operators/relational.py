@@ -2937,6 +2937,106 @@ def events_ema_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+_EMA_SEG = 16  # values per segment; production sizes this to the row budget
+
+
+@query(
+    "events_ema_segmented",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS l
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+      GROUP BY user_id
+    ),
+    segs AS (
+      SELECT user_id, len(l) AS n,
+             [CASE WHEN i = 1 THEN {{'a': 0.0::DOUBLE,
+                     'b': list_reduce(l[i : i + {_EMA_SEG - 1}],
+                                      (acc, x) -> 0.5 * x + 0.5 * acc)}}
+                   ELSE {{'a': 0.5::DOUBLE ^ len(l[i : i + {_EMA_SEG - 1}]),
+                     'b': list_reduce(list_prepend(0.0::DOUBLE,
+                                                   l[i : i + {_EMA_SEG - 1}]),
+                                      (acc, x) -> 0.5 * x + 0.5 * acc)}}
+              END FOR i IN range(1, len(l) + 1, {_EMA_SEG})] AS maps
+      FROM seq
+    )
+    SELECT user_id, CAST(n AS INT) AS n_events,
+           list_reduce(maps,
+                       (acc, m) -> {{'a': m.a * acc.a,
+                                     'b': m.a * acc.b + m.b}}).b AS ema_value
+    FROM segs ORDER BY user_id
+    """,
+)
+def events_ema_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_ema_smoothed without the per-key row-size ceiling (VERDICT
+    r6 #4): the EMA recurrence ema_t = a*x_t + (1-a)*ema_{{t-1}} is AFFINE
+    in its initial value, so a segment of m values is one map
+    e -> A*e + B with A = (1-a)^m and B = the segment's fold from 0 — and
+    affine maps COMPOSE associatively: (A1,B1) then (A2,B2) is
+    (A2*A1, A2*B1 + B2). Each segment folds independently (parallel,
+    bounded work), then the per-segment (a, b) pairs — two doubles each,
+    {_EMA_SEG}x smaller than the raw history — compose in segment order.
+    The first segment uses the init-from-first-element semantics
+    (a = 0, b = fold seeded by x_1), making the whole composition the
+    exact segmented evaluation of the monolithic fold.
+
+    The oracle mirrors the SAME segmentation (chunk folds + map
+    composition, alpha = 0.5 exact in binary), so both engines round at
+    identical points and the result is bit-reproducible — segmented and
+    monolithic agree only to ~ulp (addition order differs), which is why
+    this query carries its own oracle rather than reusing
+    events_ema_smoothed's (tests/test_ema_segmented.py pins both the
+    exact-match-to-numpy-segmented and the ulp-closeness-to-monolithic
+    properties).
+
+    Scale: this is the associative-scan shape for order-dependent
+    recurrences. Here segments split INSIDE the per-key array (one
+    shuffle on user_id, same as the monolithic form) — at 100 TB the
+    same (a, b) maps instead come from a groupBy(user_id, segment_no)
+    over segment-bucketed rows, composed by a second tiny groupBy over
+    coefficient pairs, so no single row ever holds a key's full history.
+    The registered form keeps the collect_list so the oracle can pin the
+    arithmetic; the composition algebra — the part the ceiling kill
+    depends on — is identical in both layouts."""
+    seg = _EMA_SEG
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    seqdf = ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, value)))," " s -> s.value)"
+        ).alias("v")
+    )
+    n = F.size("v")
+    starts = F.sequence(F.lit(0), F.floor((n - F.lit(1)) / F.lit(seg)).cast("int"))
+
+    def _seg_map(i):
+        chunk = F.slice(F.col("v"), i * seg + 1, seg)
+        first_b = F.aggregate(
+            chunk,
+            F.lit(None).cast("double"),
+            lambda acc, x: F.coalesce(0.5 * x + 0.5 * acc, x),
+        )
+        rest_b = F.aggregate(chunk, F.lit(0.0), lambda acc, x: 0.5 * x + 0.5 * acc)
+        return F.when(
+            i == 0, F.struct(F.lit(0.0).alias("a"), first_b.alias("b"))
+        ).otherwise(
+            F.struct(F.pow(F.lit(0.5), F.size(chunk)).alias("a"), rest_b.alias("b"))
+        )
+
+    maps = F.transform(starts, _seg_map)
+    composed = F.aggregate(
+        F.slice(maps, 2, F.greatest(F.size(maps) - 1, F.lit(0))),
+        F.element_at(maps, 1),
+        lambda acc, m: F.struct(
+            (m["a"] * acc["a"]).alias("a"), (m["a"] * acc["b"] + m["b"]).alias("b")
+        ),
+    )
+    return seqdf.select(
+        "user_id", n.alias("n_events"), composed["b"].alias("ema_value")
+    ).orderBy("user_id")
+
+
 @query(
     "window_range_trailing",
     oracle="""
