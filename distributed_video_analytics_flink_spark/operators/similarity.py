@@ -2324,9 +2324,11 @@ def graph_triangle_count_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
     return triangle_stats(sim_knn_bucketed(spark, sf_dir))
 
 
-@query(
-    "sim_ivf_pq_topk_refined",
-    oracle=f"""
+# Shared oracle: IVF+PQ top-5 from the Lloyd-refined codebooks — used by
+# sim_ivf_pq_topk_refined (in-closure serving) and sim_ivf_pq_at_rest
+# (cell-partitioned parquet serving); both must produce the identical
+# result, so they pin the identical SQL.
+_DUCK_IVF_PQ_REFINED_TOPK = f"""
     WITH {_DUCK_PQ_REFINED},
     coarse AS (
       SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
@@ -2370,8 +2372,10 @@ def graph_triangle_count_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
     WHERE a.vec_id <> 0
     ORDER BY a.adc_dist_q ASC, a.vec_id ASC
     LIMIT 5
-    """,
-)
+    """
+
+
+@query("sim_ivf_pq_topk_refined", oracle=_DUCK_IVF_PQ_REFINED_TOPK)
 def sim_ivf_pq_topk_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ served from the Lloyd-REFINED subspace codebooks — the full
     production index build: coarse cells prune the scan (sim_ivf_topk's
@@ -2425,6 +2429,143 @@ def sim_ivf_pq_topk_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", _cell_and_adc("embedding").alias("s"))
         .filter(F.col("s.cent_id").isin(probes))
         .select("vec_id", F.col("s.adc_dist_q").alias("adc_dist_q"))
+        .orderBy(F.asc("adc_dist_q"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+def _ivf_coarse_and_query(emb: DataFrame):
+    """(C, cn, qv, qn, probes): the coarse centroid tensor, its quantized
+    norms, the query vector/norm, and the top-nprobe cell ids — the
+    driver-side constants every IVF serving variant shares."""
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 10).orderBy("vec_id").select("embedding").collect()
+    )
+    C = np.asarray([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
+    cn = np.sqrt(_np_q(C * C * _Q).sum(axis=1).astype(np.float64))
+    qv = np.asarray(
+        emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]["embedding"],
+        dtype=np.float64,
+    )
+    qn = float(np.sqrt(_np_q(qv * qv * _Q).sum()))
+    probe_cos = _np_q(C * qv[None, :] * _Q).sum(axis=1) / (cn * qn)
+    order = np.lexsort((np.arange(len(C)), -probe_cos))
+    return C, cn, qv, qn, [int(i) for i in order[:_N_PROBE]]
+
+
+_IVF_PQ_INDEX_BUILT: set = set()
+
+
+def ivf_pq_index_path(sf_dir: str) -> str:
+    """Deterministic per-fixture location of the at-rest IVF+PQ index
+    (outside the read-only testdata tree)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"dvafs_ivf_pq_index_{tag}")
+
+
+def write_ivf_pq_index(spark: SparkSession, sf_dir: str, path: str | None = None) -> str:
+    """BUILD step of the at-rest IVF+PQ index: one Arrow pass assigns each
+    vector its coarse cell (argmax centroid cosine — ivf_assignments'
+    arithmetic) and its Lloyd-refined PQ codes (emb_pq_codes_refined's
+    arithmetic), then writes (vec_id, codes) ``partitionBy(cent_id)`` —
+    the layout tests/test_ivf_at_rest.py proves prunes at the scan. The
+    index holds a few small ints per vector instead of the 64-float
+    embedding: the at-rest footprint drop IS the point of PQ.
+
+    Memoized per (process, path): serving queries rebuild at most once per
+    session; the parquet fixtures are immutable within a process. At
+    100 TB this is the offline index-build job (embeddings in, codes out,
+    dynamic partition overwrite per cell); serving never touches the
+    embedding column again."""
+    if path is None:
+        path = ivf_pq_index_path(sf_dir)
+    if path in _IVF_PQ_INDEX_BUILT:
+        return path
+    emb = load_table(spark, sf_dir, "embeddings")
+    C, cn, _, _, _ = _ivf_coarse_and_query(emb)
+    _, CT1 = _pq_refined_codebook(emb, cache_key=sf_dir)
+
+    @F.pandas_udf("struct<cent_id: int, codes: array<int>>")
+    def _cell_and_codes(embs: pd.Series) -> pd.DataFrame:
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in embs])
+        vn = np.sqrt(_np_q(V * V * _Q).sum(axis=1).astype(np.float64))
+        ccos = _np_q(V[:, None, :] * C[None, :, :] * _Q).sum(axis=2) / (
+            vn[:, None] * cn[None, :]
+        )
+        X = V.reshape(len(embs), _PQ_SUBSPACES, 16)
+        D = _np_q((X[:, :, None, :] - CT1[None, :, :, :]) ** 2 * _Q).sum(axis=3)
+        return pd.DataFrame(
+            {
+                "cent_id": np.argmax(ccos, axis=1).astype(np.int32),
+                "codes": list(D.argmin(axis=2).astype(np.int32)),
+            }
+        )
+
+    (
+        emb.select("vec_id", _cell_and_codes("embedding").alias("s"))
+        .select(
+            "vec_id",
+            F.col("s.codes").alias("codes"),
+            F.col("s.cent_id").alias("cent_id"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(path)
+    )
+    _IVF_PQ_INDEX_BUILT.add(path)
+    return path
+
+
+@query("sim_ivf_pq_at_rest", oracle=_DUCK_IVF_PQ_REFINED_TOPK)
+def sim_ivf_pq_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ivf_pq_topk_refined SERVED FROM THE AT-REST LAYOUT (VERDICT r6
+    #6) — the actual 100 TB serving shape, composing the two halves that
+    were previously proven separately: the cell-partitioned parquet whose
+    partition pruning tests/test_ivf_at_rest.py measures, and the
+    Lloyd-refined ADC serving of sim_ivf_pq_topk_refined. The build step
+    (write_ivf_pq_index) persists (vec_id, codes) partitionBy(cent_id);
+    serving then
+      1. ranks cells driver-side against the query (centroids are tiny),
+      2. scans ONLY the nprobe probed partitions — the cent_id IN (...)
+         predicate is a PartitionFilter, so non-probed cells' files are
+         never opened (plan + scan-metrics asserted by
+         tests/test_ivf_pq_at_rest.py), and
+      3. scores survivors with pure JVM lookups: the query's quantized
+         subspace distance table is a literal nested array and ADC is
+         element_at() per subspace inside whole-stage codegen — no
+         Python, no floats, no embedding bytes read at all.
+    Result is identical to the in-closure twin (same probes, same codes,
+    same integer ADC), so both pin the same oracle SQL.
+
+    Scale: the scan reads nprobe/K of a codes-only table (~1% of the
+    embedding bytes); top-5 is TakeOrderedAndProject. The build is the
+    offline index job, run once per corpus version."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    C, cn, qv, qn, probes = _ivf_coarse_and_query(emb)
+    _, CT1 = _pq_refined_codebook(emb, cache_key=sf_dir)
+    qtab = _np_q((qv.reshape(_PQ_SUBSPACES, 16)[:, None, :] - CT1) ** 2 * _Q).sum(
+        axis=2
+    )
+
+    path = write_ivf_pq_index(spark, sf_dir)
+    coded = spark.read.parquet(path)
+    qt = F.array(
+        *[
+            F.array(*[F.lit(int(qtab[s, j])) for j in range(_PQ_K)])
+            for s in range(_PQ_SUBSPACES)
+        ]
+    )
+    adc = None
+    for s in range(_PQ_SUBSPACES):
+        term = F.element_at(F.element_at(qt, s + 1), F.col("codes")[s] + 1)
+        adc = term if adc is None else adc + term
+    return (
+        coded.filter(F.col("cent_id").isin(probes) & (F.col("vec_id") != 0))
+        .select("vec_id", adc.alias("adc_dist_q"))
         .orderBy(F.asc("adc_dist_q"), F.asc("vec_id"))
         .limit(5)
     )

@@ -1,0 +1,71 @@
+"""sim_ivf_pq_at_rest: IVF+PQ served from the cell-partitioned parquet
+index (VERDICT r6 #6 — the composed 100 TB serving shape). Pins:
+
+1. **Partition-pruned scan** — the probe predicate plans as a
+   PartitionFilter and the executed scan's metrics read only the probed
+   cells' partitions/files.
+2. **Codes-only serving** — the index holds (vec_id, codes, cent_id);
+   no embedding bytes exist at rest, and the serving plan contains no
+   Python evaluation node (ADC is JVM element_at lookups).
+3. **Equality with the in-closure twin** — identical top-5 to
+   sim_ivf_pq_topk_refined (same probes, codes, integer ADC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_video_analytics_flink_spark.operators.similarity import (
+    _N_PROBE,
+    _ivf_coarse_and_query,
+    sim_ivf_pq_at_rest,
+    sim_ivf_pq_topk_refined,
+    write_ivf_pq_index,
+)
+from distributed_video_analytics_flink_spark.plans import formatted_plan
+from distributed_video_analytics_flink_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_at_rest_serving_prunes_to_probed_cells(spark, tmp_path):
+    path = write_ivf_pq_index(spark, SF, str(tmp_path / "index"))
+    table = spark.read.parquet(path)
+    assert sorted(table.columns) == ["cent_id", "codes", "vec_id"]
+
+    emb = load_table(spark, SF, "embeddings")
+    _, _, _, _, probes = _ivf_coarse_and_query(emb)
+    assert len(probes) == _N_PROBE
+    probed = table.filter(F.col("cent_id").isin(probes))
+
+    plan = formatted_plan(probed)
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cent_id" in pf_line and "IN" in pf_line
+
+    rows = probed.collect()
+    populated = {
+        r["cent_id"]
+        for r in table.select("cent_id").distinct().collect()
+        if r["cent_id"] in probes
+    }
+    assert len(rows) > 0 and {r["cent_id"] for r in rows} == populated
+
+    leaf = probed._jdf.queryExecution().executedPlan().collectLeaves().head()
+    metrics = leaf.metrics()
+    assert metrics.apply("numPartitions").value() == len(populated)
+    assert metrics.apply("numFiles").value() < len(table.inputFiles())
+
+
+def test_at_rest_serving_is_jvm_only(spark):
+    df = sim_ivf_pq_at_rest(spark, SF)
+    plan = formatted_plan(df)
+    # the SERVING plan reads the coded table and does element_at lookups —
+    # no Arrow/Python evaluation anywhere
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_at_rest_matches_in_closure_twin(spark):
+    at_rest = [tuple(r) for r in sim_ivf_pq_at_rest(spark, SF).collect()]
+    twin = [tuple(r) for r in sim_ivf_pq_topk_refined(spark, SF).collect()]
+    assert at_rest == twin and len(at_rest) == 5
