@@ -402,13 +402,24 @@ def resize_frames(frames: DataFrame, out_h: int = 480, out_w: int = 640) -> Data
     )
 
 
-def decode_image_stub(payload: bytes) -> np.ndarray:
-    """Placeholder for the image-decode step of the multimodal path. The
-    container ships no codec libraries; production would use cv2/PIL here.
-    Kept as an explicit stub so the pipeline shape is honest."""
+def decode_image(payload: bytes) -> np.ndarray:
+    """Image decode for the multimodal path — REAL for the two formats
+    the engine implements itself (PNG via functions/png.py, baseline
+    JPEG via sources/jpeg.py — both pure numpy/stdlib, no codec
+    library), honest NotImplementedError for anything else (WebP, HEIC,
+    ... would need cv2/PIL, absent in this environment). Returns
+    (H, W, 3) BGR uint8 like every frame source."""
+    from distributed_video_analytics_flink_spark.functions.png import decode_png
+    from distributed_video_analytics_flink_spark.sources.jpeg import decode_jpeg, is_jpeg
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    if is_jpeg(payload):
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "image decode requires a codec library (cv2/PIL) not present in this "
-        "environment; multimodal_binary_features uses byte statistics instead"
+        "only PNG and baseline JPEG decode is implemented in-engine; other "
+        "formats require a codec library (cv2/PIL) not present in this "
+        "environment"
     )
 
 

@@ -32,7 +32,15 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from distributed_video_analytics_flink_spark.sources.jpeg import (
+    JpegError,
+    decode_jpeg,
+    encode_jpeg,
+    is_jpeg,
+)
+
 AVI_MAGIC_FORM = b"AVI "  # RIFF form type at bytes 8:12
+_MJPG_FOURCCS = (0x47504A4D, 0x67706A6D)  # 'MJPG' / 'mjpg' little-endian
 
 
 class AviError(ValueError):
@@ -50,6 +58,7 @@ class AviHeader:
     top_down: bool  # negative biHeight
     movi_start: int  # offset of the movi LIST body (after the list type)
     movi_end: int
+    codec: str = "rawbgr"  # "rawbgr" (BI_RGB 24-bit) | "mjpeg" (MJPG)
 
     @property
     def fps(self) -> float:
@@ -64,14 +73,18 @@ def is_avi(data: bytes) -> bool:
     return len(data) >= 12 and data[0:4] == b"RIFF" and data[8:12] == AVI_MAGIC_FORM
 
 
-def _chunks(data: bytes, pos: int, end: int) -> Iterator[tuple[bytes, int, int]]:
-    """Yield (fourcc, body_offset, body_size) over a RIFF chunk run;
-    tolerates a truncated tail by clamping to the buffer (PERMISSIVE)."""
+def _chunks(
+    data: bytes, pos: int, end: int
+) -> Iterator[tuple[bytes, int, int, int]]:
+    """Yield (fourcc, body_offset, clamped_size, declared_size) over a
+    RIFF chunk run; tolerates a truncated tail by clamping to the buffer
+    (PERMISSIVE) while exposing the declared size so variable-length
+    codecs can tell a whole chunk from a chopped one."""
     while pos + 8 <= end:
         cid = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
         body = pos + 8
-        yield cid, body, min(size, max(0, end - body))
+        yield cid, body, min(size, max(0, end - body)), size
         pos = body + size + (size & 1)  # chunks are word-aligned
 
 
@@ -85,14 +98,15 @@ def parse_avi_header(data: bytes) -> AviHeader:
     movi = None
     stream_id = -1
     top_down = False
+    codec = "rawbgr"
     n_streams_seen = 0
     found_vids = False
-    for cid, body, size in _chunks(data, 12, end):
+    for cid, body, size, _ in _chunks(data, 12, end):
         if cid != b"LIST" or size < 4:
             continue
         ltype = data[body : body + 4]
         if ltype == b"hdrl":
-            for hcid, hbody, hsize in _chunks(data, body + 4, body + size):
+            for hcid, hbody, hsize, _ in _chunks(data, body + 4, body + size):
                 if hcid == b"avih" and hsize >= 40:
                     us_per_frame, n_frames = (
                         struct.unpack_from("<I", data, hbody)[0],
@@ -117,7 +131,7 @@ def parse_avi_header(data: bytes) -> AviHeader:
                     # a strf-before-strh strl, letting a compressed stream
                     # decode as garbage instead of raising (r6 review)
                     strh_at = strf_at = None
-                    for scid, sbody, ssize in _chunks(data, hbody + 4, hbody + hsize):
+                    for scid, sbody, ssize, _ in _chunks(data, hbody + 4, hbody + hsize):
                         if scid == b"strh" and ssize >= 32 and strh_at is None:
                             strh_at = sbody
                         elif scid == b"strf" and ssize >= 20 and strf_at is None:
@@ -136,10 +150,12 @@ def parse_avi_header(data: bytes) -> AviHeader:
                         struct.unpack_from("<H", data, strf_at + 14)[0],
                         struct.unpack_from("<I", data, strf_at + 16)[0],
                     )
-                    if comp != 0 or bits != 24:
+                    if comp in _MJPG_FOURCCS:
+                        codec = "mjpeg"  # per-frame baseline JPEG (jpeg.py)
+                    elif comp != 0 or bits != 24:
                         raise AviError(
                             f"unsupported stream (compression={comp}, "
-                            f"{bits}-bit) — raw 24-bit BI_RGB only"
+                            f"{bits}-bit) — raw 24-bit BI_RGB or MJPG only"
                         )
                     width, height = bw, abs(bh)
                     top_down = bh < 0
@@ -155,7 +171,7 @@ def parse_avi_header(data: bytes) -> AviHeader:
         else:
             fps_num, fps_den = 30, 1  # last-resort default
     return AviHeader(
-        width, height, fps_num, fps_den, n_frames, stream_id, top_down, *movi
+        width, height, fps_num, fps_den, n_frames, stream_id, top_down, *movi, codec
     )
 
 
@@ -174,10 +190,23 @@ def decode_avi(
         h, w, stride = hdr.height, hdr.width, hdr.stride
         need = stride * h
         emitted = 0
-        for cid, body, size in _chunks(data, hdr.movi_start, hdr.movi_end):
+        for cid, body, size, declared in _chunks(data, hdr.movi_start, hdr.movi_end):
             if max_frames is not None and emitted >= max_frames:
                 return
-            if cid not in want or size < need:
+            if cid not in want:
+                continue
+            if hdr.codec == "mjpeg":
+                if size < declared:
+                    return  # chopped final chunk ends the stream
+                if not is_jpeg(data[body : body + 3]):
+                    continue  # non-JPEG chunk under this stream id: skip
+                try:
+                    yield decode_jpeg(data[body : body + size])
+                except JpegError:
+                    return  # corrupt tail ends the stream
+                emitted += 1
+                continue
+            if size < need:
                 continue
             img = (
                 np.frombuffer(data, np.uint8, need, body)
@@ -195,28 +224,44 @@ def probe_avi(data: bytes) -> dict:
     header fields + frame count by chunk-walking movi — no pixel work."""
     hdr = parse_avi_header(data)
     want = (b"%02ddb" % hdr.stream_id, b"%02ddc" % hdr.stream_id)
-    need = hdr.stride * hdr.height
-    n = sum(
-        1
-        for cid, _, size in _chunks(data, hdr.movi_start, hdr.movi_end)
-        if cid in want and size >= need
-    )
+    if hdr.codec == "mjpeg":
+        n = sum(
+            1
+            for cid, body, size, declared in _chunks(data, hdr.movi_start, hdr.movi_end)
+            if cid in want and size == declared and is_jpeg(data[body : body + 3])
+        )
+    else:
+        need = hdr.stride * hdr.height
+        n = sum(
+            1
+            for cid, _, size, _d in _chunks(data, hdr.movi_start, hdr.movi_end)
+            if cid in want and size >= need
+        )
     return {
         "duration_s": (n / hdr.fps) if hdr.fps else None,
         "width": float(hdr.width),
         "height": float(hdr.height),
         "n_frames": n,
-        "codec": "avi/rawbgr",
+        "codec": f"avi/{hdr.codec}",
         "fps": hdr.fps,
     }
 
 
-def encode_avi(frames_bgr: list[np.ndarray], fps: int = 30) -> bytes:
-    """Minimal raw-DIB AVI writer (tests and fixtures): 24-bit BI_RGB,
-    bottom-up padded rows, one '00db' chunk per frame, no idx1 (players
-    prefer one; a sequential decode doesn't need it)."""
+def encode_avi(
+    frames_bgr: list[np.ndarray],
+    fps: int = 30,
+    codec: str = "rawbgr",
+    quality: int = 95,
+) -> bytes:
+    """Minimal AVI writer (tests and fixtures). ``codec="rawbgr"``: 24-bit
+    BI_RGB bottom-up padded DIB rows, one '00db' chunk per frame.
+    ``codec="mjpeg"``: one baseline JPEG ('00dc' chunk) per frame via
+    jpeg.py at the given ``quality``. No idx1 either way (players prefer
+    one; a sequential decode doesn't need it)."""
     if not frames_bgr:
         raise AviError("need at least one frame")
+    if codec not in ("rawbgr", "mjpeg"):
+        raise AviError(f"unknown codec {codec!r}")
     h, w, _ = frames_bgr[0].shape
     stride = (w * 3 + 3) & ~3
     frame_bytes = stride * h
@@ -229,12 +274,23 @@ def encode_avi(frames_bgr: list[np.ndarray], fps: int = 30) -> bytes:
         rows[:, : w * 3] = f[::-1].reshape(h, w * 3)  # bottom-up
         return rows.tobytes()
 
-    strh = b"vids" + b"DIB " + struct.pack(
+    def _jpg(frame: np.ndarray) -> bytes:
+        f = np.asarray(frame, dtype=np.uint8)
+        if f.shape != (h, w, 3):
+            raise AviError("all frames must share the first frame's shape")
+        return encode_jpeg(f, quality=quality)
+
+    mjpeg = codec == "mjpeg"
+    handler = b"MJPG" if mjpeg else b"DIB "
+    compression = 0x47504A4D if mjpeg else 0
+    strh = b"vids" + handler + struct.pack(
         "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames_bgr), frame_bytes, 0, 0
     ) + struct.pack("<hhhh", 0, 0, w, h)
     # fields: flags, prio, lang, initial, scale=1, rate=fps, start, length,
     # bufsize, quality, samplesize, rcFrame(l, t, r, b) — 56 bytes total
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0)
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, frame_bytes, 0, 0, 0, 0
+    )
 
     def _chunk(cid: bytes, body: bytes) -> bytes:
         return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
@@ -260,6 +316,9 @@ def encode_avi(frames_bgr: list[np.ndarray], fps: int = 30) -> bytes:
         b"hdrl",
         _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
     )
-    movi = _list(b"movi", b"".join(_chunk(b"00db", _dib(f)) for f in frames_bgr))
+    if mjpeg:
+        movi = _list(b"movi", b"".join(_chunk(b"00dc", _jpg(f)) for f in frames_bgr))
+    else:
+        movi = _list(b"movi", b"".join(_chunk(b"00db", _dib(f)) for f in frames_bgr))
     body = AVI_MAGIC_FORM + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -1,0 +1,573 @@
+"""Baseline JPEG (ITU-T T.81 sequential DCT, Huffman, 8-bit) in pure
+numpy — the first genuinely COMPRESSED codec the engine decodes to real
+pixels, closing most of the remaining S4 gap (the reference decodes its
+sample videos via OpenCV ``VideoCapture`` — VideoEventCreator.java:54-96;
+this container ships no codec library, but baseline JPEG needs nothing
+beyond Huffman tables, dequantization, and an 8x8 IDCT, all expressible
+as byte walks + numpy). MJPEG-AVI ('MJPG' biCompression) stores one such
+JPEG per movi chunk, so this module makes `sources/avi.py` decode a real
+compressed stream end-to-end through the motion pipeline.
+
+Decoder scope (PERMISSIVE where the spec allows):
+  - markers: SOI, APPn/COM (skipped), DQT (8/16-bit, multi-table), SOF0,
+    DHT (multi-table), DRI, SOS, RSTn, EOI
+  - 1-component grayscale and 3-component YCbCr; sampling factors 1-2
+    (4:4:4, 4:2:2, 4:2:0) with sample-replication chroma upsample
+  - entropy stream byte-unstuffing (FF 00) and restart-marker DC resets
+  - full-range JFIF YCbCr -> BGR (round-half-away, clipped), matching the
+    channel order every other video source in this engine emits
+
+Encoder scope (tests/fixtures): baseline 4:4:4 (or grayscale), one
+quantization table per luma/chroma, CUSTOM canonical Huffman tables
+emitted in DHT (single code length per class — decoders read tables from
+the stream, so simplicity beats the Annex K defaults; the all-ones code
+stays unused as the spec advises). Quality 100 uses all-ones quant
+tables, so roundtrip error is IDCT float rounding only (±1/level).
+
+Not supported (raises JpegError): progressive (SOF2), arithmetic coding,
+12-bit precision, hierarchical — none appear in MJPEG streams.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["JpegError", "decode_jpeg", "encode_jpeg", "is_jpeg"]
+
+
+class JpegError(ValueError):
+    """Malformed or unsupported JPEG input."""
+
+
+# zigzag: index i of the scan order -> (row, col) in the 8x8 block
+_ZZ = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# 8-point DCT-II basis: A[u, x] = 0.5 * c(u) * cos((2x+1) u pi / 16)
+_A = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _c = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
+        _A[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+del _u, _x, _c
+
+
+def is_jpeg(data: bytes) -> bool:
+    return len(data) >= 3 and data[0:2] == b"\xff\xd8" and data[2] == 0xFF
+
+
+def _idct2(block: np.ndarray) -> np.ndarray:
+    return _A.T @ block @ _A
+
+
+def _fdct2(block: np.ndarray) -> np.ndarray:
+    return _A @ block @ _A.T
+
+
+class _BitReader:
+    """MSB-first entropy-stream reader with FF00 unstuffing; stops at any
+    real marker (exposes it for the RST / EOI handling in the MCU loop)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.marker is not None or self.pos >= len(self.data):
+                # pad with zeros past the end / a marker (spec: padding 1s,
+                # but any decode consuming pad bits is already done)
+                self.bits = (self.bits << 8) & 0xFFFFFFFF
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+                if nxt == 0x00:  # stuffed data byte
+                    self.pos += 2
+                else:  # a real marker terminates the entropy segment
+                    self.marker = nxt
+                    continue
+            else:
+                self.pos += 1
+            self.bits = ((self.bits << 8) | b) & 0xFFFFFFFF
+            self.nbits += 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.bits >> self.nbits) & ((1 << n) - 1)
+
+    def align_and_take_marker(self) -> int | None:
+        """Byte-align and consume the pending marker (for RST handling)."""
+        self.bits = 0
+        self.nbits = 0
+        if self.marker is None:
+            self._sync_marker()
+        m = self.marker
+        if m is not None:
+            self.pos += 2
+            self.marker = None
+        return m
+
+    def _sync_marker(self) -> None:
+        while self.pos < len(self.data):
+            if (
+                self.data[self.pos] == 0xFF
+                and self.pos + 1 < len(self.data)
+                and self.data[self.pos + 1] != 0x00
+            ):
+                self.marker = self.data[self.pos + 1]
+                return
+            self.pos += 1
+
+
+def _build_huff(counts: list[int], symbols: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical Huffman per T.81 Annex C: {(length, code) -> symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise JpegError("invalid Huffman code in entropy stream")
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode baseline JPEG bytes to (H, W, 3) BGR uint8 (grayscale input
+    is replicated across the three channels, matching the wire format the
+    engine's frame sources emit). Malformed input of ANY shape raises
+    JpegError — the low-level struct/index errors a truncated or mangled
+    header produces are converted, so callers need one except clause
+    (fuzz-pinned in tests/test_mjpeg.py)."""
+    try:
+        return _decode_jpeg_checked(data)
+    except JpegError:
+        raise
+    except (struct.error, ValueError, IndexError) as e:
+        raise JpegError(f"malformed JPEG: {e}") from e
+
+
+def _decode_jpeg_checked(data: bytes) -> np.ndarray:
+    if not is_jpeg(data):
+        raise JpegError("not a JPEG stream (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    comps: list[dict] = []
+    h = w = 0
+    restart_interval = 0
+    scan_comps: list[dict] = []
+    scan_start = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise JpegError(f"marker expected at offset {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD8:  # stray SOI
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = pos + 4
+        end = pos + 2 + seglen
+        if marker == 0xDB:  # DQT
+            p = body
+            while p < end:
+                pq, tq = data[p] >> 4, data[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(data, np.uint8, 64, p).astype(np.int32)
+                    p += 64
+                elif pq == 1:
+                    tbl = np.frombuffer(data, ">u2", 64, p).astype(np.int32)
+                    p += 128
+                else:
+                    raise JpegError("bad DQT precision")
+                qt[tq] = tbl
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (both baseline-huffman)
+            if data[body] != 8:
+                raise JpegError("only 8-bit precision supported")
+            h, w = struct.unpack_from(">HH", data, body + 1)
+            n = data[body + 5]
+            comps = []
+            for i in range(n):
+                cid, hv, tq = data[body + 6 + 3 * i : body + 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError(f"unsupported SOF marker 0xFF{marker:02X} (not baseline)")
+        elif marker == 0xC4:  # DHT
+            p = body
+            while p < end:
+                tc, th = data[p] >> 4, data[p] & 0x0F
+                counts = list(data[p + 1 : p + 17])
+                nsym = sum(counts)
+                symbols = list(data[p + 17 : p + 17 + nsym])
+                if len(counts) < 16 or len(symbols) < nsym or p + 17 + nsym > end:
+                    raise JpegError("truncated DHT segment")
+                huff[(tc, th)] = _build_huff(counts, symbols)
+                p += 17 + nsym
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", data, body)
+        elif marker == 0xDA:  # SOS
+            ns = data[body]
+            scan_comps = []
+            for i in range(ns):
+                cid, tables = data[body + 1 + 2 * i], data[body + 2 + 2 * i]
+                comp = next((c for c in comps if c["id"] == cid), None)
+                if comp is None:
+                    raise JpegError("SOS references unknown component")
+                scan_comps.append(
+                    {**comp, "dc": tables >> 4, "ac": tables & 0x0F}
+                )
+            scan_start = body + 1 + 2 * ns + 3  # skip Ss/Se/AhAl
+            break
+        # APPn, COM, everything else: skip
+        pos = end
+    if scan_start is None or not comps or h == 0 or w == 0:
+        raise JpegError("missing SOF/SOS")
+
+    hmax = max(c["h"] for c in scan_comps)
+    vmax = max(c["v"] for c in scan_comps)
+    if hmax not in (1, 2) or vmax not in (1, 2):
+        raise JpegError("sampling factors beyond 2 unsupported")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = []
+    for c in scan_comps:
+        pw, ph = mcus_x * 8 * c["h"], mcus_y * 8 * c["v"]
+        planes.append(np.zeros((ph, pw), dtype=np.float64))
+
+    br = _BitReader(data, scan_start)
+    pred = [0] * len(scan_comps)
+    mcu_index = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                m = br.align_and_take_marker()
+                if m is None or not (0xD0 <= m <= 0xD7):
+                    raise JpegError("expected restart marker")
+                pred = [0] * len(scan_comps)
+            for ci, c in enumerate(scan_comps):
+                q = qt.get(c["tq"])
+                if q is None:
+                    raise JpegError("missing quantization table")
+                dct = huff.get((0, c["dc"]))
+                act = huff.get((1, c["ac"]))
+                if dct is None or act is None:
+                    raise JpegError("missing Huffman table")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = _huff_decode(br, dct)
+                        if size > 11:  # corrupt DHT symbol: DC size <= 11
+                            raise JpegError("DC size out of range")
+                        pred[ci] += _extend(br.read(size), size)
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, act)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise JpegError("AC run past block end")
+                            zz[k] = _extend(br.read(s), s)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_ZZ] = zz * q
+                        px = _idct2(block.reshape(8, 8)) + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_index += 1
+
+    # upsample to full resolution by sample replication, crop to (h, w)
+    full = []
+    for c, p in zip(scan_comps, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+
+    def _clip8(a: np.ndarray) -> np.ndarray:
+        return np.clip(np.floor(a + 0.5), 0, 255).astype(np.uint8)
+
+    if len(full) == 1:
+        g = _clip8(full[0])
+        return np.dstack([g, g, g])
+    if len(full) != 3:
+        raise JpegError(f"unsupported component count {len(full)}")
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = _clip8(y + 1.402 * cr)
+    g = _clip8(y - 0.344136 * cb - 0.714136 * cr)
+    b = _clip8(y + 1.772 * cb)
+    return np.dstack([b, g, r])
+
+
+# ---------------------------------------------------------------- encoder
+
+# Annex K.1 luminance / K.2 chrominance quantization tables (zigzag order
+# applied at use time; stored here in natural row-major order).
+_QL = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+)
+_QC = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int32,
+)
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's public quality->scaling convention; quality 100 gives an
+    all-ones table (IDCT rounding is then the only loss)."""
+    quality = min(100, max(1, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (table * s + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+# Custom canonical Huffman tables: every symbol at one code length, with
+# the all-ones code left unused (len 5 for the 12 DC sizes, len 9 for the
+# 162 AC run/size symbols). Valid per Annex C, simple to emit and decode.
+_DC_SYMBOLS = list(range(12))
+_DC_COUNTS = [0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_AC_COUNTS = [0, 0, 0, 0, 0, 0, 0, 0, len(_AC_SYMBOLS), 0, 0, 0, 0, 0, 0, 0]
+
+
+def _encode_codes(counts: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
+    """{symbol -> (length, code)} for the canonical table."""
+    return {s: lc for lc, s in _build_huff(counts, symbols).items()}
+
+
+_DC_ENC = _encode_codes(_DC_COUNTS, _DC_SYMBOLS)
+_AC_ENC = _encode_codes(_AC_COUNTS, _AC_SYMBOLS)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+def _mag(v: int) -> tuple[int, int]:
+    """(size, code) for a DC-diff / AC coefficient value."""
+    size = int(abs(v)).bit_length()
+    code = v if v >= 0 else v + (1 << size) - 1
+    return size, code
+
+
+def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int) -> int:
+    dc = int(zz[0])
+    size, code = _mag(dc - pred)
+    ln, cd = _DC_ENC[size]
+    bw.write(cd, ln)
+    if size:
+        bw.write(code, size)
+    run = 0
+    last_nz = int(np.nonzero(zz[1:])[0].max() + 1) if np.any(zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, cd = _AC_ENC[0xF0]
+            bw.write(cd, ln)
+            run -= 16
+        size, code = _mag(v)
+        ln, cd = _AC_ENC[(run << 4) | size]
+        bw.write(cd, ln)
+        bw.write(code, size)
+        run = 0
+    if last_nz < 63:
+        ln, cd = _AC_ENC[0x00]
+        bw.write(cd, ln)
+    return dc
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _pad_plane(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate a component plane to the MCU-aligned (ph, pw)."""
+    h, w = p.shape
+    pp = np.empty((ph, pw))
+    pp[:h, :w] = p
+    pp[h:, :w] = p[h - 1 : h, :]
+    pp[:, w:] = pp[:, w - 1 : w]
+    return pp
+
+
+def encode_jpeg(
+    bgr: np.ndarray, quality: int = 95, subsampling: str = "444"
+) -> bytes:
+    """Encode (H, W, 3) BGR (or (H, W) grayscale) uint8 to baseline JPEG.
+    ``subsampling``: "444" (no chroma subsample) or "420" (2x2 luma
+    sampling, box-averaged half-resolution chroma — the MJPEG-typical
+    layout, and the decoder path that exercises multi-block MCUs).
+    Custom single-length canonical Huffman tables in DHT; Annex K quant
+    tables scaled by ``quality`` (100 = all-ones, near-lossless)."""
+    a = np.asarray(bgr, dtype=np.float64)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise JpegError("expected (H, W, 3) BGR or (H, W) grayscale")
+    if subsampling not in ("444", "420"):
+        raise JpegError(f"unsupported subsampling {subsampling!r}")
+    h, w = a.shape[0], a.shape[1]
+    if gray:
+        planes = [a]
+        qts = [_quality_scale(_QL, quality)]
+        comp_q = [0]
+        samp = [(1, 1)]
+    else:
+        b, g, r = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+        qts = [_quality_scale(_QL, quality), _quality_scale(_QC, quality)]
+        comp_q = [0, 1, 1]
+        samp = [(1, 1), (1, 1), (1, 1)]
+        if subsampling == "420":
+            samp = [(2, 2), (1, 1), (1, 1)]
+            # box-average chroma to half resolution (pad odd dims first)
+            for i in (1, 2):
+                p = _pad_plane(planes[i], -(-h // 2) * 2, -(-w // 2) * 2)
+                planes[i] = 0.25 * (
+                    p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]
+                )
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    out = bytearray(b"\xff\xd8")
+    for ti, q in enumerate(qts):
+        out += _seg(0xDB, bytes([ti]) + bytes(q[_ZZ].astype(np.uint8).tolist()))
+    ncomp = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for i in range(ncomp):
+        sof += bytes([i + 1, (samp[i][0] << 4) | samp[i][1], comp_q[i]])
+    out += _seg(0xC0, sof)
+    for tc, counts, symbols in (
+        (0, _DC_COUNTS, _DC_SYMBOLS),
+        (1, _AC_COUNTS, _AC_SYMBOLS),
+    ):
+        out += _seg(
+            0xC4, bytes([(tc << 4) | 0]) + bytes(counts) + bytes(symbols)
+        )
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    bw = _BitWriter()
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    pred = [0] * ncomp
+    padded = [
+        _pad_plane(p, mcus_y * 8 * samp[i][1], mcus_x * 8 * samp[i][0])
+        for i, p in enumerate(planes)
+    ]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ncomp):
+                ch, cv = samp[ci]
+                q = qts[comp_q[ci]].reshape(8, 8).astype(np.float64)
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        blk = padded[ci][y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        quant = (
+                            np.floor(_fdct2(blk) / q + 0.5).astype(np.int64).reshape(64)
+                        )
+                        # AC magnitudes are capped at the baseline 10-bit
+                        # range (only reachable on pathological
+                        # max-contrast blocks at quality 100); DC diffs
+                        # fit size 11 without clamping
+                        quant[1:] = np.clip(quant[1:], -1023, 1023)
+                        pred[ci] = _encode_block(bw, quant[_ZZ], pred[ci])
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -71,10 +71,12 @@ def test_rejects_corrupt_and_compressed():
         parse_avi_header(b"RIFF\x00\x00\x00\x00WAVE")
     with pytest.raises(AviError):
         parse_avi_header(b"RIFF" + b"\xff\xff\xff\xff" + b"AVI " + b"\x00" * 64)
-    # a compressed (non-BI_RGB) strf must be refused, not mis-decoded
+    # an unsupported-codec strf must be refused, not mis-decoded
+    # (MJPG is now a supported codec — see test_mjpeg.py — so the
+    # refusal case uses a genuinely undecodable fourcc)
     data = bytearray(encode_avi(_bgr_square_frames(16, 16, [0], 6)))
     strf_at = bytes(data).find(b"strf")
-    data[strf_at + 8 + 16 : strf_at + 8 + 20] = b"MJPG"  # biCompression
+    data[strf_at + 8 + 16 : strf_at + 8 + 20] = b"XVID"  # biCompression
     with pytest.raises(AviError):
         parse_avi_header(bytes(data))
 
@@ -165,14 +167,15 @@ def test_avi_python_datasource(spark, tmp_path):
 
 
 def test_compressed_avi_yields_no_rows_not_failure(spark, tmp_path):
-    """PERMISSIVE read path, actually exercised: a compressed (MJPG) AVI
-    alongside a good one must contribute zero rows without failing the
-    job. Regression for the lazy-generator bug where the AviError raised
-    inside the iteration loop, past the try/except guard."""
+    """PERMISSIVE read path, actually exercised: an unsupported-codec
+    (XVID) AVI alongside a good one must contribute zero rows without
+    failing the job. Regression for the lazy-generator bug where the
+    AviError raised inside the iteration loop, past the try/except
+    guard."""
     good = encode_avi(_bgr_square_frames(32, 48, [0, 8], 8))
     bad = bytearray(encode_avi(_bgr_square_frames(32, 48, [0], 8)))
     strf_at = bytes(bad).find(b"strf")
-    bad[strf_at + 8 + 16 : strf_at + 8 + 20] = b"MJPG"  # biCompression
+    bad[strf_at + 8 + 16 : strf_at + 8 + 20] = b"XVID"  # biCompression
     (tmp_path / "good.avi").write_bytes(good)
     (tmp_path / "bad.avi").write_bytes(bytes(bad))
     (tmp_path / "junk.y4m").write_bytes(b"YUV4MPEG2 Wnope\n")
@@ -255,10 +258,11 @@ def test_reordered_strl_still_validates_compression():
     assert (hdr.width, hdr.height) == (16, 16)
     assert len(list(decode_avi(reordered)[1])) == 1
 
-    # compressed stream, reordered headers: must refuse, not decode garbage
+    # unsupported-codec stream, reordered headers: must refuse, not
+    # decode garbage (MJPG is supported now, so XVID is the refusal case)
     bad = bytearray(reordered)
     j = bytes(bad).find(b"strf")
-    bad[j + 8 + 16 : j + 8 + 20] = b"MJPG"
+    bad[j + 8 + 16 : j + 8 + 20] = b"XVID"
     with pytest.raises(AviError):
         parse_avi_header(bytes(bad))
 
