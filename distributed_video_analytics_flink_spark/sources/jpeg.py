@@ -247,6 +247,11 @@ def _decode_jpeg_checked(data: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack_from(">H", data, body)
         elif marker == 0xDA:  # SOS
             ns = data[body]
+            if ns != len(comps):
+                # a partial-component scan means non-interleaved multi-scan
+                # layout; decoding just the first scan would silently drop
+                # the other components — refuse instead
+                raise JpegError("non-interleaved multi-scan JPEG unsupported")
             scan_comps = []
             for i in range(ns):
                 cid, tables = data[body + 1 + 2 * i], data[body + 2 + 2 * i]
