@@ -433,6 +433,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1s per spec
         return bytes(self.out)
 
+    def restart(self, idx: int) -> None:
+        """Byte-align (1-padded) and emit RSTn — markers go in raw,
+        never byte-stuffed."""
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (idx & 7)])
+
 
 def _mag(v: int) -> tuple[int, int]:
     """(size, code) for a DC-diff / AC coefficient value."""
@@ -485,19 +493,25 @@ def _pad_plane(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
 
 
 def encode_jpeg(
-    bgr: np.ndarray, quality: int = 95, subsampling: str = "444"
+    bgr: np.ndarray,
+    quality: int = 95,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode (H, W, 3) BGR (or (H, W) grayscale) uint8 to baseline JPEG.
-    ``subsampling``: "444" (no chroma subsample) or "420" (2x2 luma
-    sampling, box-averaged half-resolution chroma — the MJPEG-typical
-    layout, and the decoder path that exercises multi-block MCUs).
-    Custom single-length canonical Huffman tables in DHT; Annex K quant
-    tables scaled by ``quality`` (100 = all-ones, near-lossless)."""
+    ``subsampling``: "444" (no chroma subsample), "422" (2x1 luma
+    sampling, horizontally-halved chroma) or "420" (2x2 luma sampling,
+    box-averaged half-resolution chroma — the MJPEG-typical layout).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (the error-resilience layout MJPEG hardware encoders produce —
+    and the decoder path that resets DC predictors). Custom
+    single-length canonical Huffman tables in DHT; Annex K quant tables
+    scaled by ``quality`` (100 = all-ones, near-lossless)."""
     a = np.asarray(bgr, dtype=np.float64)
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
         raise JpegError("expected (H, W, 3) BGR or (H, W) grayscale")
-    if subsampling not in ("444", "420"):
+    if subsampling not in ("444", "422", "420"):
         raise JpegError(f"unsupported subsampling {subsampling!r}")
     h, w = a.shape[0], a.shape[1]
     if gray:
@@ -522,6 +536,11 @@ def encode_jpeg(
                 planes[i] = 0.25 * (
                     p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]
                 )
+        elif subsampling == "422":
+            samp = [(2, 1), (1, 1), (1, 1)]
+            for i in (1, 2):
+                p = _pad_plane(planes[i], h, -(-w // 2) * 2)
+                planes[i] = 0.5 * (p[:, 0::2] + p[:, 1::2])
 
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
@@ -540,6 +559,8 @@ def encode_jpeg(
         out += _seg(
             0xC4, bytes([(tc << 4) | 0]) + bytes(counts) + bytes(symbols)
         )
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for i in range(ncomp):
         sos += bytes([i + 1, 0x00])
@@ -554,8 +575,15 @@ def encode_jpeg(
         _pad_plane(p, mcus_y * 8 * samp[i][1], mcus_x * 8 * samp[i][0])
         for i, p in enumerate(planes)
     ]
+    mcu_index = 0
+    rst_idx = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                bw.restart(rst_idx)
+                rst_idx += 1
+                pred = [0] * ncomp
+            mcu_index += 1
             for ci in range(ncomp):
                 ch, cv = samp[ci]
                 q = qts[comp_q[ci]].reshape(8, 8).astype(np.float64)

@@ -85,6 +85,37 @@ def test_jpeg_420_subsampled_roundtrip():
     assert out2.shape == img2.shape  # content differs (chroma halved)
 
 
+def test_jpeg_422_subsampled_roundtrip():
+    """4:2:2 (2x1 luma sampling): the third sampling layout the decoder
+    claims — horizontally-halved chroma, vertically full."""
+    img = np.zeros((16, 48, 3), dtype=np.uint8)
+    yy = np.mgrid[0:16, 0:48][0]
+    img[:, :, 0] = 60
+    img[:, :, 1] = (yy * 9) % 256
+    img[:, :, 2] = 200
+    out = decode_jpeg(encode_jpeg(img, quality=100, subsampling="422"))
+    assert out.shape == img.shape
+    # uniform chroma per row: the horizontal box average is exact
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 4
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn: the decoder resets DC predictors at every restart
+    boundary — roundtrip an image spanning many MCUs with a short
+    restart interval, and confirm the markers are really in the stream
+    (so this test cannot silently stop covering the RST path)."""
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (24, 64, 3), dtype=np.uint8)  # 24 MCUs
+    data = encode_jpeg(img, quality=100, restart_interval=2)
+    assert b"\xff\xdd" in data  # DRI present
+    assert any(bytes([0xFF, 0xD0 + i]) in data for i in range(8))
+    out = decode_jpeg(data)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 3
+    # and composed with subsampling (different MCU geometry)
+    data420 = encode_jpeg(img, quality=100, subsampling="420", restart_interval=1)
+    assert decode_jpeg(data420).shape == img.shape
+
+
 def test_jpeg_rejects_progressive_and_garbage():
     with pytest.raises(JpegError):
         decode_jpeg(b"\x00\x01\x02")
