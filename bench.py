@@ -122,6 +122,7 @@ HEADLINE = [
     # round 7: bucketed triangle edges, segmented EMA, at-rest IVF+PQ
     "graph_triangle_count_bucketed",
     "events_ema_segmented",
+    "events_ema_partitioned",
     "sim_ivf_pq_at_rest",
 ]
 

@@ -2939,10 +2939,12 @@ def events_ema_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EMA_SEG = 16  # values per segment; production sizes this to the row budget
 
-
-@query(
-    "events_ema_segmented",
-    oracle=f"""
+# Shared oracle: the SEGMENTED evaluation of the EMA fold (chunk folds +
+# in-order affine-map composition). Used by events_ema_segmented (chunks
+# split inside the per-key array) and events_ema_partitioned (chunks are
+# real rows) — both compute the identical arithmetic, so they pin the
+# identical SQL.
+_DUCK_EMA_SEGMENTED = f"""
     WITH seq AS (
       SELECT user_id, list(value ORDER BY ts, event_id) AS l
       FROM events WHERE value IS NOT NULL AND NOT isnan(value)
@@ -2965,8 +2967,10 @@ _EMA_SEG = 16  # values per segment; production sizes this to the row budget
                        (acc, m) -> {{'a': m.a * acc.a,
                                      'b': m.a * acc.b + m.b}}).b AS ema_value
     FROM segs ORDER BY user_id
-    """,
-)
+    """
+
+
+@query("events_ema_segmented", oracle=_DUCK_EMA_SEGMENTED)
 def events_ema_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events_ema_smoothed without the per-key row-size ceiling (VERDICT
     r6 #4): the EMA recurrence ema_t = a*x_t + (1-a)*ema_{{t-1}} is AFFINE
@@ -3034,6 +3038,79 @@ def events_ema_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return seqdf.select(
         "user_id", n.alias("n_events"), composed["b"].alias("ema_value")
+    ).orderBy("user_id")
+
+
+@query("events_ema_partitioned", oracle=_DUCK_EMA_SEGMENTED)
+def events_ema_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL row-size-ceiling kill events_ema_segmented's docstring
+    promises: segments are REAL ROW GROUPS, not slices of a collected
+    array — no row ever holds a key's complete history.
+
+      1. row_number over (user_id ORDER BY ts, event_id) ranks each
+         event (one shuffle; the only per-key-global step, and it is
+         streaming-friendly: a window never materializes the partition
+         as one row);
+      2. groupBy(user_id, (rn-1) DIV {_EMA_SEG}) folds each segment —
+         collect_list is bounded at {_EMA_SEG} structs per row — into
+         its affine (a, b) map (first segment seeded by its first
+         value, later segments folded from zero);
+      3. groupBy(user_id) composes the per-segment maps in seg_no order
+         — {_EMA_SEG} doubles of history become TWO, so the composition
+         row is n/{_EMA_SEG} small structs; a corpus where even that is
+         too big repeats step 2-3 on seg_no DIV {_EMA_SEG} (the
+         composition is associative, so tree depth is log_{_EMA_SEG}).
+
+    Arithmetic is bit-identical to events_ema_segmented (same chunk
+    boundaries by rank, same seeds, same in-order composition), so both
+    pin the same oracle SQL; tests/test_ema_segmented.py asserts the
+    bit-equality on real data and a long synthetic history."""
+    seg = _EMA_SEG
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "value", F.row_number().over(w).alias("rn")
+    )
+    segs = ranked.groupBy(
+        "user_id", F.expr(f"(rn - 1) DIV {seg}").alias("seg_no")
+    ).agg(
+        F.expr("transform(array_sort(collect_list(struct(rn, value))), x -> x.value)").alias(
+            "v"
+        )
+    )
+    first_b = F.aggregate(
+        F.col("v"),
+        F.lit(None).cast("double"),
+        lambda acc, x: F.coalesce(0.5 * x + 0.5 * acc, x),
+    )
+    rest_b = F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: 0.5 * x + 0.5 * acc)
+    per_seg = segs.select(
+        "user_id",
+        "seg_no",
+        F.size("v").alias("cnt"),
+        F.when(
+            F.col("seg_no") == 0, F.struct(F.lit(0.0).alias("a"), first_b.alias("b"))
+        )
+        .otherwise(
+            F.struct(F.pow(F.lit(0.5), F.size("v")).alias("a"), rest_b.alias("b"))
+        )
+        .alias("m"),
+    )
+    maps = F.expr("transform(array_sort(collect_list(struct(seg_no, m))), x -> x.m)")
+    out = per_seg.groupBy("user_id").agg(
+        F.sum("cnt").cast("int").alias("n_events"), maps.alias("ms")
+    )
+    composed = F.aggregate(
+        F.slice(F.col("ms"), 2, F.greatest(F.size("ms") - 1, F.lit(0))),
+        F.element_at(F.col("ms"), 1),
+        lambda acc, m: F.struct(
+            (m["a"] * acc["a"]).alias("a"), (m["a"] * acc["b"] + m["b"]).alias("b")
+        ),
+    )
+    return out.select(
+        "user_id", "n_events", composed["b"].alias("ema_value")
     ).orderBy("user_id")
 
 

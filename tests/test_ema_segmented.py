@@ -24,6 +24,7 @@ import pandas as pd
 
 from distributed_video_analytics_flink_spark.operators.relational import (
     _EMA_SEG,
+    events_ema_partitioned,
     events_ema_segmented,
     events_ema_smoothed,
 )
@@ -99,6 +100,25 @@ def test_segmented_close_but_not_necessarily_equal_to_monolithic(spark, tmp_path
     # different rounding points: agreement is ~ulps, asserted tight but
     # NOT exact (a 28%/1-ulp mismatch rate was measured on random folds)
     assert np.isclose(seg_v, mono_v, rtol=1e-12, atol=1e-12)
+
+
+def test_partitioned_is_bit_equal_to_segmented(spark, tmp_path):
+    """events_ema_partitioned (segments as real row groups — the full
+    row-size-ceiling kill) computes the IDENTICAL arithmetic to
+    events_ema_segmented (segments as array slices): same rank-based
+    chunk boundaries, seeds, and composition order — bit-equal on a
+    5000-event history and on real fixture data."""
+    n = 5000
+    df, xs = _long_history_df(spark, n, seed=7)
+    d = tmp_path / "events_long3"
+    df.write.parquet(str(d / "events.parquet"))
+    part = events_ema_partitioned(spark, str(d)).collect()[0]
+    assert part.n_events == n
+    assert part.ema_value == _segmented(xs, _EMA_SEG)  # bit-equal
+
+    seg_rows = {tuple(r) for r in events_ema_segmented(spark, SF_DIR).collect()}
+    part_rows = {tuple(r) for r in events_ema_partitioned(spark, SF_DIR).collect()}
+    assert seg_rows == part_rows and len(seg_rows) > 0
 
 
 def test_segmented_agrees_with_monolithic_on_fixture(spark):
