@@ -121,6 +121,19 @@ def test_partitioned_is_bit_equal_to_segmented(spark, tmp_path):
     assert seg_rows == part_rows and len(seg_rows) > 0
 
 
+def test_partitioned_ema_is_single_hash_shuffle(spark):
+    """The scale contract: events_ema_partitioned's two groupBys reuse
+    the window's user_id hash partitioning (subset-clustering), so the
+    whole pipeline shuffles data ONCE — the only other exchange is the
+    final presentation orderBy's range partitioning."""
+    import re
+
+    df = events_ema_partitioned(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"Exchange rangepartitioning", plan)) == 1  # orderBy
+
+
 def test_segmented_agrees_with_monolithic_on_fixture(spark):
     seg = {
         r.user_id: (r.n_events, r.ema_value)
