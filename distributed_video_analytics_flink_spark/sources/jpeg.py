@@ -113,6 +113,16 @@ class _BitReader:
         self.nbits -= n
         return (self.bits >> self.nbits) & ((1 << n) - 1)
 
+    def peek(self, n: int) -> int:
+        """Read n bits without consuming (n <= 16; _fill guarantees
+        >= 25 buffered) — the fast-path probe for LUT Huffman decode."""
+        if self.nbits < n:
+            self._fill()
+        return (self.bits >> (self.nbits - n)) & ((1 << n) - 1)
+
+    def consume(self, n: int) -> None:
+        self.nbits -= n
+
     def align_and_take_marker(self) -> int | None:
         """Byte-align and consume the pending marker (for RST handling)."""
         self.bits = 0
@@ -151,14 +161,36 @@ def _build_huff(counts: list[int], symbols: list[int]) -> dict[tuple[int, int], 
     return table
 
 
-def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read(1)
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise JpegError("invalid Huffman code in entropy stream")
+class _HuffTable:
+    """LUT Huffman decoder: one maxlen-bit peek + one list index per
+    symbol instead of a per-bit loop (the standard fast decode — a
+    length-L code owns the 2^(maxlen-L) LUT entries sharing its prefix).
+    Entries no code covers carry length 0 -> invalid-stream JpegError."""
+
+    __slots__ = ("maxlen", "sym", "ln")
+
+    def __init__(self, counts: list[int], symbols: list[int]):
+        table = _build_huff(counts, symbols)
+        if not table:
+            raise JpegError("empty Huffman table")
+        self.maxlen = max(length for length, _ in table)
+        size = 1 << self.maxlen
+        self.sym = [0] * size
+        self.ln = [0] * size
+        for (length, code), s in table.items():
+            lo = code << (self.maxlen - length)
+            for i in range(lo, lo + (1 << (self.maxlen - length))):
+                self.sym[i] = s
+                self.ln[i] = length
+
+
+def _huff_decode(br: _BitReader, table: _HuffTable) -> int:
+    idx = br.peek(table.maxlen)
+    length = table.ln[idx]
+    if length == 0:
+        raise JpegError("invalid Huffman code in entropy stream")
+    br.consume(length)
+    return table.sym[idx]
 
 
 def _extend(v: int, size: int) -> int:
@@ -187,7 +219,7 @@ def _decode_jpeg_checked(data: bytes) -> np.ndarray:
         raise JpegError("not a JPEG stream (missing SOI)")
     pos = 2
     qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    huff: dict[tuple[int, int], _HuffTable] = {}  # (class, id) -> table
     comps: list[dict] = []
     h = w = 0
     restart_interval = 0
@@ -241,7 +273,7 @@ def _decode_jpeg_checked(data: bytes) -> np.ndarray:
                 symbols = list(data[p + 17 : p + 17 + nsym])
                 if len(counts) < 16 or len(symbols) < nsym or p + 17 + nsym > end:
                     raise JpegError("truncated DHT segment")
-                huff[(tc, th)] = _build_huff(counts, symbols)
+                huff[(tc, th)] = _HuffTable(counts, symbols)
                 p += 17 + nsym
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", data, body)
@@ -426,6 +458,9 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # drop drained bits: without this, acc grows into a bignum and
+        # every subsequent shift costs O(total bits written) — quadratic
+        self.acc &= (1 << self.n) - 1
 
     def flush(self) -> bytes:
         if self.n:
