@@ -124,6 +124,7 @@ HEADLINE = [
     "events_ema_segmented",
     "events_ema_partitioned",
     "sim_ivf_pq_at_rest",
+    "curation_decontaminate_fuzzy",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

@@ -325,6 +325,125 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUZZY_DECON_THRESHOLD = 0.5  # min MinHash-estimated Jaccard to flag
+
+
+def _fuzzy_decon_oracle() -> str:
+    from distributed_video_analytics_flink_spark.operators.dedup import (
+        N_HASHES,
+        _duck_minhash_cte,
+    )
+
+    eq_sum = " + ".join(
+        f"(CASE WHEN cs.h{i} = es.h{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
+    )
+    return f"""
+    WITH {_duck_minhash_cte()},
+    bands AS (
+      SELECT doc_id, b.band_id, b.band_hash
+      FROM sigs, LATERAL (
+        SELECT * FROM (VALUES
+          (0, md5(h0 || ':' || h1 || ':' || h2 || ':' || h3)),
+          (1, md5(h4 || ':' || h5 || ':' || h6 || ':' || h7)),
+          (2, md5(h8 || ':' || h9 || ':' || h10 || ':' || h11)),
+          (3, md5(h12 || ':' || h13 || ':' || h14 || ':' || h15))) AS v(band_id, band_hash)
+      ) b
+    ),
+    cand AS (
+      SELECT DISTINCT c.doc_id AS corpus_id, e.doc_id AS eval_id
+      FROM bands c JOIN bands e
+        ON c.band_id = e.band_id AND c.band_hash = e.band_hash
+      WHERE c.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
+    ),
+    est AS (
+      SELECT cand.corpus_id,
+             COUNT(*) AS n_candidate_evals,
+             MAX(({eq_sum}) / {N_HASHES}.0) AS max_jaccard_est
+      FROM cand
+      JOIN sigs cs ON cs.doc_id = cand.corpus_id
+      JOIN sigs es ON es.doc_id = cand.eval_id
+      GROUP BY cand.corpus_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(est.n_candidate_evals, 0) AS BIGINT) AS n_candidate_evals,
+           COALESCE(est.max_jaccard_est, 0.0) AS max_jaccard_est,
+           CASE WHEN est.max_jaccard_est >= {_FUZZY_DECON_THRESHOLD}
+                THEN 1 ELSE 0 END AS contaminated
+    FROM documents d LEFT JOIN est ON d.doc_id = est.corpus_id
+    WHERE d.doc_id % 97 <> 0
+    """
+
+
+@query("curation_decontaminate_fuzzy", oracle=_fuzzy_decon_oracle())
+def curation_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: curation_decontaminate
+    catches verbatim 8-token shingle overlap; this variant catches
+    paraphrased / lightly-edited benchmark leakage via MinHash-LSH — the
+    same signatures and banding as dedup_minhash_lsh_pairs, but joined
+    CORPUS x EVAL instead of self-joined. A corpus document is a
+    candidate if it shares any LSH band with any eval document
+    (doc_id % 97 == 0 stands in for the benchmark, matching the exact
+    variant's split), and is flagged when its best MinHash-estimated
+    Jaccard against a candidate eval doc reaches
+    {_FUZZY_DECON_THRESHOLD}. The estimate is the equal-hash fraction
+    over the 16-hash signature — exact integers / 16, bit-stable on
+    both engines.
+
+    100 TB shape: the eval side is tiny, so its bands AND signatures
+    broadcast — the corpus never shuffles text or shingles; candidate
+    generation is a map-side band probe and only (corpus_id, eval_id)
+    id-pairs reach the dedup + verify shuffles, both bounded by band
+    collisions against a small eval set (hot boilerplate bands are
+    capped upstream the same way dedup_lsh_pairs_capped documents)."""
+    from distributed_video_analytics_flink_spark.operators.dedup import (
+        N_HASHES,
+        _minhash_bands,
+        _minhash_signature,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _minhash_signature(spark, sf_dir)
+    bands = _minhash_bands(spark, sf_dir)
+    is_eval = F.col("doc_id") % 97 == 0
+    eval_bands = bands.filter(is_eval).select(
+        "band_id", "band_hash", F.col("doc_id").alias("eval_id")
+    )
+    cand = (
+        bands.filter(~is_eval)
+        .join(F.broadcast(eval_bands), ["band_id", "band_hash"])
+        .select(F.col("doc_id").alias("corpus_id"), "eval_id")
+        .distinct()
+    )
+    cs, es = sig.alias("cs"), sig.filter(is_eval).alias("es")
+    eq = sum(
+        (F.col(f"cs.h{i}") == F.col(f"es.h{i}")).cast("int") for i in range(N_HASHES)
+    )
+    est = (
+        cand.join(cs, F.col("cs.doc_id") == F.col("corpus_id"))
+        .join(F.broadcast(es), F.col("es.doc_id") == F.col("eval_id"))
+        .groupBy("corpus_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidate_evals"),
+            F.max(eq / F.lit(float(N_HASHES))).alias("max_jaccard_est"),
+        )
+    )
+    return (
+        docs.filter(~is_eval)
+        .select("doc_id")
+        .join(est, F.col("doc_id") == F.col("corpus_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidate_evals", F.lit(0)).alias("n_candidate_evals"),
+            F.coalesce("max_jaccard_est", F.lit(0.0)).alias("max_jaccard_est"),
+            F.when(
+                F.col("max_jaccard_est") >= _FUZZY_DECON_THRESHOLD, F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("contaminated"),
+        )
+    )
+
+
 @query(
     "curation_source_mix",
     oracle="""
