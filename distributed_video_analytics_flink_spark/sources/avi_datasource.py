@@ -19,6 +19,7 @@ from pyspark.sql.datasource import DataSource, DataSourceReader
 from distributed_video_analytics_flink_spark.sources.frame_datasource import (
     FRAME_DDL_SCHEMA,
     FilePartition,
+    FrameStreamReader,
     file_partitions,
     wire_frame_rows,
 )
@@ -52,6 +53,16 @@ class AviDataSource(DataSource):
 
     def reader(self, schema) -> AviReader:
         return AviReader(self.options)
+
+    def streamReader(self, schema) -> FrameStreamReader:
+        """spark.readStream.format("avi").load(dir): micro-batch over a
+        growing directory — one file per InputPartition per batch, same
+        wire rows as the batch reader (see FrameStreamReader)."""
+        from distributed_video_analytics_flink_spark.sources.avi import decode_avi
+
+        return FrameStreamReader(
+            self.options, "avi", lambda data, mf: decode_avi(data, max_frames=mf)
+        )
 
 
 def register_avi_source(spark) -> None:

@@ -16,7 +16,7 @@ import glob as _glob
 import os
 from collections.abc import Callable, Iterator
 
-from pyspark.sql.datasource import InputPartition
+from pyspark.sql.datasource import DataSourceStreamReader, InputPartition
 
 from distributed_video_analytics_flink_spark.sources.video_files import (
     _EPOCH_US,
@@ -49,6 +49,55 @@ def file_partitions(path: str | None, ext: str) -> list[FilePartition]:
             raise ValueError(f"{ext} source path does not exist: {path!r}")
         files = [path]
     return [FilePartition(p) for p in files]
+
+
+class FrameStreamReader(DataSourceStreamReader):
+    """Micro-batch stream over a growing directory of video files — the
+    Structured-Streaming leg of the per-file Data Sources (the engine's
+    file-replay analog of the reference's continuous Kafka frame ingest).
+
+    Offset model: ``{"n": <files consumed>}`` against the directory's
+    SORTED listing. Contract: the directory is append-only with
+    lexicographically increasing names (camera dumps — ``cam-<ts>.avi``
+    — satisfy this); a file inserted before already-consumed names is
+    not picked up. Each file becomes one InputPartition, decoded on the
+    executor exactly like the batch reader, so batch and stream emit
+    byte-identical wire rows for the same file. An empty directory is a
+    legal stream start (files arrive later), unlike the batch reader's
+    planning-time error."""
+
+    def __init__(self, options: dict, ext: str, decode: Callable):
+        self._path = options.get("path")
+        self._ext = ext
+        self._decode = decode
+        self._max_frames = int(options.get("maxframesperfile", 64))
+        if not self._path:
+            raise ValueError(f"{ext} stream requires a path: .load('/dir')")
+
+    def _listing(self) -> list[str]:
+        if os.path.isdir(self._path):
+            return sorted(_glob.glob(os.path.join(self._path, f"*.{self._ext}")))
+        if os.path.isfile(self._path):
+            return [self._path]
+        raise ValueError(f"{self._ext} stream path does not exist: {self._path!r}")
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def latestOffset(self) -> dict:
+        return {"n": len(self._listing())}
+
+    def partitions(self, start: dict, end: dict):
+        return [FilePartition(p) for p in self._listing()[start["n"] : end["n"]]]
+
+    def read(self, partition: FilePartition):
+        yield from wire_frame_rows(partition.path, self._decode, self._max_frames)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are positions in a durable listing: nothing to clean
+
+    def stop(self) -> None:
+        pass
 
 
 def wire_frame_rows(

@@ -26,6 +26,7 @@ from pyspark.sql.datasource import DataSource, DataSourceReader
 from distributed_video_analytics_flink_spark.sources.frame_datasource import (
     FRAME_DDL_SCHEMA,
     FilePartition,
+    FrameStreamReader,
     file_partitions,
     wire_frame_rows,
 )
@@ -59,6 +60,16 @@ class Y4MDataSource(DataSource):
 
     def reader(self, schema) -> Y4MReader:
         return Y4MReader(self.options)
+
+    def streamReader(self, schema) -> FrameStreamReader:
+        """spark.readStream.format("y4m").load(dir): micro-batch over a
+        growing directory — one file per InputPartition per batch, same
+        wire rows as the batch reader (see FrameStreamReader)."""
+        from distributed_video_analytics_flink_spark.sources.y4m import decode_y4m
+
+        return FrameStreamReader(
+            self.options, "y4m", lambda data, mf: decode_y4m(data, max_frames=mf)
+        )
 
 
 def register_y4m_source(spark) -> None:
