@@ -95,6 +95,54 @@ def test_stream_rows_match_batch_reader(spark, tmp_path):
     assert stream == batch and len(batch) == 3
 
 
+def test_streaming_motion_over_streamed_video_files(spark, tmp_path):
+    """The full reference topology on REAL video bytes, end to end in
+    streaming: a directory of AVI files (one raw, one MJPEG) ->
+    readStream('avi') -> stateful motion detection
+    (applyInPandasWithState) -> identical detections to the batch
+    pipeline over the same files."""
+    from distributed_video_analytics_flink_spark.operators.video import (
+        detect_motion_batch,
+    )
+    from distributed_video_analytics_flink_spark.streaming.motion import (
+        detect_motion_stream,
+    )
+
+    register_avi_source(spark)
+    src = tmp_path / "cams"
+    src.mkdir()
+    side, h, w = 48, 480, 640
+    frames = _bgr_square_frames(h, w, [96 * i for i in range(5)], side)
+    (src / "camraw.avi").write_bytes(encode_avi(frames))
+    (src / "camjpg.avi").write_bytes(encode_avi(frames, codec="mjpeg", quality=100))
+
+    out = detect_motion_stream(spark.readStream.format("avi").load(str(src)))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_motion_avi")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    got = {
+        (r.camId, r.ts_us, r.detection_count, tuple(sorted(map(tuple, r.motion_boxes))))
+        for r in spark.sql("SELECT * FROM stream_motion_avi").collect()
+    }
+    want = {
+        (r.camId, r.ts_us, r.detection_count, tuple(sorted(map(tuple, r.motion_boxes))))
+        for r in detect_motion_batch(
+            spark.read.format("avi").load(str(src))
+        ).collect()
+    }
+    assert got == want and len(got) == 10
+    per_cam = {}
+    for cam, ts, det, _boxes in sorted(got):
+        per_cam.setdefault(cam, []).append(det)
+    assert per_cam == {"camraw": [0, 2, 2, 2, 2], "camjpg": [0, 2, 2, 2, 2]}
+
+
 def test_stream_starts_on_empty_dir(spark, tmp_path):
     register_avi_source(spark)
     src = tmp_path / "cams"
