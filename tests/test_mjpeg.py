@@ -220,6 +220,37 @@ def test_decode_image_dispatches_png_and_jpeg():
         decode_image(b"RIFF....WEBP....")
 
 
+def test_jpeg_roundtrip_property():
+    """Hypothesis sweep over dims x quality x subsampling x restart
+    interval: every combination roundtrips with the right shape, and
+    quality-100 4:4:4 stays within the IDCT+colorspace tolerance."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=40),
+        w=st.integers(min_value=1, max_value=40),
+        quality=st.sampled_from([100, 95, 80, 50, 10]),
+        subsampling=st.sampled_from(["444", "422", "420"]),
+        rst=st.sampled_from([0, 1, 3]),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def _roundtrip(h, w, quality, subsampling, rst, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = decode_jpeg(
+            encode_jpeg(
+                img, quality=quality, subsampling=subsampling, restart_interval=rst
+            )
+        )
+        assert out.shape == (h, w, 3) and out.dtype == np.uint8
+        if quality == 100 and subsampling == "444":
+            assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 3
+
+    _roundtrip()
+
+
 def test_jpeg_fuzz_never_crashes():
     """Arbitrary mangling of a valid JPEG must decode, raise JpegError,
     or produce a (possibly wrong-content) frame — never raise anything
