@@ -201,9 +201,15 @@ def decode_avi(
                 if not is_jpeg(data[body : body + 3]):
                     continue  # non-JPEG chunk under this stream id: skip
                 try:
-                    yield decode_jpeg(data[body : body + size])
+                    img = decode_jpeg(data[body : body + size])
                 except JpegError:
-                    return  # corrupt tail ends the stream
+                    continue  # undecodable chunk: skip, like raw's short-chunk stance
+                if img.shape[:2] != (h, w):
+                    # a frame whose SOF dims disagree with the stream header
+                    # would emit mixed-shape frames into one camId and crash
+                    # the motion pipeline's absdiff — skip it
+                    continue
+                yield img
                 emitted += 1
                 continue
             if size < need:
@@ -221,7 +227,14 @@ def decode_avi(
 
 def probe_avi(data: bytes) -> dict:
     """Container-metadata probe (the AVI twin of probe_y4m/probe_mp4):
-    header fields + frame count by chunk-walking movi — no pixel work."""
+    header fields + frame count by chunk-walking movi — no pixel work.
+
+    For the raw codec the chunk-size predicate matches decode_avi exactly
+    (probe n_frames == decoded frames). For MJPEG, n_frames counts
+    complete chunks with a JPEG signature — an UPPER BOUND on decoded
+    frames, since decode additionally skips chunks whose body fails to
+    parse or whose SOF dims disagree with the header; an exact count
+    would need per-chunk pixel work, which a probe must not do."""
     hdr = parse_avi_header(data)
     want = (b"%02ddb" % hdr.stream_id, b"%02ddc" % hdr.stream_id)
     if hdr.codec == "mjpeg":
@@ -252,12 +265,15 @@ def encode_avi(
     fps: int = 30,
     codec: str = "rawbgr",
     quality: int = 95,
+    jpeg_tables: str = "custom",
 ) -> bytes:
     """Minimal AVI writer (tests and fixtures). ``codec="rawbgr"``: 24-bit
     BI_RGB bottom-up padded DIB rows, one '00db' chunk per frame.
     ``codec="mjpeg"``: one baseline JPEG ('00dc' chunk) per frame via
-    jpeg.py at the given ``quality``. No idx1 either way (players prefer
-    one; a sequential decode doesn't need it)."""
+    jpeg.py at the given ``quality`` (``jpeg_tables`` passes through to
+    encode_jpeg — "annexk-nodht" reproduces the DHT-less hardware-encoder
+    files the decoder's default-table fallback handles). No idx1 either
+    way (players prefer one; a sequential decode doesn't need it)."""
     if not frames_bgr:
         raise AviError("need at least one frame")
     if codec not in ("rawbgr", "mjpeg"):
@@ -278,7 +294,7 @@ def encode_avi(
         f = np.asarray(frame, dtype=np.uint8)
         if f.shape != (h, w, 3):
             raise AviError("all frames must share the first frame's shape")
-        return encode_jpeg(f, quality=quality)
+        return encode_jpeg(f, quality=quality, tables=jpeg_tables)
 
     mjpeg = codec == "mjpeg"
     handler = b"MJPG" if mjpeg else b"DIB "

@@ -13,6 +13,10 @@ Decoder scope (PERMISSIVE where the spec allows):
     DHT (multi-table), DRI, SOS, RSTn, EOI
   - 1-component grayscale and 3-component YCbCr; sampling factors 1-2
     (4:4:4, 4:2:2, 4:2:0) with sample-replication chroma upsample
+  - DHT-less streams: SOS references to absent tables 0/1 fall back to
+    the T.81 Annex K typical tables — the OpenDML 'AVI1' convention
+    hardware MJPEG encoders rely on (they omit DHT entirely and expect
+    the decoder to supply the fixed defaults, as libjpeg/ffmpeg do)
   - entropy stream byte-unstuffing (FF 00) and restart-marker DC resets
   - full-range JFIF YCbCr -> BGR (round-half-away, clipped), matching the
     channel order every other video source in this engine emits
@@ -21,8 +25,11 @@ Encoder scope (tests/fixtures): baseline 4:4:4 (or grayscale), one
 quantization table per luma/chroma, CUSTOM canonical Huffman tables
 emitted in DHT (single code length per class — decoders read tables from
 the stream, so simplicity beats the Annex K defaults; the all-ones code
-stays unused as the spec advises). Quality 100 uses all-ones quant
-tables, so roundtrip error is IDCT float rounding only (±1/level).
+stays unused as the spec advises), or the Annex K typical tables with or
+without DHT segments (``tables="annexk"`` / ``"annexk-nodht"`` — the
+latter reproduces the hardware-encoder layout for testing the decoder's
+default-table fallback). Quality 100 uses all-ones quant tables, so
+roundtrip error is IDCT float rounding only (±1/level).
 
 Not supported (raises JpegError): progressive (SOF2), arithmetic coding,
 12-bit precision, hierarchical — none appear in MJPEG streams.
@@ -178,10 +185,31 @@ class _HuffTable:
         self.sym = [0] * size
         self.ln = [0] * size
         for (length, code), s in table.items():
+            span = 1 << (self.maxlen - length)
             lo = code << (self.maxlen - length)
-            for i in range(lo, lo + (1 << (self.maxlen - length))):
-                self.sym[i] = s
-                self.ln[i] = length
+            self.sym[lo : lo + span] = [s] * span
+            self.ln[lo : lo + span] = [length] * span
+
+
+_HUFF_CACHE: dict[tuple[bytes, bytes], _HuffTable] = {}
+
+
+def _huff_table(counts: list[int], symbols: list[int]) -> _HuffTable:
+    """Memoized _HuffTable: every frame of an MJPEG stream carries
+    identical DHT bytes (or none at all), and building the 2^maxlen LUT
+    is the dominant per-frame header cost for real-world tables (the
+    Annex K maxlen-16 tables own 65536 entries each) — cache on the raw
+    table bytes so the build happens once per stream, not once per
+    frame. Capped so adversarial fuzz input can't grow it without
+    bound."""
+    key = (bytes(counts), bytes(symbols))
+    tbl = _HUFF_CACHE.get(key)
+    if tbl is None:
+        tbl = _HuffTable(counts, symbols)
+        if len(_HUFF_CACHE) >= 64:
+            _HUFF_CACHE.clear()
+        _HUFF_CACHE[key] = tbl
+    return tbl
 
 
 def _huff_decode(br: _BitReader, table: _HuffTable) -> int:
@@ -199,6 +227,95 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+# ITU-T T.81 Annex K.3.3 "typical" Huffman tables, (counts, symbols) per
+# (class, destination): the fixed tables a DHT-less stream implies. Table
+# destination 0 is the luminance pair, 1 the chrominance pair, per the
+# universal JFIF/MJPEG convention.
+_STD_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_STD_HUFF = {
+    (0, 0): _STD_DC_LUMA,
+    (0, 1): _STD_DC_CHROMA,
+    (1, 0): _STD_AC_LUMA,
+    (1, 1): _STD_AC_CHROMA,
+}
+
+
+def _default_huff(tc: int, th: int) -> _HuffTable:
+    """The Annex K table a DHT-less scan's (class, destination) implies;
+    destinations >= 2 have no convention and stay an error."""
+    spec = _STD_HUFF.get((tc, th))
+    if spec is None:
+        raise JpegError("missing Huffman table")
+    return _huff_table(*spec)
+
+
+# Frame-size sanity cap: 2^25 px covers 8K video (7680 x 4320 = 33.2M)
+# while keeping the per-component coefficient arrays in the hundreds of
+# MB. Without it, a few-hundred-byte JPEG declaring 65535 x 65535 demands
+# ~34 GB of zeros and a ~67M-iteration MCU loop before any decode error
+# can surface — the permissive MJPEG path feeds untrusted chunks here.
+_MAX_PIXELS = 1 << 25
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode baseline JPEG bytes to (H, W, 3) BGR uint8 (grayscale input
     is replicated across the three channels, matching the wire format the
@@ -210,7 +327,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         return _decode_jpeg_checked(data)
     except JpegError:
         raise
-    except (struct.error, ValueError, IndexError) as e:
+    except (struct.error, ValueError, IndexError, MemoryError) as e:
         raise JpegError(f"malformed JPEG: {e}") from e
 
 
@@ -273,7 +390,7 @@ def _decode_jpeg_checked(data: bytes) -> np.ndarray:
                 symbols = list(data[p + 17 : p + 17 + nsym])
                 if len(counts) < 16 or len(symbols) < nsym or p + 17 + nsym > end:
                     raise JpegError("truncated DHT segment")
-                huff[(tc, th)] = _HuffTable(counts, symbols)
+                huff[(tc, th)] = _huff_table(counts, symbols)
                 p += 17 + nsym
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", data, body)
@@ -299,11 +416,16 @@ def _decode_jpeg_checked(data: bytes) -> np.ndarray:
         pos = end
     if scan_start is None or not comps or h == 0 or w == 0:
         raise JpegError("missing SOF/SOS")
+    if h * w > _MAX_PIXELS:
+        raise JpegError(f"frame {w}x{h} exceeds the decoder pixel cap")
 
+    # EVERY component's factors must be 1 or 2 — checking only the max
+    # would let a zero factor through to divide the upsample ratios
+    for c in scan_comps:
+        if c["h"] not in (1, 2) or c["v"] not in (1, 2):
+            raise JpegError("per-component sampling factors must be 1 or 2")
     hmax = max(c["h"] for c in scan_comps)
     vmax = max(c["v"] for c in scan_comps)
-    if hmax not in (1, 2) or vmax not in (1, 2):
-        raise JpegError("sampling factors beyond 2 unsupported")
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
 
@@ -319,10 +441,8 @@ def _decode_jpeg_checked(data: bytes) -> np.ndarray:
         q = qt.get(c["tq"])
         if q is None:
             raise JpegError("missing quantization table")
-        dct = huff.get((0, c["dc"]))
-        act = huff.get((1, c["ac"]))
-        if dct is None or act is None:
-            raise JpegError("missing Huffman table")
+        dct = huff.get((0, c["dc"])) or _default_huff(0, c["dc"])
+        act = huff.get((1, c["ac"])) or _default_huff(1, c["ac"])
         qn = np.empty(64, dtype=np.float64)
         qn[_ZZ] = q  # dezigzag the quant table once
         comp_meta.append((c, dct, act, qn))
@@ -463,6 +583,12 @@ def _encode_codes(counts: list[int], symbols: list[int]) -> dict[int, tuple[int,
 _DC_ENC = _encode_codes(_DC_COUNTS, _DC_SYMBOLS)
 _AC_ENC = _encode_codes(_AC_COUNTS, _AC_SYMBOLS)
 
+# Encode maps for the Annex K typical tables (luma pair, chroma pair) —
+# used by tables="annexk"/"annexk-nodht" to produce the hardware-encoder
+# stream layout the decoder's DHT-less fallback exists for.
+_STD_DC_ENC = (_encode_codes(*_STD_DC_LUMA), _encode_codes(*_STD_DC_CHROMA))
+_STD_AC_ENC = (_encode_codes(*_STD_AC_LUMA), _encode_codes(*_STD_AC_CHROMA))
+
 
 class _BitWriter:
     def __init__(self) -> None:
@@ -505,10 +631,16 @@ def _mag(v: int) -> tuple[int, int]:
     return size, code
 
 
-def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int) -> int:
+def _encode_block(
+    bw: _BitWriter,
+    zz: np.ndarray,
+    pred: int,
+    dc_enc: dict[int, tuple[int, int]],
+    ac_enc: dict[int, tuple[int, int]],
+) -> int:
     dc = int(zz[0])
     size, code = _mag(dc - pred)
-    ln, cd = _DC_ENC[size]
+    ln, cd = dc_enc[size]
     bw.write(cd, ln)
     if size:
         bw.write(code, size)
@@ -520,16 +652,16 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int) -> int:
             run += 1
             continue
         while run > 15:
-            ln, cd = _AC_ENC[0xF0]
+            ln, cd = ac_enc[0xF0]
             bw.write(cd, ln)
             run -= 16
         size, code = _mag(v)
-        ln, cd = _AC_ENC[(run << 4) | size]
+        ln, cd = ac_enc[(run << 4) | size]
         bw.write(cd, ln)
         bw.write(code, size)
         run = 0
     if last_nz < 63:
-        ln, cd = _AC_ENC[0x00]
+        ln, cd = ac_enc[0x00]
         bw.write(cd, ln)
     return dc
 
@@ -553,6 +685,7 @@ def encode_jpeg(
     quality: int = 95,
     subsampling: str = "444",
     restart_interval: int = 0,
+    tables: str = "custom",
 ) -> bytes:
     """Encode (H, W, 3) BGR (or (H, W) grayscale) uint8 to baseline JPEG.
     ``subsampling``: "444" (no chroma subsample), "422" (2x1 luma
@@ -560,15 +693,22 @@ def encode_jpeg(
     box-averaged half-resolution chroma — the MJPEG-typical layout).
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many
     MCUs (the error-resilience layout MJPEG hardware encoders produce —
-    and the decoder path that resets DC predictors). Custom
-    single-length canonical Huffman tables in DHT; Annex K quant tables
-    scaled by ``quality`` (100 = all-ones, near-lossless)."""
+    and the decoder path that resets DC predictors). ``tables``:
+    "custom" (the simple single-length canonical Huffman tables, emitted
+    in DHT), "annexk" (the T.81 Annex K typical tables — luma pair on
+    destination 0, chroma pair on 1 — emitted in DHT), or
+    "annexk-nodht" (Annex K tables with NO DHT segments at all: the
+    OpenDML 'AVI1' hardware-encoder layout, decodable only through the
+    decoder's default-table fallback). Annex K quant tables scaled by
+    ``quality`` (100 = all-ones, near-lossless)."""
     a = np.asarray(bgr, dtype=np.float64)
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
         raise JpegError("expected (H, W, 3) BGR or (H, W) grayscale")
     if subsampling not in ("444", "422", "420"):
         raise JpegError(f"unsupported subsampling {subsampling!r}")
+    if tables not in ("custom", "annexk", "annexk-nodht"):
+        raise JpegError(f"unsupported tables {tables!r}")
     h, w = a.shape[0], a.shape[1]
     if gray:
         planes = [a]
@@ -608,18 +748,33 @@ def encode_jpeg(
     for i in range(ncomp):
         sof += bytes([i + 1, (samp[i][0] << 4) | samp[i][1], comp_q[i]])
     out += _seg(0xC0, sof)
-    for tc, counts, symbols in (
-        (0, _DC_COUNTS, _DC_SYMBOLS),
-        (1, _AC_COUNTS, _AC_SYMBOLS),
-    ):
-        out += _seg(
-            0xC4, bytes([(tc << 4) | 0]) + bytes(counts) + bytes(symbols)
-        )
+    if tables == "custom":
+        comp_t = [0] * ncomp
+        dht_specs = [
+            (0, 0, _DC_COUNTS, _DC_SYMBOLS),
+            (1, 0, _AC_COUNTS, _AC_SYMBOLS),
+        ]
+        dc_encs, ac_encs = {0: _DC_ENC}, {0: _AC_ENC}
+    else:
+        comp_t = [0] + [1] * (ncomp - 1)  # luma tables 0, chroma tables 1
+        dht_specs = [
+            (0, 0, *_STD_DC_LUMA),
+            (1, 0, *_STD_AC_LUMA),
+        ]
+        if ncomp > 1:
+            dht_specs += [(0, 1, *_STD_DC_CHROMA), (1, 1, *_STD_AC_CHROMA)]
+        dc_encs = {0: _STD_DC_ENC[0], 1: _STD_DC_ENC[1]}
+        ac_encs = {0: _STD_AC_ENC[0], 1: _STD_AC_ENC[1]}
+    if tables != "annexk-nodht":
+        for tc, th, counts, symbols in dht_specs:
+            out += _seg(
+                0xC4, bytes([(tc << 4) | th]) + bytes(counts) + bytes(symbols)
+            )
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for i in range(ncomp):
-        sos += bytes([i + 1, 0x00])
+        sos += bytes([i + 1, (comp_t[i] << 4) | comp_t[i]])
     sos += bytes([0, 63, 0])
     out += _seg(0xDA, sos)
 
@@ -656,7 +811,13 @@ def encode_jpeg(
                         # max-contrast blocks at quality 100); DC diffs
                         # fit size 11 without clamping
                         quant[1:] = np.clip(quant[1:], -1023, 1023)
-                        pred[ci] = _encode_block(bw, quant[_ZZ], pred[ci])
+                        pred[ci] = _encode_block(
+                            bw,
+                            quant[_ZZ],
+                            pred[ci],
+                            dc_encs[comp_t[ci]],
+                            ac_encs[comp_t[ci]],
+                        )
     out += bw.flush()
     out += b"\xff\xd9"
     return bytes(out)

@@ -280,3 +280,165 @@ def test_jpeg_fuzz_never_crashes():
             pass
 
     _fuzz()
+
+
+def test_jpeg_zero_sampling_factor_raises_jpegerror():
+    """A per-component sampling factor of 0 must raise JpegError, not
+    ZeroDivisionError: only max(h)/max(v) used to be range-checked, so a
+    0x11 -> 0x01 flip in one component's SOF sampling byte slipped
+    through to divide the upsample ratios (r7 review)."""
+    img = np.random.default_rng(3).integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg(img, quality=90))
+    sof_at = bytes(data).find(b"\xff\xc0")
+    # SOF0 layout: marker(2) len(2) prec(1) h(2) w(2) ncomp(1), then
+    # (cid, hv, tq) per component — hv of component 0 is at offset 11
+    assert data[sof_at + 11] == 0x11
+    for hv in (0x01, 0x10, 0x00, 0x31, 0x13):
+        mangled = bytearray(data)
+        mangled[sof_at + 11] = hv
+        with pytest.raises(JpegError):
+            decode_jpeg(bytes(mangled))
+
+
+def test_jpeg_oversized_dims_refused_before_allocation():
+    """A tiny JPEG declaring 65535x65535 must raise JpegError fast — not
+    allocate ~34 GB of coefficient arrays or spin a 67M-iteration MCU
+    loop against zero padding (the permissive MJPEG path feeds untrusted
+    chunks straight into decode_jpeg)."""
+    import time
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    data = bytearray(encode_jpeg(img))
+    sof_at = bytes(data).find(b"\xff\xc0")
+    data[sof_at + 5 : sof_at + 9] = b"\xff\xff\xff\xff"  # h = w = 65535
+    t0 = time.monotonic()
+    with pytest.raises(JpegError, match="pixel cap"):
+        decode_jpeg(bytes(data))
+    assert time.monotonic() - t0 < 1.0
+
+
+def test_jpeg_annexk_tables_roundtrip():
+    """tables="annexk" emits the four T.81 Annex K typical tables in DHT
+    (luma destinations 0, chroma destinations 1) and roundtrips like the
+    custom tables do — pins the standard-table encode maps AND the
+    decoder's multi-destination table handling."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    data = encode_jpeg(img, quality=100, tables="annexk")
+    assert data.count(b"\xff\xc4") == 4
+    out = decode_jpeg(data)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 3
+    # grayscale emits only the luma pair
+    gdata = encode_jpeg(img[:, :, 0], quality=100, tables="annexk")
+    assert gdata.count(b"\xff\xc4") == 2
+    assert decode_jpeg(gdata).shape == (24, 17, 3)
+
+
+def test_jpeg_dht_less_stream_decodes_via_default_tables():
+    """The OpenDML 'AVI1' hardware-encoder layout: no DHT segments at
+    all, decoder supplies the Annex K defaults. The DHT-less stream must
+    decode BIT-IDENTICALLY to its with-DHT twin (same entropy bytes,
+    tables resolved from the fallback instead of the stream), and within
+    tolerance of the source image."""
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    with_dht = encode_jpeg(img, quality=100, tables="annexk")
+    no_dht = encode_jpeg(img, quality=100, tables="annexk-nodht")
+    assert b"\xff\xc4" not in no_dht and len(no_dht) < len(with_dht)
+    out = decode_jpeg(no_dht)
+    assert np.array_equal(out, decode_jpeg(with_dht))
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 3
+    # subsampled + restart-marker variant exercises the chroma defaults
+    sub = decode_jpeg(
+        encode_jpeg(img, quality=95, subsampling="420",
+                    restart_interval=1, tables="annexk-nodht")
+    )
+    assert sub.shape == img.shape
+    # destinations >= 2 still have no default: refuse, don't guess
+    mangled = bytearray(no_dht)
+    sos_at = bytes(mangled).find(b"\xff\xda")
+    mangled[sos_at + 6] = 0x22  # component 0 -> dc/ac destination 2
+    with pytest.raises(JpegError, match="missing Huffman table"):
+        decode_jpeg(bytes(mangled))
+
+
+def test_mjpeg_dht_less_avi_decodes_end_to_end():
+    """A DHT-less MJPEG-AVI — the typical real-camera file — parses,
+    probes, and decodes every frame (it used to yield ZERO rows: the
+    first 'missing Huffman table' error ended the stream)."""
+    frames = _bgr_square_frames(32, 48, [0, 8, 16], 8)
+    data = encode_avi(frames, fps=10, codec="mjpeg", quality=100,
+                      jpeg_tables="annexk-nodht")
+    assert probe_avi(data)["n_frames"] == 3
+    _, out = decode_avi(data)
+    decoded = list(out)
+    assert len(decoded) == 3
+    for got, want in zip(decoded, frames):
+        assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 3
+
+
+def test_mjpeg_undecodable_interior_chunk_skipped():
+    """One bad frame must not kill the stream: decode_avi skips MJPEG
+    chunks whose body fails to parse (matching the raw path's
+    short-chunk skip stance) and keeps decoding the rest; probe_avi's
+    n_frames is documented as the chunk-magic upper bound."""
+    frames = _bgr_square_frames(16, 16, [0, 4, 8], 6)
+    data = bytearray(encode_avi(frames, codec="mjpeg", quality=100))
+    # make the middle frame's JPEG unsupported: SOF0 -> SOF2 progressive
+    first = bytes(data).find(b"\xff\xc0")
+    mid = bytes(data).find(b"\xff\xc0", first + 1)
+    assert mid > 0
+    data[mid + 1] = 0xC2
+    _, out = decode_avi(bytes(data))
+    decoded = list(out)
+    assert len(decoded) == 2  # frames 0 and 2 survive
+    assert int(np.abs(decoded[1].astype(int) - frames[2].astype(int)).max()) <= 3
+    assert probe_avi(bytes(data))["n_frames"] == 3  # upper bound by design
+
+
+def test_mjpeg_mismatched_frame_dims_skipped():
+    """An MJPEG chunk whose SOF dims disagree with the AVI header is
+    skipped: mixed-shape frames under one camId would crash the motion
+    pipeline's lag-window absdiff downstream."""
+    import struct as _struct
+
+    frames = _bgr_square_frames(16, 16, [0, 4], 6)
+    big = encode_jpeg(
+        np.zeros((32, 32, 3), np.uint8), quality=100
+    )
+    data = bytearray(encode_avi(frames, codec="mjpeg", quality=100))
+    # splice a wrong-dims JPEG in as an extra 00dc chunk before movi's end
+    movi_at = bytes(data).find(b"LIST", 12)
+    while data[movi_at + 8 : movi_at + 12] != b"movi":
+        movi_at = bytes(data).find(b"LIST", movi_at + 1)
+    chunk = b"00dc" + _struct.pack("<I", len(big)) + big + (b"\x00" * (len(big) & 1))
+    insert_at = movi_at + 8 + _struct.unpack_from("<I", data, movi_at + 4)[0]
+    data[insert_at:insert_at] = chunk
+    # grow the movi LIST and RIFF sizes to cover the spliced chunk
+    _struct.pack_into("<I", data, movi_at + 4,
+                      _struct.unpack_from("<I", data, movi_at + 4)[0] + len(chunk))
+    _struct.pack_into("<I", data, 4,
+                      _struct.unpack_from("<I", data, 4)[0] + len(chunk))
+    _, out = decode_avi(bytes(data))
+    decoded = list(out)
+    assert len(decoded) == 2
+    for got in decoded:
+        assert got.shape == (16, 16, 3)
+
+
+def test_huffman_table_cache_reuses_identical_tables():
+    """Per-frame DHT bytes are identical across an MJPEG stream; the
+    table build (65536-entry LUT for Annex K) must be paid once per
+    stream, not once per frame."""
+    from distributed_video_analytics_flink_spark.sources import jpeg as J
+
+    J._HUFF_CACHE.clear()
+    t1 = J._huff_table(*J._STD_AC_LUMA)
+    t2 = J._huff_table(*J._STD_AC_LUMA)
+    assert t1 is t2
+    assert t1.maxlen == 16 and len(t1.sym) == 65536
+    # the cache is capped: adversarial table churn can't grow it unbounded
+    for i in range(70):
+        counts = [0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+        J._huff_table(counts, [(i + j) % 256 for j in range(12)])
+    assert len(J._HUFF_CACHE) <= 64
