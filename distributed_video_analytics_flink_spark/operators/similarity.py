@@ -2387,24 +2387,13 @@ def sim_ivf_pq_topk_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: unchanged from sim_ivf_pq_topk — partition-pruned scan of ~1
     byte/vector codes, one Arrow pass per vector; the training round adds
-    one vector-count-independent groupBy at build time."""
-    import numpy as np
-
+    one vector-count-independent groupBy at build time. The coarse
+    centroids / query / probe constants come from the shared
+    _ivf_coarse_and_query helper so this twin and sim_ivf_pq_at_rest
+    (which must stay bit-identical) can never desynchronize."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cent_rows = (
-        emb.filter(F.col("vec_id") < 10).orderBy("vec_id").select("embedding").collect()
-    )
-    C = np.asarray([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
-    cn = np.sqrt(_np_q(C * C * _Q).sum(axis=1).astype(np.float64))
+    C, cn, qv, _qn, probes = _ivf_coarse_and_query(emb)
     _, CT1 = _pq_refined_codebook(emb, cache_key=sf_dir)
-    qv = np.asarray(
-        emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]["embedding"],
-        dtype=np.float64,
-    )
-    qn = float(np.sqrt(_np_q(qv * qv * _Q).sum()))
-    probe_cos = _np_q(C * qv[None, :] * _Q).sum(axis=1) / (cn * qn)
-    order = np.lexsort((np.arange(len(C)), -probe_cos))
-    probes = [int(i) for i in order[:_N_PROBE]]
     qtab = _np_q((qv.reshape(_PQ_SUBSPACES, 16)[:, None, :] - CT1) ** 2 * _Q).sum(
         axis=2
     )
@@ -2456,18 +2445,29 @@ def _ivf_coarse_and_query(emb: DataFrame):
 _IVF_PQ_INDEX_BUILT: set = set()
 
 
+# Bump when the at-rest layout changes: the version feeds the index path
+# tag, so a directory left by an older code version can never be reused.
+_IVF_PQ_INDEX_FORMAT = 1
+
+
 def ivf_pq_index_path(sf_dir: str) -> str:
-    """Deterministic per-fixture location of the at-rest IVF+PQ index
-    (outside the read-only testdata tree)."""
+    """Deterministic per-(fixture, format-version) location of the
+    at-rest IVF+PQ index (outside the read-only testdata tree)."""
     import hashlib
     import os
     import tempfile
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    key = f"{os.path.abspath(sf_dir)}:v{_IVF_PQ_INDEX_FORMAT}"
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"dvafs_ivf_pq_index_{tag}")
 
 
-def write_ivf_pq_index(spark: SparkSession, sf_dir: str, path: str | None = None) -> str:
+def write_ivf_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str | None = None,
+    coarse: tuple | None = None,
+) -> str:
     """BUILD step of the at-rest IVF+PQ index: one Arrow pass assigns each
     vector its coarse cell (argmax centroid cosine — ivf_assignments'
     arithmetic) and its Lloyd-refined PQ codes (emb_pq_codes_refined's
@@ -2477,16 +2477,29 @@ def write_ivf_pq_index(spark: SparkSession, sf_dir: str, path: str | None = None
     embedding: the at-rest footprint drop IS the point of PQ.
 
     Memoized per (process, path): serving queries rebuild at most once per
-    session; the parquet fixtures are immutable within a process. At
-    100 TB this is the offline index-build job (embeddings in, codes out,
-    dynamic partition overwrite per cell); serving never touches the
-    embedding column again."""
+    session; the parquet fixtures are immutable within a process. Across
+    processes the publish is ATOMIC: the build lands in a sibling temp
+    dir and a single os.rename exposes it, so a concurrent reader never
+    sees a half-written (or half-deleted, as mode-overwrite would leave)
+    index — if another process renames first, its identical index wins
+    and ours is discarded. ``coarse`` lets a caller that already
+    collected the (C, cn) centroid constants pass them in instead of
+    paying the driver-side Spark jobs twice. At 100 TB this is the
+    offline index-build job (embeddings in, codes out, one atomic
+    version-directory swap per corpus version); serving never touches
+    the embedding column again."""
+    import os
+    import shutil
+
     if path is None:
         path = ivf_pq_index_path(sf_dir)
     if path in _IVF_PQ_INDEX_BUILT:
         return path
     emb = load_table(spark, sf_dir, "embeddings")
-    C, cn, _, _, _ = _ivf_coarse_and_query(emb)
+    if coarse is None:
+        C, cn = _ivf_coarse_and_query(emb)[:2]
+    else:
+        C, cn = coarse
     _, CT1 = _pq_refined_codebook(emb, cache_key=sf_dir)
 
     @F.pandas_udf("struct<cent_id: int, codes: array<int>>")
@@ -2505,6 +2518,7 @@ def write_ivf_pq_index(spark: SparkSession, sf_dir: str, path: str | None = None
             }
         )
 
+    tmp = f"{path}.build-{os.getpid()}"
     (
         emb.select("vec_id", _cell_and_codes("embedding").alias("s"))
         .select(
@@ -2514,8 +2528,17 @@ def write_ivf_pq_index(spark: SparkSession, sf_dir: str, path: str | None = None
         )
         .write.mode("overwrite")
         .partitionBy("cent_id")
-        .parquet(path)
+        .parquet(tmp)
     )
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # lost the publish race (or a prior run already published): the
+        # index content is deterministic per fixture + format version, so
+        # the existing directory is the same index — keep it, drop ours
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isdir(path):
+            raise
     _IVF_PQ_INDEX_BUILT.add(path)
     return path
 
@@ -2551,7 +2574,7 @@ def sim_ivf_pq_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         axis=2
     )
 
-    path = write_ivf_pq_index(spark, sf_dir)
+    path = write_ivf_pq_index(spark, sf_dir, coarse=(C, cn))
     coded = spark.read.parquet(path)
     qt = F.array(
         *[

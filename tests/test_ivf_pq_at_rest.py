@@ -69,3 +69,26 @@ def test_at_rest_matches_in_closure_twin(spark):
     at_rest = [tuple(r) for r in sim_ivf_pq_at_rest(spark, SF).collect()]
     twin = [tuple(r) for r in sim_ivf_pq_topk_refined(spark, SF).collect()]
     assert at_rest == twin and len(at_rest) == 5
+
+
+def test_index_publish_is_atomic_and_race_tolerant(spark, tmp_path):
+    """The build lands in a sibling temp dir and one os.rename exposes
+    it — a concurrent reader can never observe a half-written index (the
+    old mode-overwrite wrote into the live path). Losing the publish
+    race keeps the existing identical index and discards the duplicate
+    build."""
+    import os
+
+    from distributed_video_analytics_flink_spark.operators import similarity as S
+
+    path = str(tmp_path / "idx")
+    write_ivf_pq_index(spark, SF, path)
+    files = set(os.listdir(path))
+    # a second process misses the per-process memo and builds again onto
+    # the same published path: simulate by clearing the memo
+    S._IVF_PQ_INDEX_BUILT.discard(path)
+    assert write_ivf_pq_index(spark, SF, path) == path
+    assert set(os.listdir(path)) == files  # existing index kept intact
+    leftovers = [d for d in os.listdir(tmp_path) if d.startswith("idx.build-")]
+    assert leftovers == []  # losing build cleaned up
+    assert spark.read.parquet(path).count() > 0
