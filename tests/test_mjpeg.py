@@ -222,8 +222,9 @@ def test_decode_image_dispatches_png_and_jpeg():
 
 def test_jpeg_roundtrip_property():
     """Hypothesis sweep over dims x quality x subsampling x restart
-    interval: every combination roundtrips with the right shape, and
-    quality-100 4:4:4 stays within the IDCT+colorspace tolerance."""
+    interval x Huffman-table mode: every combination roundtrips with the
+    right shape, and quality-100 4:4:4 stays within the IDCT+colorspace
+    tolerance regardless of which tables carried the entropy stream."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -234,14 +235,19 @@ def test_jpeg_roundtrip_property():
         quality=st.sampled_from([100, 95, 80, 50, 10]),
         subsampling=st.sampled_from(["444", "422", "420"]),
         rst=st.sampled_from([0, 1, 3]),
+        tables=st.sampled_from(["custom", "annexk", "annexk-nodht"]),
         seed=st.integers(min_value=0, max_value=2**31 - 1),
     )
-    def _roundtrip(h, w, quality, subsampling, rst, seed):
+    def _roundtrip(h, w, quality, subsampling, rst, tables, seed):
         rng = np.random.default_rng(seed)
         img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
         out = decode_jpeg(
             encode_jpeg(
-                img, quality=quality, subsampling=subsampling, restart_interval=rst
+                img,
+                quality=quality,
+                subsampling=subsampling,
+                restart_interval=rst,
+                tables=tables,
             )
         )
         assert out.shape == (h, w, 3) and out.dtype == np.uint8
