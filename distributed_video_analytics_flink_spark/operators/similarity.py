@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from distributed_video_analytics_flink_spark.operators.registry import query
@@ -119,27 +119,69 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs, blocked by label: one shuffle on the
-    block key, then all intra-block pairs are scored *vectorized* inside an
-    Arrow-batched applyInPandas — numpy outer products, chunked to bound
-    memory — instead of a row-pair self-join whose three interpreted
-    higher-order dot products per pair go quadratic (measured 43 s at sf0.1
-    vs ~1 s for this plan). Per-vector norms are computed once per row, not
-    once per pair. Label-only blocking makes this the EXACT recall
-    baseline; the production/100 TB edge generator is
-    sim_neardup_pairs_bucketed, whose label x LSH-bucket key bounds the
-    hottest block under label skew.
+    """Embedding near-duplicate pairs within label blocks — the EXACT
+    recall baseline the LSH-bucketed twin (sim_neardup_pairs_bucketed) is
+    measured against, generated with pair-cell blocking so exactness no
+    longer costs one O(label^2) task under a dominant label: every vector
+    hashes into one of B id-buckets and each task scores ONE (bucket_i,
+    bucket_j) cell, so per-task work is O((label/B)^2) and the hottest
+    label spreads over B(B+1)/2 tasks. The emitted pair set is IDENTICAL
+    to naive all-pairs (each unordered pair lives in exactly one cell —
+    the one keyed by its two buckets), which is why the oracle SQL is
+    still the plain label self-join. The price of exactness is a B-fold
+    replication shuffle (vs the bucketed twin's single un-replicated
+    shuffle and LSH recall loss) — at 100 TB pick B so label_max/B rows
+    fit one task, or switch to the bucketed twin when B-fold shuffle
+    outgrows the recall trade.
 
-    Numerics are bit-identical to the SQL oracle: per-term quantization
-    replicates round-half-away-from-zero (Spark round / DuckDB round) via
-    sign * floor(abs + 0.5); term magnitudes stay < 2^52 so the +0.5 is
-    exact in doubles."""
-    import numpy as np
-    import pandas as pd
-
+    Scoring is Arrow-batched numpy outer products, chunked to bound
+    memory. Numerics are bit-identical to the SQL oracle: per-term
+    quantization replicates round-half-away-from-zero (Spark round /
+    DuckDB round) via sign * floor(abs + 0.5); term magnitudes stay
+    < 2^52 so the +0.5 is exact in doubles."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    return neardup_pairs_exact(emb, _EXACT_CELL_BUCKETS, threshold=0.35)
 
-    def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+
+_EXACT_CELL_BUCKETS = 8  # B: per-task work O((label/B)^2); tune to corpus
+
+
+def _pair_cells(emb: DataFrame, n_buckets: int) -> DataFrame:
+    """(vec_id, label, embedding, b, ci, cj): each vector hashed into one
+    of ``n_buckets`` id-buckets and replicated into every pair-cell
+    (ci, cj) = (min(b, t), max(b, t)) its bucket touches — the blocked
+    decomposition of an exact intra-label self-join. Every unordered
+    same-label pair co-locates in EXACTLY one cell (the cell keyed by the
+    two members' buckets), so cell-local scoring reproduces the full pair
+    set with no duplicates and no misses while bounding each task to two
+    buckets' rows."""
+    b = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_buckets)).cast("int")
+    return (
+        emb.withColumn("b", b)
+        .select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("t")
+        )
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "b",
+            F.least("b", "t").alias("ci"),
+            F.greatest("b", "t").alias("cj"),
+        )
+    )
+
+
+def neardup_pairs_exact(
+    emb: DataFrame, n_buckets: int, threshold: float = 0.35
+) -> DataFrame:
+    """Core of sim_neardup_pairs, factored out so tests can feed synthetic
+    skewed frames: EXACT intra-label near-dup pairs via pair-cell
+    blocking (see _pair_cells). Diagonal cells score their own bucket's
+    pairs (id-ordered); off-diagonal cells score only cross-bucket pairs,
+    so no pair is ever emitted twice."""
+
+    def _cell_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
                 "vec_a": pd.Series(dtype="int64"),
@@ -148,6 +190,7 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cosine": pd.Series(dtype="float64"),
             }
         )
+        _, ci, cj = (int(k) for k in key)
         n = len(pdf)
         if n < 2:
             return empty
@@ -155,23 +198,43 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()
         label = int(pdf["label"].iloc[0])
         V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-        norms = _np_q(V * V * _Q).sum(axis=1)
-        sqrt_norms = np.sqrt(norms.astype(np.float64))
+        sqrt_norms = np.sqrt(_np_q(V * V * _Q).sum(axis=1).astype(np.float64))
         out = []
-        chunk = max(1, (64 << 20) // max(1, n * V.shape[1] * 8))  # ~64 MB per outer product
-        for i0 in range(0, n, chunk):
-            A = V[i0 : i0 + chunk]
-            dots = _np_q(A[:, None, :] * V[None, :, :] * _Q).sum(axis=2)
-            cos = dots / (sqrt_norms[i0 : i0 + chunk, None] * sqrt_norms[None, :])
-            ii, jj = np.nonzero((cos >= 0.35) & (ids[i0 : i0 + chunk, None] < ids[None, :]))
+        if ci == cj:  # one bucket: all intra-bucket pairs, id-ordered
+            a_idx = np.arange(n)
+            c_idx = np.arange(n)
+        else:  # two buckets: only cross-bucket pairs (intra handled on diagonals)
+            side = pdf["b"].to_numpy()
+            a_idx = np.nonzero(side == ci)[0]
+            c_idx = np.nonzero(side == cj)[0]
+            if len(a_idx) == 0 or len(c_idx) == 0:
+                return empty
+        C = V[c_idx]
+        cn = sqrt_norms[c_idx]
+        cid = ids[c_idx]
+        chunk = max(1, (64 << 20) // max(1, len(c_idx) * V.shape[1] * 8))
+        for i0 in range(0, len(a_idx), chunk):
+            sel = a_idx[i0 : i0 + chunk]
+            A = V[sel]
+            dots = _np_q(A[:, None, :] * C[None, :, :] * _Q).sum(axis=2)
+            cos = dots / (sqrt_norms[sel, None] * cn[None, :])
+            keep = cos >= threshold
+            if ci == cj:
+                keep &= ids[sel, None] < cid[None, :]
+            ii, jj = np.nonzero(keep)
             for a_i, b_j in zip(ii, jj):
-                out.append((int(ids[i0 + a_i]), int(ids[b_j]), label, float(cos[a_i, b_j])))
+                ia, ib = int(ids[sel[a_i]]), int(cid[b_j])
+                if ia > ib:
+                    ia, ib = ib, ia
+                out.append((ia, ib, label, float(cos[a_i, b_j])))
         if not out:
             return empty
         return pd.DataFrame(out, columns=["vec_a", "vec_b", "label", "cosine"])
 
-    return emb.groupBy("label").applyInPandas(
-        _block_pairs, "vec_a long, vec_b long, label int, cosine double"
+    return (
+        _pair_cells(emb, n_buckets)
+        .groupBy("label", "ci", "cj")
+        .applyInPandas(_cell_pairs, "vec_a long, vec_b long, label int, cosine double")
     )
 
 
@@ -557,33 +620,45 @@ def assemble_centroids(dims: DataFrame) -> DataFrame:
 def sim_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN graph (k=3) within label blocks: for EVERY vector, its three
     most-similar same-label neighbors — the all-vectors variant of
-    sim_cosine_topk and the building block for knn-graph dedup clustering
-    and retrieval evaluation. Ties break on the lower neighbor_id, matching
-    the oracle's ORDER BY cosine DESC, neighbor_id ASC exactly (cosines are
-    quantized-integer-derived, so equal means bit-equal).
+    sim_cosine_topk, the building block for knn-graph dedup clustering /
+    retrieval evaluation, and the EXACT baseline sim_knn_bucketed's LSH
+    recall is measured against. Ties break on the lower neighbor_id,
+    matching the oracle's ORDER BY cosine DESC, neighbor_id ASC exactly
+    (cosines are quantized-integer-derived, so equal means bit-equal).
 
-    Same scale shape as sim_neardup_pairs: one shuffle on the block key,
-    numpy-vectorized scoring inside Arrow-batched applyInPandas, chunked
-    outer products to bound memory. At 100 TB the block key is an LSH
-    bucket (bounding block size) and the inner top-k switches from full
-    lexsort to np.argpartition; each vector still scores only its own
-    block — never the full table."""
-    import numpy as np
-    import pandas as pd
-
+    Exactness no longer costs one O(label^2) task under a dominant
+    label: the same pair-cell blocking as sim_neardup_pairs (see
+    _pair_cells) bounds each task to two id-buckets' rows, every task
+    emits each of its vectors' top-k candidates AGAINST THE CELL'S OTHER
+    SIDE (keeping boundary ties, exactly as knn_bucketed's partition
+    threshold does), and a final window over vec_id merges the B partial
+    candidate lists into the global exact top-k — candidate volume into
+    that shuffle is O(B * k) per vector, not O(label). The price of
+    exactness is the B-fold replication shuffle; the bucketed twin
+    trades that (plus LSH recall) for a single un-replicated shuffle."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    k = 3
+    return label_knn_exact(emb, _EXACT_CELL_BUCKETS, k=3)
 
-    def _block_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+
+def label_knn_exact(emb: DataFrame, n_buckets: int, k: int = 3) -> DataFrame:
+    """Core of sim_label_knn, factored out so tests can feed synthetic
+    skewed frames: exact intra-label k-NN via pair-cell blocking. Each
+    cell emits per-vector candidate lists (top-k against the cell's other
+    side, boundary ties kept — any vector in the global top-k is
+    necessarily in its cell's tie-kept top-k, so the union is a lossless
+    superset); the closing window reproduces the oracle's deterministic
+    (cosine DESC, neighbor_id ASC) ranking over that superset."""
+
+    def _cell_candidates(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
                 "vec_id": pd.Series(dtype="int64"),
                 "label": pd.Series(dtype="int32"),
-                "rank": pd.Series(dtype="int64"),
                 "neighbor_id": pd.Series(dtype="int64"),
                 "cosine": pd.Series(dtype="float64"),
             }
         )
+        _, ci, cj = (int(x) for x in key)
         n = len(pdf)
         if n < 2:
             return empty
@@ -593,23 +668,61 @@ def sim_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
         sqrt_norms = np.sqrt(_np_q(V * V * _Q).sum(axis=1).astype(np.float64))
         out = []
-        kk = min(k, n - 1)
-        chunk = max(1, (64 << 20) // max(1, n * V.shape[1] * 8))
-        for i0 in range(0, n, chunk):
-            A = V[i0 : i0 + chunk]
-            dots = _np_q(A[:, None, :] * V[None, :, :] * _Q).sum(axis=2)
-            cos = dots / (sqrt_norms[i0 : i0 + chunk, None] * sqrt_norms[None, :])
-            for li in range(A.shape[0]):
-                gi = i0 + li
-                c = cos[li].copy()
-                c[gi] = -np.inf  # exclude self; sorts last, kk <= n-1 keeps it out
-                order = np.lexsort((ids, -c))[:kk]
-                for r, j in enumerate(order, 1):
-                    out.append((int(ids[gi]), label, r, int(ids[j]), float(c[j])))
-        return pd.DataFrame(out, columns=["vec_id", "label", "rank", "neighbor_id", "cosine"])
 
-    return emb.groupBy("label").applyInPandas(
-        _block_knn, "vec_id long, label int, rank long, neighbor_id long, cosine double"
+        def _side_topk(q_idx: np.ndarray, c_idx: np.ndarray, same: bool) -> None:
+            """Candidates for V[q_idx] among V[c_idx]; ``same`` excludes
+            self-matches (diagonal cells, where q_idx is c_idx)."""
+            nc = len(c_idx)
+            kk = min(k, nc - 1 if same else nc)
+            if kk <= 0:
+                return
+            C, cn, cid = V[c_idx], sqrt_norms[c_idx], ids[c_idx]
+            chunk = max(1, (64 << 20) // max(1, nc * V.shape[1] * 8))
+            for i0 in range(0, len(q_idx), chunk):
+                sel = q_idx[i0 : i0 + chunk]
+                dots = _np_q(V[sel][:, None, :] * C[None, :, :] * _Q).sum(axis=2)
+                cos = dots / (sqrt_norms[sel, None] * cn[None, :])
+                for li in range(len(sel)):
+                    c = cos[li]
+                    if same:
+                        c = c.copy()
+                        c[i0 + li] = -np.inf  # exclude self
+                    # kth-largest threshold in O(n); >= keeps boundary
+                    # ties so the global merge can tie-break exactly
+                    kth = np.partition(c, nc - kk)[nc - kk]
+                    for j in np.nonzero(c >= kth)[0]:
+                        out.append(
+                            (int(ids[sel[li]]), label, int(cid[j]), float(c[j]))
+                        )
+
+        if ci == cj:
+            idx = np.arange(n)
+            _side_topk(idx, idx, same=True)
+        else:
+            side = pdf["b"].to_numpy()
+            a_idx = np.nonzero(side == ci)[0]
+            c_idx = np.nonzero(side == cj)[0]
+            if len(a_idx) == 0 or len(c_idx) == 0:
+                return empty
+            _side_topk(a_idx, c_idx, same=False)
+            _side_topk(c_idx, a_idx, same=False)
+        if not out:
+            return empty
+        return pd.DataFrame(out, columns=["vec_id", "label", "neighbor_id", "cosine"])
+
+    cand = (
+        _pair_cells(emb, n_buckets)
+        .groupBy("label", "ci", "cj")
+        .applyInPandas(
+            _cell_candidates,
+            "vec_id long, label int, neighbor_id long, cosine double",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "label", "rank", "neighbor_id", "cosine")
     )
 
 
@@ -635,15 +748,16 @@ def knn_bucketed(emb: DataFrame, planes: list, k: int = 3) -> DataFrame:
     """Core of sim_knn_bucketed, factored out so tests can feed synthetic
     skewed frames: k-NN within (label x hyperplane-LSH bucket) blocks.
 
-    This is the scale-hardened variant of sim_label_knn. That operator's
-    block key is the label alone, so one dominant label (90% of a corpus)
-    puts O(block^2) work in a single task. Composing the block key with the
-    sign-bucket of ``len(planes)`` random hyperplanes splits every label
-    into 2^planes cells — expected cell size = label_size / 2^planes
-    regardless of label skew (hyperplane signs are independent of the label)
-    — so per-task work is capped by choosing enough planes:
-    2^planes >= label_size / target_block. The recall trade is the standard
-    LSH one: only same-bucket neighbors are candidates.
+    This is the approximate, cheapest-shuffle variant of sim_label_knn.
+    The exact baseline is itself skew-bounded via pair-cell blocking, but
+    pays a B-fold replication shuffle plus a candidate-merge window;
+    composing the block key with the sign-bucket of ``len(planes)`` random
+    hyperplanes instead splits every label into 2^planes cells — expected
+    cell size = label_size / 2^planes regardless of label skew (hyperplane
+    signs are independent of the label) — with NO replication and no merge
+    step; per-task work is capped by choosing enough planes:
+    2^planes >= label_size / target_block. The trade is the standard LSH
+    one: only same-bucket neighbors are candidates.
 
     Inner top-k selects via np.partition (O(n) threshold) + lexsort of the
     tied tail, not a full O(n log n) sort of the block: the kth-value
@@ -711,13 +825,14 @@ def neardup_pairs_bucketed(emb: DataFrame, planes: list, threshold: float = 0.35
     synthetic skewed frames: near-duplicate pairs within (label x
     hyperplane-LSH bucket) blocks.
 
-    The skew-hardened edge generator for the semantic-dedup pipeline:
-    sim_neardup_pairs scores ALL intra-label pairs, so a dominant label
-    (90% of a corpus) puts O(label^2) work in one task — VERDICT r5's last
-    remaining perf_weak shape. Composing the block key with the sign-bucket
-    of ``len(planes)`` hyperplanes (exactly knn_bucketed's key) caps the
-    expected block at label_size / 2^planes independent of the label skew;
-    per-task pair work drops O(4^planes)-fold. The recall trade is the
+    The production edge generator for the semantic-dedup pipeline:
+    sim_neardup_pairs emits the exact pair set through pair-cell blocking
+    (skew-bounded, but a B-fold replication shuffle); composing the block
+    key with the sign-bucket of ``len(planes)`` hyperplanes (exactly
+    knn_bucketed's key) instead caps the expected block at
+    label_size / 2^planes independent of the label skew with a single
+    un-replicated shuffle — the cheaper shape when approximate recall is
+    acceptable. The recall trade is the
     standard LSH one — a near-dup pair is emitted only when both vectors
     land in the same bucket; raise the plane count with corpus size and/or
     union several independent plane sets to recover recall (each set is one
@@ -810,9 +925,11 @@ def sim_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~12-vector blocks so the k-NN graph stays dense; a 100 TB corpus raises
     the plane count until 2^planes caps the hottest label's block at the
     per-task budget (tests/test_skew_join.py pins the bound under a
-    90%-one-label distribution). Per-task work drops from O(label^2) to
-    O((label/2^planes)^2); recall is same-bucket only — the standard
-    LSH trade, measured against the exact sim_label_knn graph."""
+    90%-one-label distribution). Per-task work is O((label/2^planes)^2)
+    in one un-replicated shuffle; recall is same-bucket only — the
+    standard LSH trade, measured against the exact sim_label_knn graph
+    (itself skew-bounded via pair-cell blocking, at a B-fold replication
+    cost this variant avoids)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     return knn_bucketed(emb, _load_knn_planes(spark, sf_dir), k=3)
 
@@ -875,15 +992,15 @@ def sim_neardup_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof embedding near-duplicate pairs: sim_neardup_pairs with
     the block key hardened from label to label x {_KNN_BUCKET_PLANES}-plane
     LSH bucket — the same composition sim_knn_bucketed applies to
-    sim_label_knn, closing VERDICT r5's last perf_weak shape. A dominant
-    label no longer concentrates O(label^2) pair scoring in one task: the
-    hyperplane signs are independent of the label, so every label splits
-    ~evenly into 2^planes cells and the hottest block is bounded by
-    label_size / 2^planes (tests/test_neardup_bucketed.py pins the bound
-    under a 90%-one-label distribution). Recall is same-bucket only — the
-    standard LSH trade; production unions several independent plane sets,
-    each pass this same bounded shape. sim_neardup_pairs stays registered
-    as the exact recall baseline this variant is measured against."""
+    sim_label_knn. The hyperplane signs are independent of the label, so
+    every label splits ~evenly into 2^planes cells and the hottest block
+    is bounded by label_size / 2^planes in ONE un-replicated shuffle
+    (tests/test_neardup_bucketed.py pins the bound under a 90%-one-label
+    distribution). Recall is same-bucket only — the standard LSH trade;
+    production unions several independent plane sets, each pass this same
+    bounded shape. sim_neardup_pairs is the exact recall baseline this
+    variant is measured against (itself skew-bounded via pair-cell
+    blocking, at a B-fold replication cost this variant avoids)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     return neardup_pairs_bucketed(emb, _load_knn_planes(spark, sf_dir), threshold=0.35)
 
@@ -2190,15 +2307,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the counting joins are bounded (k per node, so |E| <= k|V| and
     the wedge join fans out <= k per edge; for power-law graphs the
-    standard hardening is degree-ordered orientation, same join shape) —
-    but edge GENERATION here is sim_label_knn's exact all-pairs-per-label
-    scoring, O(block^2) in one task under a dominant label. This variant
-    is therefore retained as the exact-recall BASELINE only; the
-    production-scale form is graph_triangle_count_bucketed, whose edges
-    come from the skew-proof (label x LSH bucket) generator. Two shuffles
-    after generation: the wedge join on the shared vertex, the closure
-    join on (u, w). Wedge/triangle totals are exact integers; the
-    coefficient is one division of exact integers, bit-stable on both
+    standard hardening is degree-ordered orientation, same join shape).
+    Edge GENERATION is sim_label_knn's pair-cell-blocked exact scoring —
+    per-task work O((label/B)^2) even under a dominant label, at a B-fold
+    replication cost. graph_triangle_count_bucketed is the cheaper
+    approximate form (LSH-bucketed edges, one un-replicated shuffle).
+    Two shuffles after generation: the wedge join on the shared vertex,
+    the closure join on (u, w). Wedge/triangle totals are exact integers;
+    the coefficient is one division of exact integers, bit-stable on both
     engines."""
     return triangle_stats(sim_label_knn(spark, sf_dir))
 
@@ -2305,16 +2421,15 @@ def triangle_stats(knn: DataFrame) -> DataFrame:
     """,
 )
 def graph_triangle_count_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """graph_triangle_count with its edge GENERATION on the skew-proof
-    bucketed k-NN generator (sim_knn_bucketed's label x LSH-bucket blocks)
-    instead of the exact label-block baseline — closing VERDICT r6's last
-    label-block-all-pairs shape reachable from a registered query. The
-    counting joins were already bounded (|E| <= k|V|); what the exact
-    variant inherited was O(block^2) edge SCORING inside one task under a
-    dominant label. Here scoring runs per (label, bucket) cell — hottest
-    block bounded by label_size / 2^planes regardless of label skew
-    (tests/test_triangle_bucketed.py pins the bound + exactness on a
-    90%-one-label fixture). graph_triangle_count stays registered as the
+    """graph_triangle_count with its edge GENERATION on the LSH-bucketed
+    k-NN generator (sim_knn_bucketed's label x LSH-bucket blocks) instead
+    of the exact pair-cell-blocked baseline. The counting joins were
+    already bounded (|E| <= k|V|); here edge scoring runs per
+    (label, bucket) cell — hottest block bounded by label_size / 2^planes
+    regardless of label skew, in one un-replicated shuffle (vs the exact
+    baseline's B-fold replication; tests/test_triangle_bucketed.py pins
+    the bound + exactness on a 90%-one-label fixture).
+    graph_triangle_count stays registered as the
     exact-recall baseline; the coefficient measured here is the bucketed
     graph's — the same graph the production near-dup pipeline clusters, so
     it is the QA metric actually wanted for threshold tuning.
