@@ -682,18 +682,15 @@ def label_knn_exact(emb: DataFrame, n_buckets: int, k: int = 3) -> DataFrame:
                 sel = q_idx[i0 : i0 + chunk]
                 dots = _np_q(V[sel][:, None, :] * C[None, :, :] * _Q).sum(axis=2)
                 cos = dots / (sqrt_norms[sel, None] * cn[None, :])
-                for li in range(len(sel)):
-                    c = cos[li]
-                    if same:
-                        c = c.copy()
-                        c[i0 + li] = -np.inf  # exclude self
-                    # kth-largest threshold in O(n); >= keeps boundary
-                    # ties so the global merge can tie-break exactly
-                    kth = np.partition(c, nc - kk)[nc - kk]
-                    for j in np.nonzero(c >= kth)[0]:
-                        out.append(
-                            (int(ids[sel[li]]), label, int(cid[j]), float(c[j]))
-                        )
+                if same:
+                    rows = np.arange(len(sel))
+                    cos[rows, i0 + rows] = -np.inf  # exclude self
+                # per-row kth-largest threshold in O(n); >= keeps boundary
+                # ties so the global merge can tie-break exactly
+                kth = np.partition(cos, nc - kk, axis=1)[:, nc - kk]
+                ii, jj = np.nonzero(cos >= kth[:, None])
+                for a, j in zip(ii, jj):
+                    out.append((int(ids[sel[a]]), label, int(cid[j]), float(cos[a, j])))
 
         if ci == cj:
             idx = np.arange(n)
