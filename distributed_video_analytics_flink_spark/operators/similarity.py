@@ -222,11 +222,13 @@ def neardup_pairs_exact(
             if ci == cj:
                 keep &= ids[sel, None] < cid[None, :]
             ii, jj = np.nonzero(keep)
-            for a_i, b_j in zip(ii, jj):
-                ia, ib = int(ids[sel[a_i]]), int(cid[b_j])
-                if ia > ib:
-                    ia, ib = ib, ia
-                out.append((ia, ib, label, float(cos[a_i, b_j])))
+            if len(ii):
+                a_ids, b_ids = ids[sel[ii]], cid[jj]
+                lo = np.minimum(a_ids, b_ids)
+                hi = np.maximum(a_ids, b_ids)
+                out.extend(
+                    zip(lo.tolist(), hi.tolist(), [label] * len(ii), cos[ii, jj].tolist())
+                )
         if not out:
             return empty
         return pd.DataFrame(out, columns=["vec_a", "vec_b", "label", "cosine"])
