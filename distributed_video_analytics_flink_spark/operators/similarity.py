@@ -24,6 +24,8 @@ exactly; parity stays bit-for-bit.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -172,6 +174,33 @@ def _pair_cells(emb: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
+def _cell_frame(key: tuple, pdf: pd.DataFrame):
+    """Shared prologue of the pair-cell closures: unpack the (label, ci,
+    cj) key, sort by vec_id, materialize (ids, label, V, sqrt_norms) and
+    the diagonal-vs-cross index split. Returns None when the cell cannot
+    emit anything (fewer than 2 rows, or an empty side). One copy so
+    neardup_pairs_exact and label_knn_exact can never diverge on the
+    setup semantics (r7 review)."""
+    _, ci, cj = (int(k) for k in key)
+    n = len(pdf)
+    if n < 2:
+        return None
+    pdf = pdf.sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    label = int(pdf["label"].iloc[0])
+    V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    sqrt_norms = np.sqrt(_np_q(V * V * _Q).sum(axis=1).astype(np.float64))
+    if ci == cj:  # one bucket: intra-bucket scoring
+        a_idx = c_idx = np.arange(n)
+    else:  # two buckets: cross-bucket only (intra handled on diagonals)
+        side = pdf["b"].to_numpy()
+        a_idx = np.nonzero(side == ci)[0]
+        c_idx = np.nonzero(side == cj)[0]
+        if len(a_idx) == 0 or len(c_idx) == 0:
+            return None
+    return ids, label, V, sqrt_norms, a_idx, c_idx, ci == cj
+
+
 def neardup_pairs_exact(
     emb: DataFrame, n_buckets: int, threshold: float = 0.35
 ) -> DataFrame:
@@ -179,7 +208,9 @@ def neardup_pairs_exact(
     skewed frames: EXACT intra-label near-dup pairs via pair-cell
     blocking (see _pair_cells). Diagonal cells score their own bucket's
     pairs (id-ordered); off-diagonal cells score only cross-bucket pairs,
-    so no pair is ever emitted twice."""
+    so no pair is ever emitted twice. NaN cosines (zero-quantized-norm
+    embeddings — cosine undefined) never pass the threshold, so
+    degenerate vectors simply emit no pairs."""
 
     def _cell_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -190,25 +221,11 @@ def neardup_pairs_exact(
                 "cosine": pd.Series(dtype="float64"),
             }
         )
-        _, ci, cj = (int(k) for k in key)
-        n = len(pdf)
-        if n < 2:
+        frame = _cell_frame(key, pdf)
+        if frame is None:
             return empty
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        label = int(pdf["label"].iloc[0])
-        V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-        sqrt_norms = np.sqrt(_np_q(V * V * _Q).sum(axis=1).astype(np.float64))
+        ids, label, V, sqrt_norms, a_idx, c_idx, diag = frame
         out = []
-        if ci == cj:  # one bucket: all intra-bucket pairs, id-ordered
-            a_idx = np.arange(n)
-            c_idx = np.arange(n)
-        else:  # two buckets: only cross-bucket pairs (intra handled on diagonals)
-            side = pdf["b"].to_numpy()
-            a_idx = np.nonzero(side == ci)[0]
-            c_idx = np.nonzero(side == cj)[0]
-            if len(a_idx) == 0 or len(c_idx) == 0:
-                return empty
         C = V[c_idx]
         cn = sqrt_norms[c_idx]
         cid = ids[c_idx]
@@ -218,8 +235,8 @@ def neardup_pairs_exact(
             A = V[sel]
             dots = _np_q(A[:, None, :] * C[None, :, :] * _Q).sum(axis=2)
             cos = dots / (sqrt_norms[sel, None] * cn[None, :])
-            keep = cos >= threshold
-            if ci == cj:
+            keep = cos >= threshold  # False for NaN: degenerates drop out
+            if diag:
                 keep &= ids[sel, None] < cid[None, :]
             ii, jj = np.nonzero(keep)
             if len(ii):
@@ -649,7 +666,15 @@ def label_knn_exact(emb: DataFrame, n_buckets: int, k: int = 3) -> DataFrame:
     side, boundary ties kept — any vector in the global top-k is
     necessarily in its cell's tie-kept top-k, so the union is a lossless
     superset); the closing window reproduces the oracle's deterministic
-    (cosine DESC, neighbor_id ASC) ranking over that superset."""
+    (cosine DESC, neighbor_id ASC) ranking over that superset.
+
+    Off-diagonal cells score ONE quantized dot matrix and select along
+    both axes (the transpose is bit-identical: the quantized terms are
+    elementwise-commutative), halving the dominant cost vs scoring each
+    direction separately; a chunked two-pass fallback guards pathological
+    cell sizes. NaN cosines (zero-quantized-norm embeddings — cosine
+    undefined) are excluded from candidacy, so one degenerate vector in a
+    cell cannot displace or starve its neighbors' finite candidates."""
 
     def _cell_candidates(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -660,51 +685,64 @@ def label_knn_exact(emb: DataFrame, n_buckets: int, k: int = 3) -> DataFrame:
                 "cosine": pd.Series(dtype="float64"),
             }
         )
-        _, ci, cj = (int(x) for x in key)
-        n = len(pdf)
-        if n < 2:
+        frame = _cell_frame(key, pdf)
+        if frame is None:
             return empty
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        label = int(pdf["label"].iloc[0])
-        V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-        sqrt_norms = np.sqrt(_np_q(V * V * _Q).sum(axis=1).astype(np.float64))
+        ids, label, V, sqrt_norms, a_idx, c_idx, diag = frame
         out = []
 
-        def _side_topk(q_idx: np.ndarray, c_idx: np.ndarray, same: bool) -> None:
-            """Candidates for V[q_idx] among V[c_idx]; ``same`` excludes
-            self-matches (diagonal cells, where q_idx is c_idx)."""
-            nc = len(c_idx)
-            kk = min(k, nc - 1 if same else nc)
+        def _select(cos, qsel, cand_ids, kk, diag_offset=None):
+            """Per-row tie-kept top-kk candidates from a cosine matrix.
+            NaN -> -inf for thresholding; the isfinite gate then drops
+            both NaN candidates and the self -inf, and keeps the kth
+            threshold meaningful when a row has < kk finite entries."""
             if kk <= 0:
                 return
-            C, cn, cid = V[c_idx], sqrt_norms[c_idx], ids[c_idx]
-            chunk = max(1, (64 << 20) // max(1, nc * V.shape[1] * 8))
+            cosf = np.where(np.isnan(cos), -np.inf, cos)
+            if diag_offset is not None:
+                rows = np.arange(cosf.shape[0])
+                cosf[rows, diag_offset + rows] = -np.inf  # exclude self
+            nc = cosf.shape[1]
+            # per-row kth-largest threshold in O(n); >= keeps boundary
+            # ties so the global merge can tie-break exactly
+            kth = np.partition(cosf, nc - kk, axis=1)[:, nc - kk]
+            keep = (cosf >= kth[:, None]) & np.isfinite(cosf)
+            ii, jj = np.nonzero(keep)
+            for a, j in zip(ii, jj):
+                out.append((int(ids[qsel[a]]), label, int(cand_ids[j]), float(cosf[a, j])))
+
+        def _one_dir(q_idx, cand_idx, kk, diag_chunks=False):
+            """Chunked one-direction scoring (diagonal cells, and the
+            fallback for off-diagonal cells too large for one matrix)."""
+            C, cn, cid = V[cand_idx], sqrt_norms[cand_idx], ids[cand_idx]
+            chunk = max(1, (64 << 20) // max(1, len(cand_idx) * V.shape[1] * 8))
             for i0 in range(0, len(q_idx), chunk):
                 sel = q_idx[i0 : i0 + chunk]
                 dots = _np_q(V[sel][:, None, :] * C[None, :, :] * _Q).sum(axis=2)
                 cos = dots / (sqrt_norms[sel, None] * cn[None, :])
-                if same:
-                    rows = np.arange(len(sel))
-                    cos[rows, i0 + rows] = -np.inf  # exclude self
-                # per-row kth-largest threshold in O(n); >= keeps boundary
-                # ties so the global merge can tie-break exactly
-                kth = np.partition(cos, nc - kk, axis=1)[:, nc - kk]
-                ii, jj = np.nonzero(cos >= kth[:, None])
-                for a, j in zip(ii, jj):
-                    out.append((int(ids[sel[a]]), label, int(cid[j]), float(cos[a, j])))
+                _select(cos, sel, cid, kk, diag_offset=i0 if diag_chunks else None)
 
-        if ci == cj:
-            idx = np.arange(n)
-            _side_topk(idx, idx, same=True)
+        if diag:
+            _one_dir(a_idx, c_idx, min(k, len(c_idx) - 1), diag_chunks=True)
         else:
-            side = pdf["b"].to_numpy()
-            a_idx = np.nonzero(side == ci)[0]
-            c_idx = np.nonzero(side == cj)[0]
-            if len(a_idx) == 0 or len(c_idx) == 0:
-                return empty
-            _side_topk(a_idx, c_idx, same=False)
-            _side_topk(c_idx, a_idx, same=False)
+            na, nc = len(a_idx), len(c_idx)
+            if na * nc * 8 <= (256 << 20):
+                # one matrix serves BOTH directions; the (chunk, nc, dim)
+                # product intermediate stays bounded like everywhere else
+                cos = np.empty((na, nc))
+                C, cn = V[c_idx], sqrt_norms[c_idx]
+                chunk = max(1, (64 << 20) // max(1, nc * V.shape[1] * 8))
+                for i0 in range(0, na, chunk):
+                    sel = a_idx[i0 : i0 + chunk]
+                    dots = _np_q(V[sel][:, None, :] * C[None, :, :] * _Q).sum(axis=2)
+                    cos[i0 : i0 + len(sel)] = dots / (
+                        sqrt_norms[sel, None] * cn[None, :]
+                    )
+                _select(cos, a_idx, ids[c_idx], min(k, nc))
+                _select(cos.T, c_idx, ids[a_idx], min(k, na))
+            else:  # pathological cell (n_buckets set far too low): two-pass
+                _one_dir(a_idx, c_idx, min(k, nc))
+                _one_dir(c_idx, a_idx, min(k, na))
         if not out:
             return empty
         return pd.DataFrame(out, columns=["vec_id", "label", "neighbor_id", "cosine"])
@@ -2557,6 +2595,7 @@ def _ivf_coarse_and_query(emb: DataFrame):
 
 
 _IVF_PQ_INDEX_BUILT: set = set()
+_IVF_PQ_BUILD_LOCK = threading.Lock()  # intra-process: one build at a time
 
 
 # Bump when the at-rest layout changes: the version feeds the index path
@@ -2565,14 +2604,30 @@ _IVF_PQ_INDEX_FORMAT = 1
 
 
 def ivf_pq_index_path(sf_dir: str) -> str:
-    """Deterministic per-(fixture, format-version) location of the
-    at-rest IVF+PQ index (outside the read-only testdata tree)."""
+    """Deterministic per-(fixture-content, format-version) location of
+    the at-rest IVF+PQ index (outside the read-only testdata tree). The
+    tag includes a stat fingerprint (size + mtime) of the embeddings
+    source, so regenerating the fixture IN PLACE at the same directory
+    yields a NEW index path — the publish race-loser's "existing
+    directory is the same index" assumption can then never pin a stale
+    index to fresh data (r7 review)."""
+    import glob
     import hashlib
     import os
     import tempfile
 
-    key = f"{os.path.abspath(sf_dir)}:v{_IVF_PQ_INDEX_FORMAT}"
-    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    parts = [os.path.abspath(sf_dir), f"v{_IVF_PQ_INDEX_FORMAT}"]
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    paths = [src] if os.path.isfile(src) else sorted(
+        glob.glob(os.path.join(src, "**", "*"), recursive=True)
+    )
+    for p in paths:
+        try:
+            st = os.stat(p)
+            parts.append(f"{os.path.relpath(p, sf_dir)}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            continue
+    tag = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"dvafs_ivf_pq_index_{tag}")
 
 
@@ -2602,13 +2657,23 @@ def write_ivf_pq_index(
     offline index-build job (embeddings in, codes out, one atomic
     version-directory swap per corpus version); serving never touches
     the embedding column again."""
+    if path is None:
+        path = ivf_pq_index_path(sf_dir)
+    # the lock makes the check-then-build atomic INSIDE the process (two
+    # concurrent first-use queries must not write the same tmp dir); the
+    # rename below handles the cross-process race
+    with _IVF_PQ_BUILD_LOCK:
+        if path in _IVF_PQ_INDEX_BUILT:
+            return path
+        return _build_ivf_pq_index(spark, sf_dir, path, coarse)
+
+
+def _build_ivf_pq_index(
+    spark: SparkSession, sf_dir: str, path: str, coarse: tuple | None
+) -> str:
     import os
     import shutil
 
-    if path is None:
-        path = ivf_pq_index_path(sf_dir)
-    if path in _IVF_PQ_INDEX_BUILT:
-        return path
     emb = load_table(spark, sf_dir, "embeddings")
     if coarse is None:
         C, cn = _ivf_coarse_and_query(emb)[:2]
@@ -2632,7 +2697,7 @@ def write_ivf_pq_index(
             }
         )
 
-    tmp = f"{path}.build-{os.getpid()}"
+    tmp = f"{path}.build-{os.getpid()}-{threading.get_ident()}"
     (
         emb.select("vec_id", _cell_and_codes("embedding").alias("s"))
         .select(

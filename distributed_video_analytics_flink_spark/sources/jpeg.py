@@ -155,12 +155,18 @@ class _BitReader:
 
 
 def _build_huff(counts: list[int], symbols: list[int]) -> dict[tuple[int, int], int]:
-    """Canonical Huffman per T.81 Annex C: {(length, code) -> symbol}."""
+    """Canonical Huffman per T.81 Annex C: {(length, code) -> symbol}.
+    Rejects oversubscribed tables (more codes at a length than the
+    canonical code space holds) — without this check a corrupt DHT would
+    build codes wider than their declared length and the LUT fill would
+    silently mis-shape instead of the frame being refused."""
     table = {}
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(counts[length - 1]):
+            if code >= (1 << length):
+                raise JpegError("oversubscribed Huffman table")
             table[(length, code)] = symbols[k]
             code += 1
             k += 1

@@ -136,3 +136,48 @@ def test_blocked_knn_matches_naive_including_ties(spark):
     for col in ("vec_id", "label", "rank", "neighbor_id"):
         assert (out[col].to_numpy() == exp[col].to_numpy()).all(), col
     assert (out["cosine"].to_numpy() == exp["cosine"].to_numpy()).all()  # bit-equal
+
+
+def test_degenerate_zero_norm_vector_does_not_starve_neighbors(spark):
+    """A zero-quantized-norm embedding makes every cosine against it NaN
+    (0/0). NaN candidates must be EXCLUDED from candidacy — not allowed
+    to consume top-k slots or poison the per-row kth threshold (r7
+    review: np.partition sorts NaN last, which silently dropped finite
+    candidates). Healthy vectors must keep exactly the k-NN they'd have
+    if the degenerate vector did not exist."""
+    V, labels = _make_data()
+    V[5] = 0.0  # exact zero vector in the hot label
+    out = (
+        label_knn_exact(_spark_df(spark, V, labels), B, k=K)
+        .toPandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    # the degenerate vector itself emits no rows (all its cosines NaN)
+    assert (out["vec_id"] != 5).all()
+    assert (out["neighbor_id"] != 5).all()
+    assert np.isfinite(out["cosine"].to_numpy()).all()
+    cos = _cosines(V)
+    expected = []
+    for v in range(N):
+        if v == 5:
+            continue
+        peers = np.nonzero(
+            (labels == labels[v]) & (np.arange(N) != v) & (np.arange(N) != 5)
+        )[0]
+        order = peers[np.lexsort((peers, -cos[v, peers]))][:K]
+        for r, j in enumerate(order, 1):
+            expected.append((v, int(labels[v]), r, int(j), cos[v, j]))
+    exp = pd.DataFrame(
+        expected, columns=["vec_id", "label", "rank", "neighbor_id", "cosine"]
+    ).reset_index(drop=True)
+    assert len(out) == len(exp) > 0
+    for col in ("vec_id", "label", "rank", "neighbor_id"):
+        assert (out[col].to_numpy() == exp[col].to_numpy()).all(), col
+    assert (out["cosine"].to_numpy() == exp["cosine"].to_numpy()).all()
+    # and the pair generator: the degenerate vector emits no pairs
+    pairs = neardup_pairs_exact(
+        _spark_df(spark, V, labels), B, threshold=THRESHOLD
+    ).toPandas()
+    assert (pairs["vec_a"] != 5).all() and (pairs["vec_b"] != 5).all()
+    assert np.isfinite(pairs["cosine"].to_numpy()).all()

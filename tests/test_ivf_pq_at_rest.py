@@ -92,3 +92,20 @@ def test_index_publish_is_atomic_and_race_tolerant(spark, tmp_path):
     leftovers = [d for d in os.listdir(tmp_path) if d.startswith("idx.build-")]
     assert leftovers == []  # losing build cleaned up
     assert spark.read.parquet(path).count() > 0
+
+
+def test_index_path_tracks_fixture_content(tmp_path):
+    """The index path fingerprints the embeddings source (size+mtime), so
+    regenerating the fixture IN PLACE yields a new index path — the
+    publish race-loser's 'existing directory is the same index'
+    assumption can never pin a stale index to fresh data (r7 review)."""
+    from distributed_video_analytics_flink_spark.operators.similarity import (
+        ivf_pq_index_path,
+    )
+
+    src = tmp_path / "embeddings.parquet"
+    src.write_bytes(b"AAA")
+    p1 = ivf_pq_index_path(str(tmp_path))
+    assert ivf_pq_index_path(str(tmp_path)) == p1  # deterministic
+    src.write_bytes(b"BBBB")  # regenerated fixture, same directory
+    assert ivf_pq_index_path(str(tmp_path)) != p1

@@ -448,3 +448,25 @@ def test_huffman_table_cache_reuses_identical_tables():
         counts = [0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
         J._huff_table(counts, [(i + j) % 256 for j in range(12)])
     assert len(J._HUFF_CACHE) <= 64
+
+
+def test_oversubscribed_dht_refused():
+    """A DHT declaring more codes at a length than the canonical code
+    space holds must raise JpegError — the LUT slice-fill would otherwise
+    silently build a mis-shaped table and decode garbage (r7 review: the
+    old per-index fill raised IndexError; the validity check must not
+    depend on the fill strategy)."""
+    from distributed_video_analytics_flink_spark.sources import jpeg as J
+
+    with pytest.raises(JpegError, match="oversubscribed"):
+        J._HuffTable([3] + [0] * 15, [0, 1, 2])  # 3 codes of length 1
+    with pytest.raises(JpegError, match="oversubscribed"):
+        J._HuffTable([2, 3] + [0] * 14, list(range(5)))
+    # and through the stream path: corrupt a valid JPEG's DHT counts
+    img = np.zeros((8, 8, 3), np.uint8)
+    data = bytearray(encode_jpeg(img))
+    dht_at = bytes(data).find(b"\xff\xc4")
+    # DHT layout: marker(2) len(2) tcth(1) counts(16); force counts[0]=255
+    data[dht_at + 5] = 255
+    with pytest.raises(JpegError):
+        decode_jpeg(bytes(data))
