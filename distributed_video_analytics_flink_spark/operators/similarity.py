@@ -1122,6 +1122,62 @@ def sim_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_neardup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_BUCKETED_PAIRS},
+    thresholded AS (
+      SELECT vec_a, vec_b FROM pairs WHERE cosine >= 0.35
+    ),
+    edges AS (
+      SELECT vec_a AS u, vec_b AS v FROM thresholded
+      UNION
+      SELECT vec_b AS u, vec_a AS v FROM thresholded
+    ),
+    reach(u, v) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    clusters AS (
+      SELECT u AS vec_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+    )
+    SELECT cluster_id, doc_id, lang, n_chars FROM (
+      SELECT c.cluster_id, d.doc_id, d.lang, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+      FROM clusters c JOIN documents d ON d.doc_id = c.vec_id
+    ) WHERE rn = 1
+    """,
+)
+def sim_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic-dedup pipeline CLOSED end to end: cluster the
+    embedding near-duplicate graph (sim_neardup_clusters' bucketed CC)
+    and keep ONE document per cluster — the longest text (n_chars DESC,
+    doc_id ASC tie-break), joined through the fixtures' 1:1
+    vec_id = doc_id linkage. This is the curation action the whole
+    near-dup stack exists for: the embedding-space analog of
+    curation_dedup_keep_best's lexical keep-best, yielding the survivor
+    corpus a training run would actually read.
+
+    Scale: the cluster stage is the proven skew-proof shape (bucketed
+    edges, two-star contraction, labels-only shuffles); the document
+    join is an equi-join on the id (co-partitionable with the corpus at
+    rest) carrying only (id, lang, n_chars) — never text or embeddings;
+    the per-cluster argmax is one window whose partitions are cluster
+    membership lists (bounded by near-dup cluster size, not corpus
+    size). Survivor output is one row per cluster."""
+    clusters = sim_neardup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        clusters.join(docs, clusters.vec_id == docs.doc_id)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", "doc_id", "lang", "n_chars")
+    )
+
+
+@query(
     "sim_kmeans_lloyd",
     oracle=f"""
     WITH cents0 AS (
