@@ -125,6 +125,7 @@ HEADLINE = [
     "events_ema_partitioned",
     "sim_ivf_pq_at_rest",
     "curation_decontaminate_fuzzy",
+    "sim_neardup_keep_best",
 ]
 
 MOTION_FRAMES_PER_CAM = 32
