@@ -1,12 +1,20 @@
-"""Pure-stdlib ISO BMFF (MP4) container probe — makes the video-file
-source's metadata path REAL with zero codec dependencies.
+"""Pure-stdlib ISO BMFF (MP4) container probe AND real pixel decode for
+MJPEG-carrying MP4s — zero codec dependencies.
 
 The reference opens each video with OpenCV and reads stream properties
 before decoding (VideoEventCreator.java:54-96). This container ships no
-cv2/ffmpeg, so pixel decode stays stubbed (video_files.py), but the
-container layer — what ffprobe reports without touching a codec — is
-plain box arithmetic: [size:4][fourcc:4] headers, containers recursed,
-leaf boxes decoded per ISO/IEC 14496-12:
+cv2/ffmpeg, so inter-frame codecs (avc1 etc.) stay stubbed
+(video_files.py), but the container layer — what ffprobe reports
+without touching a codec — is plain box arithmetic, and when the video
+track's sample entry is Motion-JPEG ('jpeg'/'mjpa'/'mjpg': one baseline
+JPEG per sample) the samples decode to REAL pixels through the engine's
+pure-numpy JPEG codec (sources/jpeg.py) — MP4 becomes the THIRD real
+video container after Y4M and AVI. Sample byte ranges come from the
+standard sample-table walk (stsc sample-to-chunk runs x stco/co64 chunk
+offsets x stsz sizes), the same arithmetic every demuxer performs.
+
+Box grammar: [size:4][fourcc:4] headers, containers recursed, leaf
+boxes decoded per ISO/IEC 14496-12:
 
 - ``mvhd``  movie timescale + duration            -> duration seconds
 - ``tkhd``  track header                          -> width/height (16.16 fixed)
@@ -30,9 +38,21 @@ reads only the bytes Spark's binaryFile scan already holds in memory.
 from __future__ import annotations
 
 import struct
+from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
+
 _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+# Sample-entry fourccs whose samples are standalone baseline JPEGs
+# (QuickTime photo-JPEG and Motion-JPEG A/B per-frame layouts; MJPA
+# frames carry extra APPn markers the JPEG decoder already skips).
+MJPEG_SAMPLE_ENTRIES = {"jpeg", "mjpa", "mjpg", "MJPG", "dmb1", "AVDJ"}
+
+
+class Mp4Error(ValueError):
+    """Not an MP4, no decodable video track, or unsupported codec."""
 
 
 def _iter_boxes(buf: bytes, start: int, end: int):
@@ -132,7 +152,30 @@ def _parse_trak(buf: bytes, start: int, end: int) -> dict[str, Any]:
             elif fourcc == b"hdlr":
                 trak["handler"] = buf[ps + 8 : ps + 12].decode("ascii", "replace")
             elif fourcc == b"stsz" and pe - ps >= 12:
-                trak["n_samples"] = struct.unpack_from(">I", buf, ps + 8)[0]
+                fixed = struct.unpack_from(">I", buf, ps + 4)[0]
+                count = struct.unpack_from(">I", buf, ps + 8)[0]
+                trak["n_samples"] = count
+                if fixed:
+                    trak["sample_sizes"] = [fixed] * count
+                elif ps + 12 + 4 * count <= pe:
+                    trak["sample_sizes"] = list(
+                        struct.unpack_from(f">{count}I", buf, ps + 12)
+                    )
+            elif fourcc == b"stco" and pe - ps >= 8:
+                n = struct.unpack_from(">I", buf, ps + 4)[0]
+                if ps + 8 + 4 * n <= pe:
+                    trak["chunk_offsets"] = list(struct.unpack_from(f">{n}I", buf, ps + 8))
+            elif fourcc == b"co64" and pe - ps >= 8:
+                n = struct.unpack_from(">I", buf, ps + 4)[0]
+                if ps + 8 + 8 * n <= pe:
+                    trak["chunk_offsets"] = list(struct.unpack_from(f">{n}Q", buf, ps + 8))
+            elif fourcc == b"stsc" and pe - ps >= 8:
+                n = struct.unpack_from(">I", buf, ps + 4)[0]
+                if ps + 8 + 12 * n <= pe:
+                    trak["stsc_runs"] = [
+                        struct.unpack_from(">II", buf, ps + 8 + 12 * i)  # (first, spc)
+                        for i in range(n)
+                    ]
             elif fourcc == b"stsd" and pe - ps >= 16:
                 n = struct.unpack_from(">I", buf, ps + 4)[0]
                 if n >= 1:
@@ -271,3 +314,198 @@ def probe_mp4(content: bytes) -> dict[str, Any]:
         "codec": video.get("codec"),
         "fps": fps,
     }
+
+
+def _find_video_trak(content: bytes) -> dict[str, Any]:
+    """First 'vide'-handler trak's parsed fields, or raise Mp4Error."""
+    video: dict[str, Any] = {}
+    try:
+        for fourcc, ps, pe in _iter_boxes(content, 0, len(content)):
+            if fourcc != b"moov":
+                continue
+            for f2, p2, e2 in _iter_boxes(content, ps, pe):
+                if f2 == b"trak":
+                    trak = _parse_trak(content, p2, e2)
+                    if trak.get("handler") == "vide" and not video:
+                        video = trak
+    except (struct.error, IndexError, OverflowError) as e:
+        raise Mp4Error(f"corrupt MP4 box structure: {e}") from e
+    if not video:
+        raise Mp4Error("no video track")
+    return video
+
+
+def video_sample_ranges(trak: dict[str, Any]) -> Iterator[tuple[int, int]]:
+    """(offset, size) per video sample from the standard sample-table
+    walk: stsc runs say how many samples each chunk holds, stco/co64
+    give chunk start offsets, samples pack back-to-back inside a chunk
+    with stsz sizes — the byte arithmetic every MP4 demuxer performs."""
+    sizes = trak.get("sample_sizes")
+    chunks = trak.get("chunk_offsets")
+    runs = trak.get("stsc_runs")
+    if not sizes or not chunks or not runs:
+        raise Mp4Error("video track missing sample tables (fragmented?)")
+    s = 0
+    run_i = 0
+    for chunk_no, chunk_off in enumerate(chunks, 1):
+        while run_i + 1 < len(runs) and runs[run_i + 1][0] <= chunk_no:
+            run_i += 1
+        spc = runs[run_i][1]
+        off = chunk_off
+        for _ in range(spc):
+            if s >= len(sizes):
+                return
+            yield off, sizes[s]
+            off += sizes[s]
+            s += 1
+
+
+def decode_mp4(
+    content: bytes, max_frames: int | None = None
+) -> tuple[dict[str, Any], Iterator[np.ndarray]]:
+    """REAL pixel decode for MJPEG-carrying MP4s: each video sample is a
+    standalone baseline JPEG, decoded through sources/jpeg.py. Returns
+    (video-trak dict, iterator of (H, W, 3) BGR frames).
+
+    PERMISSIVE like the AVI twin: a sample range past the end of the
+    buffer ends the stream (truncated file); a sample whose body fails
+    to parse or whose SOF dims disagree with the track header is
+    SKIPPED, never task-fatal. Non-MP4 input, a missing video track, or
+    a non-MJPEG codec raise Mp4Error EAGERLY (before iteration), so
+    callers guard with one try/except, exactly like decode_avi."""
+    from distributed_video_analytics_flink_spark.sources.jpeg import (
+        JpegError,
+        decode_jpeg,
+        is_jpeg,
+    )
+
+    trak = _find_video_trak(content)
+    codec = trak.get("codec")
+    if codec not in MJPEG_SAMPLE_ENTRIES:
+        raise Mp4Error(f"unsupported codec {codec!r} (MJPEG sample entries only)")
+    ranges = list(video_sample_ranges(trak))  # raises eagerly if tables absent
+    want_h = int(trak.get("height") or 0)
+    want_w = int(trak.get("width") or 0)
+
+    def frames() -> Iterator[np.ndarray]:
+        emitted = 0
+        expect = (want_h, want_w) if want_h > 0 and want_w > 0 else None
+        for off, size in ranges:
+            if max_frames is not None and emitted >= max_frames:
+                return
+            if off + size > len(content):
+                return  # truncated mdat ends the stream
+            if not is_jpeg(content[off : off + 3]):
+                continue  # foreign sample under an MJPEG entry: skip
+            try:
+                img = decode_jpeg(content[off : off + size])
+            except JpegError:
+                continue  # undecodable sample: skip, like the AVI stance
+            if expect is None:
+                expect = img.shape[:2]  # first good frame fixes the dims
+            if img.shape[:2] != expect:
+                continue  # mixed-dims sample would crash motion absdiff
+            yield img
+            emitted += 1
+
+    return trak, frames()
+
+
+def _box(fourcc: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + fourcc + body
+
+
+def _fbox(fourcc: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(fourcc, bytes([version]) + flags.to_bytes(3, "big") + body)
+
+
+def encode_mp4_mjpeg(
+    frames_bgr: list[np.ndarray],
+    fps: int = 30,
+    quality: int = 95,
+    jpeg_tables: str = "custom",
+    samples_per_chunk: int = 2,
+) -> bytes:
+    """Minimal MJPEG-in-MP4 writer (tests and fixtures): ftyp + mdat of
+    concatenated baseline JPEGs + a moov whose sample tables describe
+    them ('jpeg' VisualSampleEntry; media timescale = fps, one tick per
+    sample, so probe_mp4 reports the exact fps). ``samples_per_chunk``
+    defaults to 2 so fixtures exercise the multi-chunk stsc/stco walk,
+    not just the single-chunk degenerate case."""
+    from distributed_video_analytics_flink_spark.sources.jpeg import encode_jpeg
+
+    if not frames_bgr:
+        raise Mp4Error("need at least one frame")
+    h, w, _ = frames_bgr[0].shape
+    samples = [
+        encode_jpeg(np.asarray(f, dtype=np.uint8), quality=quality, tables=jpeg_tables)
+        for f in frames_bgr
+    ]
+    n = len(samples)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mdat_payload = b"".join(samples)
+    mdat = _box(b"mdat", mdat_payload)
+    mdat_body_at = len(ftyp) + 8  # first sample's absolute offset
+
+    # chunk offsets: samples pack back-to-back, samples_per_chunk per chunk
+    chunk_offsets = []
+    off = mdat_body_at
+    for i, s in enumerate(samples):
+        if i % samples_per_chunk == 0:
+            chunk_offsets.append(off)
+        off += len(s)
+
+    mvhd = _fbox(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, 1000, round(n * 1000 / fps))
+        + struct.pack(">i", 0x00010000) + struct.pack(">h", 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = _fbox(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, round(n * 1000 / fps))
+        + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    mdhd = _fbox(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, fps, n) + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _fbox(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"MJPEG\x00")
+    # VisualSampleEntry 'jpeg': 78-byte body per ISO 14496-12 / QTFF
+    entry = _box(
+        b"jpeg",
+        b"\x00" * 6 + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + b"\x00" * 4 + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1),
+    )
+    stsd = _fbox(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = _fbox(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stsc = _fbox(
+        b"stsc", 0, 0, struct.pack(">I", 1) + struct.pack(">III", 1, samples_per_chunk, 1)
+    )
+    stsz = _fbox(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stco = _fbox(
+        b"stco", 0, 0,
+        struct.pack(">I", len(chunk_offsets))
+        + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _fbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _fbox(b"dref", 0, 0, struct.pack(">I", 1) + _fbox(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov

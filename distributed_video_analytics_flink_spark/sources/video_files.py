@@ -8,19 +8,22 @@ a 100 TB video corpus), then a ``mapInPandas`` extractor turns each file's
 bytes into wire-format frame rows (FRAME_SCHEMA: camId from the file stem,
 timestamps paced 33 ms apart, base64 BGR payloads).
 
-Decode is REAL for two uncompressed containers — Y4M (YUV4MPEG2: pure
-byte-slicing header/frame parse + integer-exact YUV->BGR, sources/y4m.py)
-and raw-DIB AVI (RIFF chunk walk + literal BGR rows, sources/avi.py) —
-plus PNG stills, each through the engine's own bicubic resize to the
-target dims (functions/resize.py, the analog of VideoEventCreator.java:75's
-cv2.resize) — so genuine video bytes flow end-to-end through the motion
-pipeline with zero codec dependency.
+Decode is REAL for THREE containers — Y4M (YUV4MPEG2: pure byte-slicing
+header/frame parse + integer-exact YUV->BGR, sources/y4m.py), AVI (RIFF
+chunk walk, sources/avi.py: raw-DIB BGR rows AND per-chunk baseline-JPEG
+MJPEG via sources/jpeg.py), and MP4 when the video track carries
+Motion-JPEG samples (ISO BMFF sample-table walk + the same JPEG codec,
+sources/mp4.py) — plus PNG stills, each through the engine's own bicubic
+resize to the target dims (functions/resize.py, the analog of
+VideoEventCreator.java:75's cv2.resize) — so genuine video bytes flow
+end-to-end through the motion pipeline with zero codec dependency.
 
-COMPRESSED codecs remain a STUB: this container ships no cv2/ffmpeg, so for
-non-Y4M files ``_decode_frames_stub`` synthesizes deterministic frames from
-the file bytes (content-seeded, reproducible). The binaryFile scan,
-partitioning, Arrow batching, schema, and pacing are the production path —
-swap the stub for a ``cv2.VideoCapture`` loop when codecs exist.
+INTER-FRAME codecs (avc1/H.264 etc.) remain a STUB: this container ships
+no cv2/ffmpeg, so such files fall to ``_decode_frames_stub``, which
+synthesizes deterministic frames from the file bytes (content-seeded,
+reproducible). The binaryFile scan, partitioning, Arrow batching, schema,
+and pacing are the production path — swap the stub for a
+``cv2.VideoCapture`` loop when codecs exist.
 """
 
 from __future__ import annotations
@@ -129,6 +132,20 @@ def _decode_frames_avi(
     return _resized(frames, rows, cols)
 
 
+def _decode_frames_mp4(
+    content: bytes, rows: int, cols: int, max_frames: int
+) -> Iterator[np.ndarray]:
+    """REAL decoder for MJPEG-carrying MP4s (sources/mp4.py): sample-table
+    walk + baseline-JPEG decode per sample, then the shared resize. Same
+    eager-header contract: Mp4Error (no video track, avc1/H.264, missing
+    sample tables) raises here so the caller can fall back to the
+    compressed-codec stub — exactly the behavior such files had before."""
+    from distributed_video_analytics_flink_spark.sources.mp4 import decode_mp4
+
+    _, frames = decode_mp4(content, max_frames=max_frames)  # eager trak parse
+    return _resized(frames, rows, cols)
+
+
 def read_video_files(
     spark: SparkSession,
     path: str,
@@ -140,8 +157,9 @@ def read_video_files(
     """Scan video files into wire-format frame rows. camId = file stem (the
     producer keys messages by camera id the same way), timestamps are paced
     FRAME_INTERVAL_MS apart from a fixed deterministic epoch. Dispatch is
-    by content magic, not extension: YUV4MPEG2 streams get the real decode
-    (sources/y4m.py); anything else falls to the compressed-codec stub."""
+    by content magic, not extension: Y4M, AVI (raw-DIB + MJPEG), PNG, and
+    MJPEG-MP4 get the real decode; inter-frame codecs (avc1 etc.) fall to
+    the compressed-codec stub."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
@@ -167,6 +185,17 @@ def read_video_files(
                         decoded = iter(())  # corrupt/compressed: no rows, no failure
                 elif raw.startswith(b"\x89PNG"):
                     decoded = _decode_frame_png(raw, rows, cols)
+                elif len(raw) >= 12 and raw[4:8] == b"ftyp":
+                    from distributed_video_analytics_flink_spark.sources.mp4 import Mp4Error
+
+                    try:
+                        decoded = _decode_frames_mp4(raw, rows, cols, max_frames_per_file)
+                    except Mp4Error:
+                        # inter-frame codec (avc1 etc.) or corrupt: the
+                        # stub keeps these files' pre-MJPEG behavior
+                        decoded = _decode_frames_stub(
+                            raw, rows, cols, max_frames_per_file
+                        )
                 else:
                     decoded = _decode_frames_stub(raw, rows, cols, max_frames_per_file)
                 for i, frame in enumerate(decoded):
