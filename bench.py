@@ -581,6 +581,24 @@ def compact_payload(
     return scalars  # pathological names: scalars alone always fit
 
 
+def _round_detail_path() -> str:
+    """Per-round sidecar name (BENCH_DETAIL_r08.json): the driver records
+    BENCH_rNN.json for completed rounds, so the CURRENT round is max+1.
+    Persisting per-round detail lets the judge diff all ~100 per-query
+    timings round-over-round instead of the compact tail's ~10
+    (VERDICT r7 #3). Re-runs within a round overwrite — the closing
+    bench's numbers are the round's numbers."""
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
+    return os.path.join(here, f"BENCH_DETAIL_r{(max(rounds, default=0) + 1):02d}.json")
+
+
 def emit(payload: dict) -> None:
     detail_written = True
     try:
@@ -588,6 +606,11 @@ def emit(payload: dict) -> None:
             json.dump(payload, fh, indent=1, sort_keys=True)
     except OSError:
         detail_written = False  # read-only checkout: stdout still has detail
+    try:
+        with open(_round_detail_path(), "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # per-round copy is best-effort; DETAIL_PATH covers the judge
     for name in sorted(payload.get("queries", {})):
         err = (payload.get("errors") or {}).get(name)
         line = f"# query {name}: {payload['queries'][name]}"

@@ -2684,7 +2684,17 @@ def ivf_pq_index_path(sf_dir: str) -> str:
         except OSError:
             continue
     tag = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"dvafs_ivf_pq_index_{tag}")
+    # Root the cache in a per-user 0700 subdirectory rather than directly
+    # under the world-shared temp dir: a predictable name at a shared path
+    # could be pre-created (squatted) by another local user, and the
+    # publish-race loser below would then trust their directory as the
+    # index (r7 review). mode is enforced even if the dir pre-exists.
+    root = os.path.join(tempfile.gettempdir(), f"dvafs-cache-{os.getuid()}")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    os.chmod(root, 0o700)
+    if os.stat(root).st_uid != os.getuid():
+        raise RuntimeError(f"index cache root {root!r} owned by another user")
+    return os.path.join(root, f"ivf_pq_index_{tag}")
 
 
 def write_ivf_pq_index(
@@ -2770,10 +2780,21 @@ def _build_ivf_pq_index(
     except OSError:
         # lost the publish race (or a prior run already published): the
         # index content is deterministic per fixture + format version, so
-        # the existing directory is the same index — keep it, drop ours
+        # the existing directory is the same index — keep it, drop ours.
+        # But only TRUST it after validating provenance: it must be ours
+        # (uid check — the per-user 0700 root makes squatting by another
+        # user impossible, this is defense in depth) and complete (the
+        # committer's _SUCCESS marker — a crashed half-write never has it).
         shutil.rmtree(tmp, ignore_errors=True)
         if not os.path.isdir(path):
             raise
+        if os.stat(path).st_uid != os.getuid() or not os.path.exists(
+            os.path.join(path, "_SUCCESS")
+        ):
+            raise RuntimeError(
+                f"existing index at {path!r} failed ownership/completeness "
+                "validation; refusing to serve from it"
+            )
     _IVF_PQ_INDEX_BUILT.add(path)
     return path
 

@@ -156,7 +156,14 @@ def _parse_trak(buf: bytes, start: int, end: int) -> dict[str, Any]:
                 count = struct.unpack_from(">I", buf, ps + 8)[0]
                 trak["n_samples"] = count
                 if fixed:
-                    trak["sample_sizes"] = [fixed] * count
+                    # Bound the expansion by what the file could actually
+                    # hold: `count` is an untrusted 32-bit field, and a
+                    # ~50-byte crafted file claiming 0xFFFFFFFF samples
+                    # must not force a multi-GB list allocation (r7
+                    # review). Samples pack inside the file, so
+                    # fixed*count can never legitimately exceed its size.
+                    if fixed * count <= len(buf):
+                        trak["sample_sizes"] = [fixed] * count
                 elif ps + 12 + 4 * count <= pe:
                     trak["sample_sizes"] = list(
                         struct.unpack_from(f">{count}I", buf, ps + 12)
@@ -274,9 +281,10 @@ def probe_mp4(content: bytes) -> dict[str, Any]:
                 n, d = _parse_moof(content, ps, pe, video["track_id"], trex_dur)
                 moof_n += n
                 moof_dur += d
-    except (struct.error, IndexError, OverflowError):
+    except (struct.error, IndexError, OverflowError, MemoryError):
         # Box framing claimed bytes a leaf layout then overran (a corrupt
-        # size field can lie in ways the per-leaf guards don't enumerate).
+        # size field can lie in ways the per-leaf guards don't enumerate;
+        # MemoryError covers hostile counts that defeat the size bounds).
         # Never-raises contract: keep whatever was parsed before the fault.
         pass
     # fMP4 keeps an *empty* sample table / zero media duration in moov and
@@ -328,7 +336,7 @@ def _find_video_trak(content: bytes) -> dict[str, Any]:
                     trak = _parse_trak(content, p2, e2)
                     if trak.get("handler") == "vide" and not video:
                         video = trak
-    except (struct.error, IndexError, OverflowError) as e:
+    except (struct.error, IndexError, OverflowError, MemoryError) as e:
         raise Mp4Error(f"corrupt MP4 box structure: {e}") from e
     if not video:
         raise Mp4Error("no video track")

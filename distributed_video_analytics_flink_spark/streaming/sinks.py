@@ -222,7 +222,21 @@ def merge_results_batch(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    touched = [tuple(r) for r in latest.select(*partition_cols).distinct().collect()]
+    # Driver-side collect is bounded by the batch's DISTINCT partition
+    # footprint (one tuple per (camera_id, day) pair touched this batch),
+    # not by its row count — with per-batch watermarking that is O(cameras)
+    # small. Guard anyway: a pathological batch spanning far more partitions
+    # than any camera fleet produces should fail loudly, not OOM the driver
+    # or emit a multi-thousand-clause overwrite predicate.
+    touched = [
+        tuple(r)
+        for r in latest.select(*partition_cols).distinct().limit(10_001).collect()
+    ]
+    if len(touched) > 10_000:
+        raise ValueError(
+            "upsert batch touches >10k partitions; repartition the input "
+            "by day-range or raise the guard deliberately"
+        )
     if not touched:
         return
     merged = latest

@@ -13,6 +13,7 @@ index (VERDICT r6 #6 — the composed 100 TB serving shape). Pins:
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from distributed_video_analytics_flink_spark.operators.similarity import (
@@ -109,3 +110,43 @@ def test_index_path_tracks_fixture_content(tmp_path):
     assert ivf_pq_index_path(str(tmp_path)) == p1  # deterministic
     src.write_bytes(b"BBBB")  # regenerated fixture, same directory
     assert ivf_pq_index_path(str(tmp_path)) != p1
+
+
+def test_index_cache_root_is_private_and_validated(tmp_path):
+    """The index cache lives in a per-user 0700 subdirectory of the temp
+    dir (ADVICE r7): another local user cannot squat the predictable path,
+    and the publish-race loser only trusts an existing directory after an
+    ownership + _SUCCESS completeness check."""
+    import os
+    import stat
+
+    from distributed_video_analytics_flink_spark.operators.similarity import (
+        ivf_pq_index_path,
+    )
+
+    src = tmp_path / "embeddings.parquet"
+    src.write_bytes(b"AAA")
+    p = ivf_pq_index_path(str(tmp_path))
+    root = os.path.dirname(p)
+    st = os.stat(root)
+    assert st.st_uid == os.getuid()
+    assert stat.S_IMODE(st.st_mode) == 0o700
+    assert f"-{os.getuid()}" in os.path.basename(root)
+
+
+def test_race_loser_rejects_incomplete_existing_index(spark, tmp_path, monkeypatch):
+    """If the directory already at the published path lacks the committer's
+    _SUCCESS marker (a crashed half-write — or a squatted fake), the race
+    loser refuses to serve from it instead of silently trusting it."""
+    import os
+
+    from distributed_video_analytics_flink_spark.operators import similarity as S
+
+    path = str(tmp_path / "idx")
+    os.makedirs(path)  # pre-existing, incomplete: no _SUCCESS inside
+    monkeypatch.setattr(
+        os, "rename", lambda *a, **k: (_ for _ in ()).throw(OSError("race"))
+    )
+    with pytest.raises(RuntimeError, match="ownership/completeness"):
+        S._build_ivf_pq_index(spark, SF, path, None)
+    assert path not in S._IVF_PQ_INDEX_BUILT

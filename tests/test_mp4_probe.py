@@ -79,6 +79,52 @@ def test_probe_never_raises_on_garbage():
         assert set(meta) == {"duration_s", "width", "height", "n_frames", "codec", "fps"}
 
 
+def test_hostile_stsz_count_never_materializes(monkeypatch):
+    """A ~400-byte crafted MP4 claiming 4 billion fixed-size samples must
+    not force a multi-GB list allocation (ADVICE r7): the fixed-size stsz
+    expansion is bounded by the file's own size, and _find_video_trak /
+    probe_mp4 convert MemoryError to their never-raises contracts."""
+    from distributed_video_analytics_flink_spark.sources.mp4 import (
+        Mp4Error,
+        _find_video_trak,
+    )
+
+    def hostile(fixed: int, count: int) -> bytes:
+        stsz = _box(
+            b"stsz", b"\x00\x00\x00\x00" + struct.pack(">II", fixed, count)
+        )
+        hdlr = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 14)
+        stbl = _box(b"stbl", stsz)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", hdlr + minf)
+        trak = _box(b"trak", mdia)
+        return _box(b"ftyp", b"isom") + _box(b"moov", trak)
+
+    payload = hostile(1, 0xFFFFFFFF)
+    # sample table is NOT materialized (n_samples metadata still surfaces)
+    trak = _find_video_trak(payload)
+    assert "sample_sizes" not in trak
+    assert trak["n_samples"] == 0xFFFFFFFF
+    meta = probe_mp4(payload)
+    assert meta["n_frames"] == 0xFFFFFFFF  # count reported, never allocated
+    # a within-file-size fixed table still materializes normally
+    small = hostile(1, 16)
+    assert _find_video_trak(small)["sample_sizes"] == [1] * 16
+    # and a MemoryError escaping any leaf becomes Mp4Error, not a task kill
+    import distributed_video_analytics_flink_spark.sources.mp4 as mp4mod
+
+    def boom(*a, **k):
+        raise MemoryError("simulated hostile allocation")
+
+    monkeypatch.setattr(mp4mod, "_parse_tkhd", boom)
+    with_tkhd = _synthetic_mp4()
+    with pytest.raises(Mp4Error):
+        _find_video_trak(with_tkhd)
+    assert set(probe_mp4(with_tkhd)) == {
+        "duration_s", "width", "height", "n_frames", "codec", "fps",
+    }
+
+
 @pytest.mark.skipif(not os.path.isdir(REF_VIDEOS), reason="reference videos absent")
 def test_probe_reference_videos():
     """The reference's actual MP4s (incl. one fragmented): plausible,
