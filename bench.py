@@ -140,7 +140,17 @@ MOTION_CAMS = 32
 # envelope with margin (calm window reached — the gate only needs "pipeline
 # can do >=120 fps", more runs just polish the number) or the repeat budget
 # is spent.
+#
+# r8 refinement: the escape used to fire on the FIRST run >= target, which
+# made the reported figure a single sample from a wide distribution — that
+# is the whole r6->r7 motion_stream story (365 vs 193 fps; the interleaved
+# A/B in scripts/ab_r8_stream_order.py measured the identical pipeline at
+# 360-510 fps in both orderings, proving the 193 was one noisy first run,
+# not a regression and not MJPEG-bench aftermath). Now at least
+# MOTION_MIN_RUNS timed runs are taken before the calm-window escape can
+# fire, so the reported number is a min-of-3, never a first-sample lottery.
 MOTION_TARGET_FPS = 150.0  # 1.25x the 120 fps envelope = unambiguous pass
+MOTION_MIN_RUNS = 3
 MOTION_MAX_RUNS = 6
 
 # Soft wall-clock budget for the WHOLE bench. The harness must always emit
@@ -160,13 +170,14 @@ def _over_budget() -> bool:
 
 def _min_of_runs(run_once, n_frames: int) -> float:
     """min over up to MOTION_MAX_RUNS timed runs, early-stopping once a run
-    demonstrates >= MOTION_TARGET_FPS (noise-window escape, see above) or
-    the bench budget is spent (after at least 2 runs)."""
+    demonstrates >= MOTION_TARGET_FPS AND at least MOTION_MIN_RUNS runs were
+    taken (noise-window escape needs a stable sample, see above), or the
+    bench budget is spent (after at least 2 runs)."""
     best = float("inf")
     max_runs = MOTION_MAX_RUNS if not _over_budget() else 2
     for i in range(max_runs):
         best = min(best, run_once())
-        if n_frames / best >= MOTION_TARGET_FPS:
+        if i + 1 >= MOTION_MIN_RUNS and n_frames / best >= MOTION_TARGET_FPS:
             break
         if i >= 1 and _over_budget():
             break
