@@ -498,3 +498,117 @@ def multimodal_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInPandas(_roundtrip, out_schema)
+
+
+@query(
+    "video_motion_replay_parity",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('cam0', CAST(5 AS BIGINT), TRUE),
+      ('cam1', CAST(5 AS BIGINT), TRUE),
+      ('cam2', CAST(5 AS BIGINT), TRUE),
+      ('cam3', CAST(5 AS BIGINT), TRUE)
+    ) AS t(camera_id, n_motion_frames, stream_equals_batch)
+    """,
+)
+def video_motion_replay_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole OUTPUT CONTRACT as one driver-checked row set
+    (VERDICT r7 #5): frames streamed through the stateful detector into the
+    at-rest results table must equal the batch fold on the same frames —
+    i.e. what lands where ``CassandraService.java:147-166`` reads must not
+    depend on whether the pipeline ran live or as a replay backfill.
+
+    Wiring: the FIXTURES.md §1.1 golden sequence is written as JSON replay
+    files (4-frame micro-batches interleaving cameras, so state updates
+    split mid-camera) -> ``file_frame_stream`` -> ``detect_motion_stream``
+    (applyInPandasWithState, K2) -> ``build_processing_results`` ->
+    ``write_results_stream`` (parquet partitioned (camera_id, day) — the
+    Cassandra primary-key layout, O2/O3). The table is then read BACK from
+    disk and full-outer-joined against ``detect_motion_batch`` pushed
+    through the same result build, comparing every deterministic column
+    (day, frame_timestamp, detection_count, frame dims, image_path; id and
+    processing_timestamp are the two deliberately nondeterministic columns,
+    SURVEY.md §7.4.3). Per camera the query emits the streamed motion-row
+    count (value anchor: 5 motion frames per camera — the block appears on
+    frame 5 and moves through frame 9) and the engine-independent parity
+    BOOLEAN the oracle pins to literal TRUE — a drifted stream fold, a
+    dropped row, or a partition misfile all hash-mismatch the round (same
+    pattern as agg_approx_distinct_checked).
+
+    Scale: the fixture is tiny by design — the property proven (stream
+    fold == batch fold through the at-rest table) is size-independent and
+    pinned at randomized sizes by tests/test_streaming.py; the summary
+    collect is bounded at one row per fixture camera."""
+    import os
+    import shutil
+    import tempfile
+
+    from distributed_video_analytics_flink_spark.streaming.motion import (
+        detect_motion_stream,
+    )
+    from distributed_video_analytics_flink_spark.streaming.sinks import (
+        build_processing_results,
+        write_results_stream,
+    )
+    from distributed_video_analytics_flink_spark.streaming.sources import (
+        file_frame_stream,
+        write_frame_replay_dir,
+    )
+
+    root = tempfile.mkdtemp(prefix="dvafs-replay-")
+    try:
+        data_dir = os.path.join(root, "frames")
+        os.makedirs(data_dir)
+        write_frame_replay_dir(fixture_frames(), data_dir, frames_per_file=4)
+        results_path = os.path.join(root, "results")
+        q = write_results_stream(
+            build_processing_results(
+                detect_motion_stream(file_frame_stream(spark, data_dir)),
+                faithful_count=True,
+            ),
+            results_path,
+            os.path.join(root, "ck"),
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        det_cols = [
+            "day",
+            "detection_count",
+            "frame_rows",
+            "frame_cols",
+            "image_path",
+        ]
+        streamed = spark.read.parquet(results_path).select(
+            "camera_id", "frame_timestamp", *det_cols
+        )
+        frames = spark.createDataFrame(fixture_frames(), schema=FRAME_SCHEMA)
+        batch = build_processing_results(
+            detect_motion_batch(frames), faithful_count=True
+        ).select("camera_id", "frame_timestamp", *det_cols)
+
+        j = streamed.alias("s").join(
+            batch.alias("b"), on=["camera_id", "frame_timestamp"], how="full_outer"
+        )
+        same = F.col("s.day").isNotNull() & F.col("b.day").isNotNull()
+        for c in det_cols:
+            same = same & F.col(f"s.{c}").eqNullSafe(F.col(f"b.{c}"))
+        summary = (
+            j.groupBy("camera_id")
+            .agg(
+                F.sum(F.when(F.col("s.day").isNotNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_motion_frames"),
+                F.min(same.cast("int")).alias("ok"),
+            )
+            .collect()  # bounded: one row per fixture camera (4)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["camera_id"], r["n_motion_frames"], bool(r["ok"]))
+            for r in summary
+        ],
+        "camera_id string, n_motion_frames bigint, stream_equals_batch boolean",
+    )

@@ -39,6 +39,48 @@ def parse_frames(raw_json: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+def write_frame_replay_dir(
+    frames: list[dict], dirpath: str, frames_per_file: int = 4
+) -> int:
+    """Serialize wire-format frame dicts (``fixture_frames``' shape) into
+    JSON-lines replay files consumable by :func:`file_frame_stream` — the
+    deterministic broker-less stand-in for the producer's Kafka writes
+    (``VideoEventCreator.java:235-245``). Frames are interleaved in global
+    event-time order and split ``frames_per_file`` per file so each file is
+    one micro-batch; mtimes are pinned strictly increasing because
+    FileStreamSource orders same-batch discoveries by modification time and
+    sub-second writes would tie (the arrival-order contract Kafka provides
+    per key). Returns the file count."""
+    import json
+    import os
+
+    ordered = sorted(frames, key=lambda f: f["timestamp"])
+    files = 0
+    for i in range(0, len(ordered), frames_per_file):
+        path = os.path.join(dirpath, f"batch-{i:06d}.json")
+        with open(path, "w") as fh:
+            fh.write(
+                "\n".join(
+                    json.dumps(
+                        {
+                            "camId": f["camId"],
+                            "timestamp": f["timestamp"].strftime(
+                                "%Y-%m-%dT%H:%M:%S.%f+00:00"
+                            ),
+                            "rows": f["rows"],
+                            "cols": f["cols"],
+                            "type": f["type"],
+                            "data": f["data"],
+                        }
+                    )
+                    for f in ordered[i : i + frames_per_file]
+                )
+            )
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+        files += 1
+    return files
+
+
 def kafka_reader_options(
     bootstrap_servers: str,
     topic_base: str | None = None,
