@@ -134,7 +134,12 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     replication shuffle (vs the bucketed twin's single un-replicated
     shuffle and LSH recall loss) — at 100 TB pick B so label_max/B rows
     fit one task, or switch to the bucketed twin when B-fold shuffle
-    outgrows the recall trade.
+    outgrows the recall trade. Measured constant-factor cost of that
+    trade at bench SF: ~2x wall-clock vs the pre-blocking all-pairs shape
+    (0.62s -> 1.29s at sf0.1, r6->r7) — accepted deliberately, since the
+    all-pairs shape dies outright under a dominant label at scale; watch
+    BENCH_DETAIL that it doesn't creep past the replication factor's
+    arithmetic.
 
     Scoring is Arrow-batched numpy outer products, chunked to bound
     memory. Numerics are bit-identical to the SQL oracle: per-term
@@ -2656,7 +2661,9 @@ _IVF_PQ_BUILD_LOCK = threading.Lock()  # intra-process: one build at a time
 
 # Bump when the at-rest layout changes: the version feeds the index path
 # tag, so a directory left by an older code version can never be reused.
-_IVF_PQ_INDEX_FORMAT = 1
+# v2: the index carries a _model.json sidecar (frozen coarse centroids +
+# refined PQ codebook) so appends can encode without the build corpus.
+_IVF_PQ_INDEX_FORMAT = 2
 
 
 def ivf_pq_index_path(sf_dir: str) -> str:
@@ -2734,18 +2741,17 @@ def write_ivf_pq_index(
         return _build_ivf_pq_index(spark, sf_dir, path, coarse)
 
 
-def _build_ivf_pq_index(
-    spark: SparkSession, sf_dir: str, path: str, coarse: tuple | None
-) -> str:
-    import os
-    import shutil
+_IVF_PQ_MODEL_FILE = "_model.json"  # "_"-prefixed: invisible to the scan
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    if coarse is None:
-        C, cn = _ivf_coarse_and_query(emb)[:2]
-    else:
-        C, cn = coarse
-    _, CT1 = _pq_refined_codebook(emb, cache_key=sf_dir)
+
+def _ivf_pq_encoder(C: "np.ndarray", cn: "np.ndarray", CT1: "np.ndarray"):
+    """The ONE encoding arithmetic shared by the index build and every
+    append: a pandas UDF assigning each embedding its coarse cell (argmax
+    centroid cosine — ivf_assignments') and its Lloyd-refined PQ codes
+    (emb_pq_codes_refined's). The model tensors are FROZEN closure
+    constants — appends encode against the codebook the index was built
+    with (standard IVF+PQ maintenance: vectors move, centroids don't;
+    re-training is a new index version behind a path swap)."""
 
     @F.pandas_udf("struct<cent_id: int, codes: array<int>>")
     def _cell_and_codes(embs: pd.Series) -> pd.DataFrame:
@@ -2763,18 +2769,49 @@ def _build_ivf_pq_index(
             }
         )
 
+    return _cell_and_codes
+
+
+def _encode_to_index_rows(vectors: DataFrame, encoder) -> DataFrame:
+    return vectors.select("vec_id", encoder("embedding").alias("s")).select(
+        "vec_id",
+        F.col("s.codes").alias("codes"),
+        F.col("s.cent_id").alias("cent_id"),
+    )
+
+
+def _build_ivf_pq_index(
+    spark: SparkSession, sf_dir: str, path: str, coarse: tuple | None
+) -> str:
+    import json
+    import os
+    import shutil
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if coarse is None:
+        C, cn = _ivf_coarse_and_query(emb)[:2]
+    else:
+        C, cn = coarse
+    _, CT1 = _pq_refined_codebook(emb, cache_key=sf_dir)
+
     tmp = f"{path}.build-{os.getpid()}-{threading.get_ident()}"
     (
-        emb.select("vec_id", _cell_and_codes("embedding").alias("s"))
-        .select(
-            "vec_id",
-            F.col("s.codes").alias("codes"),
-            F.col("s.cent_id").alias("cent_id"),
-        )
+        _encode_to_index_rows(emb, _ivf_pq_encoder(C, cn, CT1))
         .write.mode("overwrite")
         .partitionBy("cent_id")
         .parquet(tmp)
     )
+    # Persist the frozen model INSIDE the index (underscore-prefixed, so
+    # the parquet scan never sees it) BEFORE the atomic publish: appends
+    # must encode with exactly the build's codebook, without re-reading
+    # (or even having) the build corpus. float64 -> JSON round-trips
+    # exactly (repr), and cn is recomputed from C on load rather than
+    # stored — one fewer tensor that could drift.
+    with open(os.path.join(tmp, _IVF_PQ_MODEL_FILE), "w") as fh:
+        json.dump(
+            {"format": _IVF_PQ_INDEX_FORMAT, "C": C.tolist(), "CT1": CT1.tolist()},
+            fh,
+        )
     try:
         os.rename(tmp, path)
     except OSError:
@@ -2788,8 +2825,10 @@ def _build_ivf_pq_index(
         shutil.rmtree(tmp, ignore_errors=True)
         if not os.path.isdir(path):
             raise
-        if os.stat(path).st_uid != os.getuid() or not os.path.exists(
-            os.path.join(path, "_SUCCESS")
+        if (
+            os.stat(path).st_uid != os.getuid()
+            or not os.path.exists(os.path.join(path, "_SUCCESS"))
+            or not os.path.exists(os.path.join(path, _IVF_PQ_MODEL_FILE))
         ):
             raise RuntimeError(
                 f"existing index at {path!r} failed ownership/completeness "
@@ -2797,6 +2836,102 @@ def _build_ivf_pq_index(
             )
     _IVF_PQ_INDEX_BUILT.add(path)
     return path
+
+
+def _load_index_model(path: str):
+    """(C, cn, CT1) from a published index's frozen-model sidecar, after
+    the same ownership + completeness validation the publish-race loser
+    applies: never encode against a half-written or foreign directory."""
+    import json
+    import os
+
+    if (
+        not os.path.isdir(path)
+        or os.stat(path).st_uid != os.getuid()
+        or not os.path.exists(os.path.join(path, "_SUCCESS"))
+        or not os.path.exists(os.path.join(path, _IVF_PQ_MODEL_FILE))
+    ):
+        raise RuntimeError(
+            f"no complete owned IVF+PQ index at {path!r} (need _SUCCESS + "
+            f"{_IVF_PQ_MODEL_FILE}); build with write_ivf_pq_index first"
+        )
+    with open(os.path.join(path, _IVF_PQ_MODEL_FILE)) as fh:
+        model = json.load(fh)
+    if model.get("format") != _IVF_PQ_INDEX_FORMAT:
+        raise RuntimeError(
+            f"index at {path!r} is format {model.get('format')}, "
+            f"this code serves format {_IVF_PQ_INDEX_FORMAT}"
+        )
+    C = np.asarray(model["C"], dtype=np.float64)
+    cn = np.sqrt(_np_q(C * C * _Q).sum(axis=1).astype(np.float64))
+    CT1 = np.asarray(model["CT1"], dtype=np.float64)
+    return C, cn, CT1
+
+
+def append_ivf_pq_index(
+    spark: SparkSession, new_vectors: DataFrame, path: str
+) -> str:
+    """INCREMENTAL index maintenance (VERDICT r7 #4): encode a batch of new
+    (vec_id, embedding) rows against the index's FROZEN model sidecar —
+    same coarse-cell argmax, same Lloyd-refined PQ codes as the build, via
+    the shared :func:`_ivf_pq_encoder` — and append the (vec_id, codes)
+    rows into the live cell-partitioned layout. Serving needs no change:
+    the appended files land inside their cells' partition directories, so
+    partition pruning, the JVM-side ADC, and top-k see new vectors the
+    moment the batch's files are committed (staleness is bounded by one
+    append batch; tests/test_ivf_pq_at_rest.py pins visibility + preserved
+    pruning).
+
+    Matches the production posture of every IVF system: cell assignment is
+    frozen at build time, appends only grow cells, and codebook re-training
+    is a NEW index version published behind write_ivf_pq_index's atomic
+    rename — never an in-place mutation of a served index.
+
+    Scale: one Arrow pass over the new batch (vector-count of the BATCH,
+    not the corpus) and one partitioned append; nothing reads the existing
+    codes. At 100 TB cells drift unbalanced as the corpus grows — monitor
+    per-cell file counts via the manifest and roll a re-trained version
+    when the hottest cell outgrows its scan budget."""
+    C, cn, CT1 = _load_index_model(path)
+    if new_vectors.isEmpty():
+        return path
+    (
+        _encode_to_index_rows(new_vectors, _ivf_pq_encoder(C, cn, CT1))
+        .write.mode("append")
+        .partitionBy("cent_id")
+        .parquet(path)
+    )
+    return path
+
+
+def stream_append_ivf_pq_index(
+    vectors_stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+):
+    """Always-on index ingestion: a (vec_id, embedding) stream appended
+    into a served at-rest IVF+PQ index one micro-batch at a time via
+    ``foreachBatch`` -> :func:`append_ivf_pq_index` — the index-side twin
+    of streaming/corpus.py's corpus ingest, matching the reference's
+    always-on posture (VideoProcessor.java:44-104). The checkpoint makes
+    delivery at-least-once across restarts (a batch that failed mid-append
+    re-runs and can duplicate its rows); duplicated appends are benign for
+    serving — identical (vec_id, codes) rows produce identical ADC
+    distances, and exactly-once callers dedup on vec_id at read or compact
+    the index offline (compact_corpus's pattern)."""
+
+    def _append(batch_df: DataFrame, _batch_id: int) -> None:
+        append_ivf_pq_index(batch_df.sparkSession, batch_df, path)
+
+    writer = (
+        vectors_stream.writeStream.foreachBatch(_append)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
 
 
 @query("sim_ivf_pq_at_rest", oracle=_DUCK_IVF_PQ_REFINED_TOPK)
@@ -2847,4 +2982,121 @@ def sim_ivf_pq_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", adc.alias("adc_dist_q"))
         .orderBy(F.asc("adc_dist_q"), F.asc("vec_id"))
         .limit(5)
+    )
+
+
+_N_APPEND = 50  # vectors appended by the checked append-serve query
+
+
+@query(
+    "sim_ivf_pq_append_checked",
+    oracle=f"""
+    WITH coarse AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+      WHERE vec_id < 10
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probes AS (
+      SELECT cent_id FROM coarse, q
+      ORDER BY {_duck_cos_q(
+          _duck_dot_q("cv", "qv"),
+          _duck_dot_q("cv", "cv"),
+          _duck_dot_q("qv", "qv"),
+      )} DESC, cent_id ASC
+      LIMIT {_N_PROBE}
+    ),
+    ccos AS (
+      SELECT e.vec_id, c.cent_id,
+             {_duck_cos_q(
+                 _duck_dot_q("e.embedding", "c.cv"),
+                 _duck_dot_q("e.embedding", "e.embedding"),
+                 _duck_dot_q("c.cv", "c.cv"),
+             )} AS ccos
+      FROM embeddings e, coarse c
+      WHERE e.vec_id BETWEEN 1 AND {_N_APPEND}
+    ),
+    assigned AS (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, cent_id ASC) AS rn
+      FROM ccos
+    )
+    SELECT CAST({_N_APPEND} AS BIGINT) AS n_appended,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM assigned a JOIN probes p ON p.cent_id = a.cent_id
+            WHERE a.rn = 1) AS n_appended_visible,
+           TRUE AS encoding_matches_base
+    """,
+)
+def sim_ivf_pq_append_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance contract of the at-rest IVF+PQ index
+    (VERDICT r7 #4) as one driver-hashed row: copies of vectors
+    1..{_N_APPEND} are APPENDED (under shifted ids) into a copy of the
+    served index via append_ivf_pq_index — which encodes them against the
+    index's frozen _model.json sidecar, never the build corpus — and the
+    query then proves, from the index alone, that
+
+    - ``n_appended_visible``: exactly the appended vectors whose frozen
+      coarse assignment lands in a probed cell are reachable through the
+      partition-pruned serving scan (DuckDB recomputes this count
+      independently from the coarse-assignment arithmetic — the value
+      anchor), and
+    - ``encoding_matches_base``: every appended row's (cell, codes) equals
+      the base index's row for the identical embedding — the
+      frozen-codebook property: an append can never silently re-train
+      (oracle pins literal TRUE, the agg_approx_distinct_checked pattern).
+
+    Scale: the appended batch is an Arrow pass over batch-sized input; the
+    parity join touches codes only (a few ints/row); the base index build
+    is shared (memoized) with sim_ivf_pq_at_rest and the copy is file-level.
+    The summary collect is one row."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = write_ivf_pq_index(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="dvafs-ivfpq-append-")
+    try:
+        path = os.path.join(root, "index")
+        shutil.copytree(base, path)
+        appended_src = emb.filter(F.col("vec_id").between(1, _N_APPEND)).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+        append_ivf_pq_index(spark, appended_src, path)
+
+        idx = spark.read.parquet(path)
+        probes = _ivf_coarse_and_query(emb)[4]
+        new = idx.filter(F.col("vec_id") >= 1_000_000)
+        n_visible = new.filter(F.col("cent_id").isin(probes)).count()
+        parity = (
+            new.select(
+                (F.col("vec_id") - 1_000_000).alias("vec_id"),
+                F.col("codes").alias("a_codes"),
+                F.col("cent_id").alias("a_cell"),
+            )
+            .join(idx.filter(F.col("vec_id").between(1, _N_APPEND)), "vec_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(
+                    (
+                        (F.col("a_codes") == F.col("codes"))
+                        & (F.col("a_cell") == F.col("cent_id"))
+                    ).cast("int")
+                ).alias("all_match"),
+            )
+            .collect()[0]  # bounded: one summary row
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(parity["n"]),
+                int(n_visible),
+                bool(parity["all_match"] == 1 and parity["n"] == _N_APPEND),
+            )
+        ],
+        "n_appended bigint, n_appended_visible bigint, "
+        "encoding_matches_base boolean",
     )
