@@ -2893,15 +2893,66 @@ def append_ivf_pq_index(
     per-cell file counts via the manifest and roll a re-trained version
     when the hottest cell outgrows its scan budget."""
     C, cn, CT1 = _load_index_model(path)
-    if new_vectors.isEmpty():
+    # PERMISSIVE edge (the wire-input stance everywhere else): a streamed
+    # batch can carry null ids, null embeddings, or wrong-dimension vectors
+    # (a ragged batch would kill the encoder's reshape); drop them here so
+    # one malformed record never fails an always-on ingestion query.
+    dim = C.shape[1]
+    valid = new_vectors.filter(
+        F.col("vec_id").isNotNull() & (F.size("embedding") == dim)
+    )
+    if valid.isEmpty():
         return path
     (
-        _encode_to_index_rows(new_vectors, _ivf_pq_encoder(C, cn, CT1))
+        _encode_to_index_rows(valid, _ivf_pq_encoder(C, cn, CT1))
         .write.mode("append")
         .partitionBy("cent_id")
         .parquet(path)
     )
     return path
+
+
+def compact_ivf_pq_index(
+    spark: SparkSession, src_path: str, dst_path: str, files_per_cell: int = 1
+) -> str:
+    """Version-roll compaction for an appended index: streaming appends
+    land one small file per (micro-batch, cell), and at some point the
+    open-file count dominates the pruned scan. Compaction reads the live
+    index, rewrites each cell into ``files_per_cell`` files (repartition
+    on cent_id + an id-salt, so one oversized cell still splits across
+    bounded tasks), carries the frozen ``_model.json`` verbatim, and
+    publishes ``dst_path`` with the same single atomic rename as the
+    build — the serving fleet flips a path and never observes a
+    half-compacted index. The source version stays intact for readers
+    mid-flight (delete it after the flip, corpus compact_corpus's
+    pattern). Row set is bit-identical: compaction moves bytes, never
+    re-encodes."""
+    import json
+    import os
+    import shutil
+
+    C, _cn, CT1 = _load_index_model(src_path)  # validates src completeness
+    tmp = f"{dst_path}.build-{os.getpid()}-{threading.get_ident()}"
+    (
+        spark.read.parquet(src_path)
+        .repartition(
+            "cent_id", F.pmod(F.hash("vec_id"), F.lit(files_per_cell))
+        )
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(tmp)
+    )
+    with open(os.path.join(tmp, _IVF_PQ_MODEL_FILE), "w") as fh:
+        json.dump(
+            {"format": _IVF_PQ_INDEX_FORMAT, "C": C.tolist(), "CT1": CT1.tolist()},
+            fh,
+        )
+    try:
+        os.rename(tmp, dst_path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return dst_path
 
 
 def stream_append_ivf_pq_index(

@@ -563,7 +563,13 @@ def video_motion_replay_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         results_path = os.path.join(root, "results")
         q = write_results_stream(
             build_processing_results(
-                detect_motion_stream(file_frame_stream(spark, data_dir)),
+                # 2 files/trigger -> 5 micro-batches over 10 replay files:
+                # still splits every camera's sequence across several state
+                # updates (the property under test) at half the per-batch
+                # state-commit overhead of one-file triggers.
+                detect_motion_stream(
+                    file_frame_stream(spark, data_dir, max_files_per_trigger=2)
+                ),
                 faithful_count=True,
             ),
             results_path,

@@ -311,3 +311,82 @@ def test_append_checked_query_green(spark):
     assert r["n_appended"] == _N_APPEND
     assert r["encoding_matches_base"] is True
     assert 0 < r["n_appended_visible"] <= _N_APPEND
+
+
+def test_append_drops_malformed_rows_permissive(spark, tmp_path):
+    """A streamed append batch with null ids, null embeddings, or
+    wrong-dimension vectors (which would make the encoder's reshape
+    ragged) must drop those rows and append the valid ones — the wire
+    PERMISSIVE stance; an always-on ingestion query never dies on one
+    malformed record."""
+    from distributed_video_analytics_flink_spark.operators.similarity import (
+        append_ivf_pq_index,
+    )
+
+    path = write_ivf_pq_index(spark, SF, str(tmp_path / "index"))
+    good = (
+        load_table(spark, SF, "embeddings")
+        .filter(F.col("vec_id") == 2)
+        .select((F.col("vec_id") + 3_000_000).alias("vec_id"), "embedding")
+        .collect()[0]
+    )
+    rows = [
+        (good["vec_id"], list(good["embedding"])),
+        (None, list(good["embedding"])),  # null id
+        (3_000_099, None),  # null embedding
+        (3_000_098, [1.0, 2.0]),  # wrong dimension
+    ]
+    batch = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    append_ivf_pq_index(spark, batch, path)
+    appended = (
+        spark.read.parquet(path).filter(F.col("vec_id") >= 3_000_000).collect()
+    )
+    assert [r["vec_id"] for r in appended] == [good["vec_id"]]
+
+
+def test_compact_rolls_version_identically(spark, tmp_path):
+    """Compaction after a run of small appends must produce a NEW index
+    version with (1) the identical row set — it moves bytes, never
+    re-encodes, (2) bounded files per cell, (3) the frozen model carried
+    over so future appends still encode identically, and (4) pruning
+    intact on the compacted layout."""
+    from distributed_video_analytics_flink_spark.operators.similarity import (
+        append_ivf_pq_index,
+        compact_ivf_pq_index,
+    )
+
+    path = write_ivf_pq_index(spark, SF, str(tmp_path / "v1"))
+    for off in (1_000_000, 2_000_000, 3_000_000):
+        append_ivf_pq_index(spark, _copy_vectors(spark, n=3, id_offset=off), path)
+
+    dst = str(tmp_path / "v2")
+    compact_ivf_pq_index(spark, path, dst)
+
+    before = spark.read.parquet(path)
+    after = spark.read.parquet(dst)
+    key = lambda r: (r["vec_id"], tuple(r["codes"]), r["cent_id"])  # noqa: E731
+    assert sorted(map(key, after.collect())) == sorted(map(key, before.collect()))
+
+    # bounded files: at most files_per_cell (=1) per cell directory
+    import collections
+    import os as _os
+
+    per_cell = collections.Counter(
+        _os.path.dirname(f) for f in after.inputFiles()
+    )
+    assert max(per_cell.values()) == 1
+    assert len(after.inputFiles()) < len(before.inputFiles())
+
+    # model carried: appends against the compacted version still encode
+    # identically to the original build
+    append_ivf_pq_index(spark, _copy_vectors(spark, n=1, id_offset=4_000_000), dst)
+    a = spark.read.parquet(dst).filter(F.col("vec_id") == 4_000_001).collect()[0]
+    b = spark.read.parquet(path).filter(F.col("vec_id") == 1_000_001).collect()[0]
+    assert list(a["codes"]) == list(b["codes"]) and a["cent_id"] == b["cent_id"]
+
+    # pruning intact
+    emb = load_table(spark, SF, "embeddings")
+    probes = _ivf_coarse_and_query(emb)[4]
+    plan = formatted_plan(after.filter(F.col("cent_id").isin(probes)))
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cent_id" in pf_line and "IN" in pf_line

@@ -42,19 +42,13 @@ def _frame_json(f: dict) -> str:
 
 
 def _write_replay_files(dirpath: str, frames_per_file: int = 4) -> int:
-    """Interleave cameras, split into files -> one micro-batch per file."""
-    frames = sorted(fixture_frames(), key=lambda f: f["timestamp"])
-    files = 0
-    for i in range(0, len(frames), frames_per_file):
-        path = os.path.join(dirpath, f"batch-{i:04d}.json")
-        with open(path, "w") as fh:
-            fh.write("\n".join(_frame_json(f) for f in frames[i : i + frames_per_file]))
-        # FileStreamSource orders new files by modification time; sub-second
-        # writes tie, so pin strictly increasing mtimes for a deterministic
-        # replay order (the arrival-order contract Kafka would provide).
-        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
-        files += 1
-    return files
+    """Interleave cameras, split into files -> one micro-batch per file
+    (the engine's shared replay writer; mtime pinning lives there)."""
+    from distributed_video_analytics_flink_spark.streaming.sources import (
+        write_frame_replay_dir,
+    )
+
+    return write_frame_replay_dir(fixture_frames(), dirpath, frames_per_file)
 
 
 def _collect_stream(spark, stream_df, name: str, checkpoint: str):
