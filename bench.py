@@ -619,14 +619,15 @@ def _round_detail_path() -> str:
 
 def emit(payload: dict) -> None:
     detail_written = True
+    detail = json.dumps(payload, indent=1, sort_keys=True)  # serialized once
     try:
         with open(DETAIL_PATH, "w") as fh:
-            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write(detail)
     except OSError:
         detail_written = False  # read-only checkout: stdout still has detail
     try:
         with open(_round_detail_path(), "w") as fh:
-            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write(detail)
     except OSError:
         pass  # per-round copy is best-effort; DETAIL_PATH covers the judge
     for name in sorted(payload.get("queries", {})):

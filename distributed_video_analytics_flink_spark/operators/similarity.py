@@ -2868,9 +2868,31 @@ def _load_index_model(path: str):
     return C, cn, CT1
 
 
-def append_ivf_pq_index(
-    spark: SparkSession, new_vectors: DataFrame, path: str
-) -> str:
+def _append_encoded(
+    new_vectors: DataFrame, encoder, dim: int, path: str
+) -> None:
+    """Shared append body: PERMISSIVE-filter a batch and append its encoded
+    rows. The wire stance (a streamed batch must never kill the query)
+    drops null ids, null/wrong-dimension embeddings, AND embeddings with
+    null/NaN elements — those pass a bare size check but would encode into
+    garbage (NaN cosines argmax to cell 0) and silently pollute served
+    ADC results (r8 review)."""
+    valid = new_vectors.filter(
+        F.col("vec_id").isNotNull()
+        & (F.size("embedding") == dim)
+        & ~F.exists("embedding", lambda x: x.isNull() | F.isnan(x))
+    )
+    if valid.isEmpty():
+        return
+    (
+        _encode_to_index_rows(valid, encoder)
+        .write.mode("append")
+        .partitionBy("cent_id")
+        .parquet(path)
+    )
+
+
+def append_ivf_pq_index(new_vectors: DataFrame, path: str) -> str:
     """INCREMENTAL index maintenance (VERDICT r7 #4): encode a batch of new
     (vec_id, embedding) rows against the index's FROZEN model sidecar —
     same coarse-cell argmax, same Lloyd-refined PQ codes as the build, via
@@ -2887,28 +2909,16 @@ def append_ivf_pq_index(
     is a NEW index version published behind write_ivf_pq_index's atomic
     rename — never an in-place mutation of a served index.
 
+    Malformed rows (null id, null/NaN/wrong-dimension embedding) are
+    dropped PERMISSIVE-style in :func:`_append_encoded` — the wire stance.
+
     Scale: one Arrow pass over the new batch (vector-count of the BATCH,
     not the corpus) and one partitioned append; nothing reads the existing
     codes. At 100 TB cells drift unbalanced as the corpus grows — monitor
     per-cell file counts via the manifest and roll a re-trained version
     when the hottest cell outgrows its scan budget."""
     C, cn, CT1 = _load_index_model(path)
-    # PERMISSIVE edge (the wire-input stance everywhere else): a streamed
-    # batch can carry null ids, null embeddings, or wrong-dimension vectors
-    # (a ragged batch would kill the encoder's reshape); drop them here so
-    # one malformed record never fails an always-on ingestion query.
-    dim = C.shape[1]
-    valid = new_vectors.filter(
-        F.col("vec_id").isNotNull() & (F.size("embedding") == dim)
-    )
-    if valid.isEmpty():
-        return path
-    (
-        _encode_to_index_rows(valid, _ivf_pq_encoder(C, cn, CT1))
-        .write.mode("append")
-        .partitionBy("cent_id")
-        .parquet(path)
-    )
+    _append_encoded(new_vectors, _ivf_pq_encoder(C, cn, CT1), C.shape[1], path)
     return path
 
 
@@ -2924,24 +2934,40 @@ def compact_ivf_pq_index(
     publishes ``dst_path`` with the same single atomic rename as the
     build — the serving fleet flips a path and never observes a
     half-compacted index. The source version stays intact for readers
-    mid-flight (delete it after the flip, corpus compact_corpus's
-    pattern). Row set is bit-identical: compaction moves bytes, never
-    re-encodes."""
+    mid-flight. Row set is bit-identical: compaction moves bytes, never
+    re-encodes.
+
+    WRITER CONTRACT (r8 review): QUIESCE appends to ``src_path`` (stop
+    the append stream) before compacting — a batch landing after the
+    read snapshot would be missing from ``dst_path``, so deleting the
+    source after the flip would lose it. The fence below turns a
+    violated contract into a loud error instead of silent loss: after
+    writing the compacted copy it re-lists the source, and any file that
+    appeared since the snapshot aborts the publish (the append stream
+    can then be drained and compaction retried). Only delete
+    ``src_path`` after the flip AND after repointing every appender."""
     import json
     import os
     import shutil
 
     C, _cn, CT1 = _load_index_model(src_path)  # validates src completeness
+    src = spark.read.parquet(src_path)
+    snapshot = set(src.inputFiles())
     tmp = f"{dst_path}.build-{os.getpid()}-{threading.get_ident()}"
     (
-        spark.read.parquet(src_path)
-        .repartition(
+        src.repartition(
             "cent_id", F.pmod(F.hash("vec_id"), F.lit(files_per_cell))
         )
         .write.mode("overwrite")
         .partitionBy("cent_id")
         .parquet(tmp)
     )
+    if set(spark.read.parquet(src_path).inputFiles()) != snapshot:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"source index {src_path!r} changed during compaction "
+            "(concurrent appends?): quiesce the append stream and retry"
+        )
     with open(os.path.join(tmp, _IVF_PQ_MODEL_FILE), "w") as fh:
         json.dump(
             {"format": _IVF_PQ_INDEX_FORMAT, "C": C.tolist(), "CT1": CT1.tolist()},
@@ -2970,10 +2996,16 @@ def stream_append_ivf_pq_index(
     re-runs and can duplicate its rows); duplicated appends are benign for
     serving — identical (vec_id, codes) rows produce identical ADC
     distances, and exactly-once callers dedup on vec_id at read or compact
-    the index offline (compact_corpus's pattern)."""
+    the index offline (compact_corpus's pattern). The frozen model is
+    loaded and validated ONCE at wiring time — not per micro-batch (r8
+    review): the sidecar is immutable by design, so re-parsing the
+    codebook JSON on every trigger would be pure overhead on a
+    low-interval stream."""
+    C, cn, CT1 = _load_index_model(path)
+    encoder, dim = _ivf_pq_encoder(C, cn, CT1), C.shape[1]
 
     def _append(batch_df: DataFrame, _batch_id: int) -> None:
-        append_ivf_pq_index(batch_df.sparkSession, batch_df, path)
+        _append_encoded(batch_df, encoder, dim, path)
 
     writer = (
         vectors_stream.writeStream.foreachBatch(_append)
@@ -3114,7 +3146,7 @@ def sim_ivf_pq_append_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         appended_src = emb.filter(F.col("vec_id").between(1, _N_APPEND)).select(
             (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
         )
-        append_ivf_pq_index(spark, appended_src, path)
+        append_ivf_pq_index(appended_src, path)
 
         idx = spark.read.parquet(path)
         probes = _ivf_coarse_and_query(emb)[4]

@@ -525,10 +525,14 @@ def video_motion_replay_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``write_results_stream`` (parquet partitioned (camera_id, day) — the
     Cassandra primary-key layout, O2/O3). The table is then read BACK from
     disk and full-outer-joined against ``detect_motion_batch`` pushed
-    through the same result build, comparing every deterministic column
-    (day, frame_timestamp, detection_count, frame dims, image_path; id and
-    processing_timestamp are the two deliberately nondeterministic columns,
-    SURVEY.md §7.4.3). Per camera the query emits the streamed motion-row
+    through the same result build, comparing every deterministic
+    DISCRIMINATING column (day, frame_timestamp, detection_count,
+    image_path). Excluded: id and processing_timestamp (the two
+    deliberately nondeterministic columns, SURVEY.md §7.4.3) and
+    frame_rows/frame_cols — the motion schema intentionally drops dims
+    after decode, so BOTH legs emit build_processing_results' 640x480
+    default and comparing them would be vacuous (r8 review). Per camera
+    the query emits the streamed motion-row
     count (value anchor: 5 motion frames per camera — the block appears on
     frame 5 and moves through frame 9) and the engine-independent parity
     BOOLEAN the oracle pins to literal TRUE — a drifted stream fold, a
@@ -578,13 +582,7 @@ def video_motion_replay_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
         q.stop()
 
-        det_cols = [
-            "day",
-            "detection_count",
-            "frame_rows",
-            "frame_cols",
-            "image_path",
-        ]
+        det_cols = ["day", "detection_count", "image_path"]
         streamed = spark.read.parquet(results_path).select(
             "camera_id", "frame_timestamp", *det_cols
         )

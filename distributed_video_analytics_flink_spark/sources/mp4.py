@@ -160,10 +160,14 @@ def _parse_trak(buf: bytes, start: int, end: int) -> dict[str, Any]:
                     # hold: `count` is an untrusted 32-bit field, and a
                     # ~50-byte crafted file claiming 0xFFFFFFFF samples
                     # must not force a multi-GB list allocation (r7
-                    # review). Samples pack inside the file, so
-                    # fixed*count can never legitimately exceed its size.
-                    if fixed * count <= len(buf):
-                        trak["sample_sizes"] = [fixed] * count
+                    # review). Samples pack inside the file, so CAP the
+                    # count at len(buf)//fixed rather than dropping the
+                    # table outright — a legitimate file truncated
+                    # mid-mdat keeps its intact prefix decodable (the
+                    # "truncated mdat ends the stream" contract), while
+                    # the hostile claim still allocates at most one entry
+                    # per file byte (r8 review).
+                    trak["sample_sizes"] = [fixed] * min(count, len(buf) // fixed)
                 elif ps + 12 + 4 * count <= pe:
                     trak["sample_sizes"] = list(
                         struct.unpack_from(f">{count}I", buf, ps + 12)

@@ -182,7 +182,7 @@ def test_append_visible_and_pruning_preserved(spark, tmp_path):
         for r in before.filter(F.col("vec_id").between(1, 5)).collect()
     }
 
-    append_ivf_pq_index(spark, _copy_vectors(spark, n=5), path)
+    append_ivf_pq_index(_copy_vectors(spark, n=5), path)
 
     after = spark.read.parquet(path)
     # 1. visibility: every appended row present, in its original's cell
@@ -230,7 +230,7 @@ def test_append_requires_complete_index(spark, tmp_path):
     bad = tmp_path / "not-an-index"
     bad.mkdir()
     with _pytest.raises(RuntimeError, match="complete owned IVF\\+PQ index"):
-        append_ivf_pq_index(spark, _copy_vectors(spark, n=1), str(bad))
+        append_ivf_pq_index(_copy_vectors(spark, n=1), str(bad))
 
 
 def test_append_empty_batch_is_noop(spark, tmp_path):
@@ -241,7 +241,7 @@ def test_append_empty_batch_is_noop(spark, tmp_path):
     path = write_ivf_pq_index(spark, SF, str(tmp_path / "index"))
     files_before = sorted(spark.read.parquet(path).inputFiles())
     empty = _copy_vectors(spark, n=1).limit(0)
-    append_ivf_pq_index(spark, empty, path)
+    append_ivf_pq_index(empty, path)
     assert sorted(spark.read.parquet(path).inputFiles()) == files_before
 
 
@@ -330,14 +330,17 @@ def test_append_drops_malformed_rows_permissive(spark, tmp_path):
         .select((F.col("vec_id") + 3_000_000).alias("vec_id"), "embedding")
         .collect()[0]
     )
+    dim = len(good["embedding"])
     rows = [
         (good["vec_id"], list(good["embedding"])),
         (None, list(good["embedding"])),  # null id
         (3_000_099, None),  # null embedding
         (3_000_098, [1.0, 2.0]),  # wrong dimension
+        (3_000_097, [float("nan")] * dim),  # NaN elements: garbage encode
+        (3_000_096, [None] * dim),  # null elements: same
     ]
     batch = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    append_ivf_pq_index(spark, batch, path)
+    append_ivf_pq_index(batch, path)
     appended = (
         spark.read.parquet(path).filter(F.col("vec_id") >= 3_000_000).collect()
     )
@@ -357,7 +360,7 @@ def test_compact_rolls_version_identically(spark, tmp_path):
 
     path = write_ivf_pq_index(spark, SF, str(tmp_path / "v1"))
     for off in (1_000_000, 2_000_000, 3_000_000):
-        append_ivf_pq_index(spark, _copy_vectors(spark, n=3, id_offset=off), path)
+        append_ivf_pq_index(_copy_vectors(spark, n=3, id_offset=off), path)
 
     dst = str(tmp_path / "v2")
     compact_ivf_pq_index(spark, path, dst)
@@ -379,7 +382,7 @@ def test_compact_rolls_version_identically(spark, tmp_path):
 
     # model carried: appends against the compacted version still encode
     # identically to the original build
-    append_ivf_pq_index(spark, _copy_vectors(spark, n=1, id_offset=4_000_000), dst)
+    append_ivf_pq_index(_copy_vectors(spark, n=1, id_offset=4_000_000), dst)
     a = spark.read.parquet(dst).filter(F.col("vec_id") == 4_000_001).collect()[0]
     b = spark.read.parquet(path).filter(F.col("vec_id") == 1_000_001).collect()[0]
     assert list(a["codes"]) == list(b["codes"]) and a["cent_id"] == b["cent_id"]
@@ -390,3 +393,37 @@ def test_compact_rolls_version_identically(spark, tmp_path):
     plan = formatted_plan(after.filter(F.col("cent_id").isin(probes)))
     pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "cent_id" in pf_line and "IN" in pf_line
+
+
+def test_compact_fences_concurrent_appends(spark, tmp_path, monkeypatch):
+    """Compaction's writer contract says quiesce appenders first; the
+    fence must turn a violated contract (a batch landing after the read
+    snapshot) into a loud error, never a silently thinner dst version."""
+    import pytest as _pytest
+
+    from distributed_video_analytics_flink_spark.operators import similarity as S
+
+    path = write_ivf_pq_index(spark, SF, str(tmp_path / "v1"))
+
+    real_rename = S.os.rename if hasattr(S, "os") else None  # noqa: F841
+    orig_read = spark.read.parquet
+    calls = {"n": 0}
+
+    class _SneakyReader:
+        def parquet(self, p):
+            df = orig_read(p)
+            calls["n"] += 1
+            if calls["n"] == 2:  # the post-write re-list: append raced in
+                S.append_ivf_pq_index(
+                    _copy_vectors(spark, n=1, id_offset=6_000_000), path
+                )
+                return orig_read(p)
+            return df
+
+    monkeypatch.setattr(
+        type(spark), "read", property(lambda self: _SneakyReader())
+    )
+    with _pytest.raises(RuntimeError, match="changed during compaction"):
+        S.compact_ivf_pq_index(spark, path, str(tmp_path / "v2"))
+    monkeypatch.undo()
+    assert not (tmp_path / "v2").exists()  # nothing published

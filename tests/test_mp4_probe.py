@@ -101,12 +101,14 @@ def test_hostile_stsz_count_never_materializes(monkeypatch):
         return _box(b"ftyp", b"isom") + _box(b"moov", trak)
 
     payload = hostile(1, 0xFFFFFFFF)
-    # sample table is NOT materialized (n_samples metadata still surfaces)
+    # table is CAPPED at one entry per file byte, never the claimed 4 B
+    # (capping instead of dropping keeps a legitimately truncated file's
+    # intact prefix decodable — r8 review)
     trak = _find_video_trak(payload)
-    assert "sample_sizes" not in trak
+    assert len(trak["sample_sizes"]) <= len(payload)
     assert trak["n_samples"] == 0xFFFFFFFF
     meta = probe_mp4(payload)
-    assert meta["n_frames"] == 0xFFFFFFFF  # count reported, never allocated
+    assert meta["n_frames"] == 0xFFFFFFFF  # claimed count still reported
     # a within-file-size fixed table still materializes normally
     small = hostile(1, 16)
     assert _find_video_trak(small)["sample_sizes"] == [1] * 16
