@@ -133,6 +133,7 @@ HEADLINE = [
     # state-commit overhead, not engine throughput) and the stream leg is
     # already benched by motion_stream_fps_640x480.
     "sim_ivf_pq_append_checked",
+    "graph_pagerank",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

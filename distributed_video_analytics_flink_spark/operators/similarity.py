@@ -3183,3 +3183,136 @@ def sim_ivf_pq_append_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_appended bigint, n_appended_visible bigint, "
         "encoding_matches_base boolean",
     )
+
+
+_PR_ITERS = 3  # fixed unrolled iterations: the oracle pins each exactly
+_PR_SCALE = 10**12  # rank mass in integer micro-units: cross-engine exact
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             {_duck_cos_q(
+                 _duck_dot_q("a.embedding", "b.embedding"),
+                 _duck_dot_q("a.embedding", "a.embedding"),
+                 _duck_dot_q("b.embedding", "b.embedding"),
+             )} AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    knn AS (
+      SELECT va, vb FROM (
+        SELECT va, vb,
+               ROW_NUMBER() OVER (PARTITION BY va
+                                  ORDER BY cosine DESC, vb ASC) AS rn
+        FROM scored) WHERE rn <= 3
+    ),
+    und AS (
+      SELECT LEAST(va, vb) AS u, GREATEST(va, vb) AS v FROM knn GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+    ),
+    outdeg AS (SELECT u, COUNT(*) AS outd FROM edges GROUP BY u),
+    n AS (SELECT COUNT(*) AS n FROM outdeg),
+    r0 AS (
+      SELECT u AS node, CAST({_PR_SCALE} // n.n AS BIGINT) AS r
+      FROM outdeg, n
+    ),
+    s1 AS (
+      SELECT e.v AS node, SUM((85 * r0.r) // (100 * o.outd)) AS s
+      FROM edges e JOIN r0 ON r0.node = e.u JOIN outdeg o ON o.u = e.u
+      GROUP BY e.v
+    ),
+    r1 AS (
+      SELECT s1.node,
+             CAST((15 * {_PR_SCALE}) // (100 * n.n) + s1.s AS BIGINT) AS r
+      FROM s1, n
+    ),
+    s2 AS (
+      SELECT e.v AS node, SUM((85 * r1.r) // (100 * o.outd)) AS s
+      FROM edges e JOIN r1 ON r1.node = e.u JOIN outdeg o ON o.u = e.u
+      GROUP BY e.v
+    ),
+    r2 AS (
+      SELECT s2.node,
+             CAST((15 * {_PR_SCALE}) // (100 * n.n) + s2.s AS BIGINT) AS r
+      FROM s2, n
+    ),
+    s3 AS (
+      SELECT e.v AS node, SUM((85 * r2.r) // (100 * o.outd)) AS s
+      FROM edges e JOIN r2 ON r2.node = e.u JOIN outdeg o ON o.u = e.u
+      GROUP BY e.v
+    ),
+    r3 AS (
+      SELECT s3.node,
+             CAST((15 * {_PR_SCALE}) // (100 * n.n) + s3.s AS BIGINT) AS r
+      FROM s3, n
+    )
+    SELECT node AS vec_id, r AS pr_q FROM r3
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the semantic k-NN graph (sim_label_knn's edge set,
+    symmetrized) — the link-analysis centrality used in corpus curation
+    to pick canonical documents inside near-duplicate neighborhoods and
+    to down-weight isolated spam islands (the web-graph quality signal,
+    applied to the embedding graph the engine already builds). Damping
+    0.85, {_PR_ITERS} fixed iterations, every iteration bit-exact
+    against the oracle's unrolled CTEs because ALL arithmetic is
+    integer: ranks live in {_PR_SCALE} micro-units, each contribution is
+    ``(85 * r) DIV (100 * outdeg)`` and the teleport term is
+    ``(15 * SCALE) DIV (100 * N)`` — integer sums are
+    order-independent, so there is no cross-engine float-summation
+    drift by construction (the repo's portable-arithmetic stance). The
+    symmetric graph has no dangling nodes (every vector emits k edges),
+    so no leaked-mass redistribution is needed.
+
+    Scale: edge generation (the expensive pair-cell k-NN scoring) runs
+    ONCE and is pinned by localCheckpoint — iterations never recompute
+    it (the CC loop's pattern, dedup.py::dedup_clusters). Each iteration
+    is the canonical distributed PR step: one equi-join of the rank
+    table onto edges pre-joined with out-degrees, one partial-aggregable
+    groupBy(dst) — rank rows are (node, int) pairs, never adjacency
+    lists. At 100 TB: hash-partition edges by src once and co-partition
+    the rank table so every iteration reuses the exchange; iterate to a
+    checked fixpoint instead of a fixed count (same convergence-
+    signature trick as the CC rounds); the per-iteration shuffle volume
+    is |E| longs, independent of iteration count."""
+    knn = sim_label_knn(spark, sf_dir).select(
+        F.col("vec_id").alias("u"), F.col("neighbor_id").alias("v")
+    )
+    und = knn.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+    edges = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    outdeg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("outd"))
+    # pin the expensive edge generation; iterations re-read, never re-score
+    edges_od = edges.join(outdeg, "u").localCheckpoint()
+
+    n_df = F.broadcast(outdeg.agg(F.count(F.lit(1)).alias("n")))
+    ranks = (
+        outdeg.select(F.col("u").alias("node"))
+        .crossJoin(n_df)
+        .select("node", F.expr(f"CAST({_PR_SCALE} DIV n AS BIGINT)").alias("r"))
+    )
+    for _ in range(_PR_ITERS):
+        ranks = (
+            edges_od.join(ranks, edges_od["u"] == ranks["node"])
+            .select(
+                F.col("v").alias("node"),
+                F.expr("(85 * r) DIV (100 * outd)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(n_df)
+            .select(
+                "node",
+                F.expr(f"CAST((15 * {_PR_SCALE}) DIV (100 * n) + s AS BIGINT)").alias(
+                    "r"
+                ),
+            )
+        )
+    return ranks.select(F.col("node").alias("vec_id"), F.col("r").alias("pr_q"))

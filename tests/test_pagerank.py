@@ -1,0 +1,43 @@
+"""graph_pagerank: integer-quantized PageRank over the semantic k-NN
+graph. Oracle parity (bit-exact vs DuckDB's unrolled CTEs) is covered by
+tests/test_oracle_parity.py's full-registry parametrization; here the
+structural invariants that make the integer formulation trustworthy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_video_analytics_flink_spark.operators.similarity import (
+    _PR_SCALE,
+    graph_pagerank,
+)
+from distributed_video_analytics_flink_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pagerank_mass_and_coverage(spark):
+    ranks = graph_pagerank(spark, SF).collect()
+    n_vectors = load_table(spark, SF, "embeddings").count()
+    # every vector is a node (k-NN emits edges for every vector) and
+    # appears exactly once with positive rank
+    assert len(ranks) == n_vectors
+    assert len({r["vec_id"] for r in ranks}) == n_vectors
+    assert all(r["pr_q"] > 0 for r in ranks)
+    # integer mass conservation: each DIV floors, so total mass can only
+    # leak DOWN from SCALE, and only by sub-unit truncations (bounded
+    # well within 0.1% for any graph this size)
+    total = sum(r["pr_q"] for r in ranks)
+    assert 0.999 * _PR_SCALE <= total <= _PR_SCALE
+
+
+def test_pagerank_favors_connected_vectors(spark):
+    """A symmetric k-NN graph gives frequently-chosen neighbors more
+    in-edges; the max-rank node must strictly beat the min-rank node and
+    the spread must be real (not a constant vector) — i.e. the iteration
+    actually moved mass along edges instead of degenerating to the
+    teleport-only fixed point."""
+    ranks = graph_pagerank(spark, SF).collect()
+    vals = sorted(r["pr_q"] for r in ranks)
+    assert vals[-1] > vals[0]
+    assert vals[-1] - vals[0] > _PR_SCALE // (100 * len(vals))
