@@ -41,3 +41,14 @@ def test_pagerank_favors_connected_vectors(spark):
     vals = sorted(r["pr_q"] for r in ranks)
     assert vals[-1] > vals[0]
     assert vals[-1] - vals[0] > _PR_SCALE // (100 * len(vals))
+
+
+def test_pagerank_iterations_are_jvm_only(spark):
+    """The expensive Arrow-side k-NN scoring is pinned behind the
+    localCheckpoint; the iteration plan the driver executes afterwards
+    must be pure JVM (joins + partial aggregates over (node, int) rows),
+    with no Python evaluation node anywhere."""
+    from distributed_video_analytics_flink_spark.plans import formatted_plan
+
+    plan = formatted_plan(graph_pagerank(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
