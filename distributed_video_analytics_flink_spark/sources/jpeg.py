@@ -80,80 +80,6 @@ def _fdct2(block: np.ndarray) -> np.ndarray:
     return _A @ block @ _A.T
 
 
-class _BitReader:
-    """MSB-first entropy-stream reader with FF00 unstuffing; stops at any
-    real marker (exposes it for the RST / EOI handling in the MCU loop)."""
-
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.bits = 0
-        self.nbits = 0
-        self.marker: int | None = None
-
-    def _fill(self) -> None:
-        while self.nbits <= 24:
-            if self.marker is not None or self.pos >= len(self.data):
-                # pad with zeros past the end / a marker (spec: padding 1s,
-                # but any decode consuming pad bits is already done)
-                self.bits = (self.bits << 8) & 0xFFFFFFFF
-                self.nbits += 8
-                continue
-            b = self.data[self.pos]
-            if b == 0xFF:
-                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
-                if nxt == 0x00:  # stuffed data byte
-                    self.pos += 2
-                else:  # a real marker terminates the entropy segment
-                    self.marker = nxt
-                    continue
-            else:
-                self.pos += 1
-            self.bits = ((self.bits << 8) | b) & 0xFFFFFFFF
-            self.nbits += 8
-
-    def read(self, n: int) -> int:
-        if n == 0:
-            return 0
-        if self.nbits < n:
-            self._fill()
-        self.nbits -= n
-        return (self.bits >> self.nbits) & ((1 << n) - 1)
-
-    def peek(self, n: int) -> int:
-        """Read n bits without consuming (n <= 16; _fill guarantees
-        >= 25 buffered) — the fast-path probe for LUT Huffman decode."""
-        if self.nbits < n:
-            self._fill()
-        return (self.bits >> (self.nbits - n)) & ((1 << n) - 1)
-
-    def consume(self, n: int) -> None:
-        self.nbits -= n
-
-    def align_and_take_marker(self) -> int | None:
-        """Byte-align and consume the pending marker (for RST handling)."""
-        self.bits = 0
-        self.nbits = 0
-        if self.marker is None:
-            self._sync_marker()
-        m = self.marker
-        if m is not None:
-            self.pos += 2
-            self.marker = None
-        return m
-
-    def _sync_marker(self) -> None:
-        while self.pos < len(self.data):
-            if (
-                self.data[self.pos] == 0xFF
-                and self.pos + 1 < len(self.data)
-                and self.data[self.pos + 1] != 0x00
-            ):
-                self.marker = self.data[self.pos + 1]
-                return
-            self.pos += 1
-
-
 def _build_huff(counts: list[int], symbols: list[int]) -> dict[tuple[int, int], int]:
     """Canonical Huffman per T.81 Annex C: {(length, code) -> symbol}.
     Rejects oversubscribed tables (more codes at a length than the
@@ -216,21 +142,6 @@ def _huff_table(counts: list[int], symbols: list[int]) -> _HuffTable:
             _HUFF_CACHE.clear()
         _HUFF_CACHE[key] = tbl
     return tbl
-
-
-def _huff_decode(br: _BitReader, table: _HuffTable) -> int:
-    idx = br.peek(table.maxlen)
-    length = table.ln[idx]
-    if length == 0:
-        raise JpegError("invalid Huffman code in entropy stream")
-    br.consume(length)
-    return table.sym[idx]
-
-
-def _extend(v: int, size: int) -> int:
-    if size == 0:
-        return 0
-    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
 # ITU-T T.81 Annex K.3.3 "typical" Huffman tables, (counts, symbols) per
@@ -457,30 +368,132 @@ def _decode_jpeg_checked(data: bytes) -> np.ndarray:
         )
     nat = _ZZ.tolist()  # zigzag scan position -> natural position
 
-    br = _BitReader(data, scan_start)
+    # Entropy scan with the bit cursor in plain locals (r8 perf): a
+    # 640x480 frame decodes ~30k Huffman symbols, and profiling showed
+    # roughly half the scan wall-clock was attribute lookups + method
+    # calls on a reader object's peek/consume/read — none of which exist
+    # on the fast path below. Only the refill (reached about every other
+    # symbol, since each top-up buffers >= 25 bits and a symbol+extend
+    # consumes <= 27 but usually far less) stays a closure; its
+    # unstuff/pad/marker semantics mirror T.81 exactly as before: FF00 is
+    # a stuffed data byte, any other FFxx ends the entropy segment, and
+    # reads past the end see zero padding.
     pred = [0] * len(scan_comps)
     bi = [0] * len(scan_comps)  # per-component block counter, scan order
+    dlen = len(data)
+    bits = 0
+    nbits = 0
+    bpos = scan_start
+    bmarker: int | None = None
+
+    def _refill() -> None:
+        nonlocal bits, nbits, bpos, bmarker
+        while nbits <= 24:
+            if bmarker is not None or bpos >= dlen:
+                # pad with zeros past the end / a marker (spec: padding 1s,
+                # but any decode consuming pad bits is already done)
+                bits = (bits << 8) & 0xFFFFFFFF
+                nbits += 8
+                continue
+            b = data[bpos]
+            if b == 0xFF:
+                nxt = data[bpos + 1] if bpos + 1 < dlen else 0xD9
+                if nxt == 0x00:  # stuffed data byte
+                    bpos += 2
+                else:  # a real marker terminates the entropy segment
+                    bmarker = nxt
+                    continue
+            else:
+                bpos += 1
+            bits = ((bits << 8) | b) & 0xFFFFFFFF
+            nbits += 8
+
+    # per-component hot constants: block count + both LUTs' (maxlen,
+    # mask, lengths, symbols), so the inner loop touches only locals
+    scan_meta = [
+        (
+            c["v"] * c["h"],
+            dct.maxlen,
+            (1 << dct.maxlen) - 1,
+            dct.ln,
+            dct.sym,
+            act.maxlen,
+            (1 << act.maxlen) - 1,
+            act.ln,
+            act.sym,
+        )
+        for c, dct, act, _qn in comp_meta
+    ]
     mcu_index = 0
     for _my in range(mcus_y):
         for _mx in range(mcus_x):
             if restart_interval and mcu_index and mcu_index % restart_interval == 0:
-                m = br.align_and_take_marker()
+                # byte-align, sync to and consume the expected RSTn
+                bits = 0
+                nbits = 0
+                if bmarker is None:
+                    while bpos < dlen:
+                        if (
+                            data[bpos] == 0xFF
+                            and bpos + 1 < dlen
+                            and data[bpos + 1] != 0x00
+                        ):
+                            bmarker = data[bpos + 1]
+                            break
+                        bpos += 1
+                m = bmarker
+                if m is not None:
+                    bpos += 2
+                    bmarker = None
                 if m is None or not (0xD0 <= m <= 0xD7):
                     raise JpegError("expected restart marker")
                 pred = [0] * len(scan_comps)
-            for ci, (c, dct, act, _qn) in enumerate(comp_meta):
+            for ci, (
+                nblocks,
+                dml,
+                dmask,
+                dln,
+                dsym,
+                aml,
+                amask,
+                aln,
+                asym,
+            ) in enumerate(scan_meta):
                 arr = coef_arrays[ci]
-                for _blk in range(c["v"] * c["h"]):
+                for _blk in range(nblocks):
                     row = arr[bi[ci]]
                     bi[ci] += 1
-                    size = _huff_decode(br, dct)
+                    if nbits < dml:
+                        _refill()
+                    idx = (bits >> (nbits - dml)) & dmask
+                    length = dln[idx]
+                    if length == 0:
+                        raise JpegError("invalid Huffman code in entropy stream")
+                    nbits -= length
+                    size = dsym[idx]
                     if size > 11:  # corrupt DHT symbol: DC size <= 11
                         raise JpegError("DC size out of range")
-                    pred[ci] += _extend(br.read(size), size)
+                    if size:
+                        if nbits < size:
+                            _refill()
+                        nbits -= size
+                        v = (bits >> nbits) & ((1 << size) - 1)
+                        pred[ci] += (
+                            v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                        )
                     row[0] = pred[ci]
                     k = 1
                     while k < 64:
-                        rs = _huff_decode(br, act)
+                        if nbits < aml:
+                            _refill()
+                        idx = (bits >> (nbits - aml)) & amask
+                        length = aln[idx]
+                        if length == 0:
+                            raise JpegError(
+                                "invalid Huffman code in entropy stream"
+                            )
+                        nbits -= length
+                        rs = asym[idx]
                         r, s = rs >> 4, rs & 0x0F
                         if s == 0:
                             if r == 15:  # ZRL
@@ -490,7 +503,13 @@ def _decode_jpeg_checked(data: bytes) -> np.ndarray:
                         k += r
                         if k > 63:
                             raise JpegError("AC run past block end")
-                        row[nat[k]] = _extend(br.read(s), s)
+                        if nbits < s:
+                            _refill()
+                        nbits -= s
+                        v = (bits >> nbits) & ((1 << s) - 1)
+                        row[nat[k]] = (
+                            v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                        )
                         k += 1
             mcu_index += 1
 
