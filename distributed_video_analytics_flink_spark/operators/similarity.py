@@ -2882,8 +2882,9 @@ def _append_encoded(
         & (F.size("embedding") == dim)
         & ~F.exists("embedding", lambda x: x.isNull() | F.isnan(x))
     )
-    if valid.isEmpty():
-        return
+    # no isEmpty() pre-check: it cost a full extra evaluation of the filter
+    # on EVERY micro-batch of the always-on stream path (r8 ADVICE), and an
+    # all-filtered partitioned append writes no data files anyway
     (
         _encode_to_index_rows(valid, encoder)
         .write.mode("append")
@@ -3287,9 +3288,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = knn.select(
         F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
     ).distinct()
-    edges = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # pin the expensive edge generation HERE, at the k-NN scoring boundary:
+    # outdeg, n_df, and the rank init all derive from this frame, so every
+    # downstream plan (including iteration 0's rank build) is pure JVM past
+    # the checkpoint — checkpointing only edges_od left the Arrow-side
+    # scoring reachable through outdeg/n_df/ranks (r8 ADVICE finding)
+    edges = und.union(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
     outdeg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("outd"))
-    # pin the expensive edge generation; iterations re-read, never re-score
     edges_od = edges.join(outdeg, "u").localCheckpoint()
 
     n_df = F.broadcast(outdeg.agg(F.count(F.lit(1)).alias("n")))

@@ -52,3 +52,8 @@ def test_pagerank_iterations_are_jvm_only(spark):
 
     plan = formatted_plan(graph_pagerank(spark, SF))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # applyInPandas surfaces as FlatMapGroupsInPandas, NOT *EvalPython —
+    # without this assertion the test passed vacuously while the k-NN
+    # scoring re-entered the plan through outdeg/ranks (r8 ADVICE finding)
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" not in plan
