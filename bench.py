@@ -262,7 +262,13 @@ def bench_motion_mjpeg_fps(spark) -> tuple[float, int]:
     VideoCapture decode too). One 16-frame 640x480 file is encoded once
     driver-side, outside the timed region, and replicated per camera
     (identical bytes, distinct camIds), so setup stays O(1 file) while
-    the scan decodes cams x frames in parallel, one file per task."""
+    the scan decodes cams x frames in parallel, one file per task.
+
+    r9: ingest is the compressed-passthrough path (read_video_chunks) —
+    the keyBy exchange carries ~30-60 KB JPEG chunk bytes per frame and
+    the entropy decode runs post-shuffle inside the motion fold, the
+    shape that survives 100 TB (golden parity with the decode-first path
+    pinned by tests/test_chunk_passthrough.py)."""
     import shutil
     import tempfile
 
@@ -271,7 +277,7 @@ def bench_motion_mjpeg_fps(spark) -> tuple[float, int]:
     from distributed_video_analytics_flink_spark.operators.video import detect_motion_batch
     from distributed_video_analytics_flink_spark.sources.avi import encode_avi
     from distributed_video_analytics_flink_spark.sources.video_files import (
-        read_video_files,
+        read_video_chunks,
     )
 
     # 32 frames/file amortizes the fixed query cost (planning, Python
@@ -292,7 +298,7 @@ def bench_motion_mjpeg_fps(spark) -> tuple[float, int]:
         with open(os.path.join(root, f"cam{cam:02d}.avi"), "wb") as fh:
             fh.write(data)
     n = cams * per_cam
-    out = detect_motion_batch(read_video_files(spark, root, glob="*.avi")).select(
+    out = detect_motion_batch(read_video_chunks(spark, root, glob="*.avi")).select(
         "camId", "ts_us", "detection_count"
     )
     try:

@@ -189,27 +189,123 @@ def detect_motion_batch(frames: DataFrame, annotate: bool = False) -> DataFrame:
     carry only boxes, never pixels — unless ``annotate=True``, which adds a
     ``png`` column holding the annotated image (CV6+CV7,
     MotionDetector.java:63-69) for motion frames, encoded in the same pass
-    while the pixels are already in hand."""
-    decoded = frames.select(
-        "camId",
-        "timestamp",
-        "rows",
-        "cols",
-        F.unbase64("data").alias("pix"),
-    )
-    parted = decoded.repartition("camId").sortWithinPartitions("camId", "timestamp")
+    while the pixels are already in hand.
+
+    COMPRESSED PASSTHROUGH (r8 VERDICT #1): when the input carries the
+    chunk schema (``read_video_chunks`` — columns ``codec``/``chunk``
+    instead of base64 ``data``), the keyBy exchange ships the still-encoded
+    JPEG bytes (~30-60 KB/frame) and the entropy decode + resize runs HERE,
+    post-shuffle, in the same single pandas pass that grays and diffs the
+    pixels — a ~15-20x shuffle-volume cut over shipping 921 KB of raw BGR,
+    which is what matters at 100 TB where the exchange, not the decode, is
+    the bottleneck. Skip semantics match decode_avi/decode_mp4: an
+    undecodable chunk or one whose dims disagree with the per-camera
+    expectation emits no row and leaves the previous-frame carry untouched,
+    exactly as if the source had skipped it pre-shuffle."""
+    chunked = {"codec", "chunk"}.issubset(set(frames.columns))
+    if chunked:
+        decoded = frames.select(
+            "camId", "timestamp", "src_rows", "src_cols",
+            "rows", "cols", "codec", "chunk",
+        )
+    else:
+        decoded = frames.select(
+            "camId",
+            "timestamp",
+            "rows",
+            "cols",
+            F.unbase64("data").alias("pix"),
+        )
+    if chunked:
+        # EXPLICIT partition count: the compressed exchange is tiny by
+        # construction (~40 KB/frame), so AQE's size-based coalesce would
+        # collapse it to one partition and SERIALIZE the post-shuffle
+        # decode (measured: 155 -> 24 fps). Decode cost scales with rows,
+        # not bytes — pin the count so parallelism tracks CPU, the same
+        # reasoning a 1000-executor cluster needs (a 100 TB compressed
+        # scan still decodes ~15-20x its shuffled volume).
+        # RANGE partition at 4x the configured count: hash placement with
+        # ~as many keys (cameras) as partitions serializes ~3 cameras'
+        # decode per bucket (balls-in-bins; measured 146 vs 200 fps), while
+        # the range partitioner's sampled bounds give each camera its own
+        # partition once partitions >= cameras — same-key rows still land
+        # in exactly one partition (bounds are key values), so the fold's
+        # correctness contract is untouched. The sampling pass re-runs only
+        # the cheap chunk extraction (offset math, no decode). Same math at
+        # cluster scale: a decode-heavy stage wants placement balanced by
+        # key count, not by the (tiny) compressed byte size AQE sees.
+        n_shuffle = 4 * int(
+            frames.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        parted = decoded.repartitionByRange(n_shuffle, "camId").sortWithinPartitions(
+            "camId", "timestamp"
+        )
+    else:
+        parted = decoded.repartition("camId").sortWithinPartitions("camId", "timestamp")
+
+    def _decode_chunk(
+        expect: dict, cam: str, sr: int, sc: int, r: int, c: int,
+        codec: str, chunk,
+    ) -> bytes | None | type(Ellipsis):
+        """Post-shuffle decode for one chunk row. Returns pixel bytes at
+        the target dims, None (null payload -> PERMISSIVE empty frame), or
+        Ellipsis meaning SKIP (drop the row, keep state) — the exact
+        stance the source-side decoders take per bad chunk."""
+        if chunk is None:
+            return None
+        if codec != "mjpeg":
+            return bytes(chunk)  # raw-bgr: already target-dim pixels
+        from distributed_video_analytics_flink_spark.functions.resize import cubic_resize
+        from distributed_video_analytics_flink_spark.sources.jpeg import (
+            JpegError,
+            decode_jpeg,
+        )
+
+        try:
+            img = decode_jpeg(bytes(chunk))
+        except JpegError:
+            return Ellipsis
+        exp = expect.get(cam)
+        if exp is None:
+            # header dims when declared, else first good frame fixes them
+            exp = (sr, sc) if sr > 0 and sc > 0 else img.shape[:2]
+            expect[cam] = exp
+        if img.shape[:2] != exp:
+            return Ellipsis
+        if img.shape[:2] != (r, c):
+            img = cubic_resize(img, r, c)
+        return img.tobytes()
 
     def _detect(batches):
         last: dict[str, tuple[int, int, bytes | None]] = {}
+        expect: dict[str, tuple[int, int]] = {}
         for pdf in batches:
             out = []
-            for cam, ts, r, c, pix in zip(
-                pdf["camId"],
-                pdf["timestamp"].values.astype("datetime64[us]").astype("int64"),
-                pdf["rows"],
-                pdf["cols"],
-                pdf["pix"],
-            ):
+            if chunked:
+                source_iter = zip(
+                    pdf["camId"],
+                    pdf["timestamp"].values.astype("datetime64[us]").astype("int64"),
+                    pdf["rows"],
+                    pdf["cols"],
+                    (
+                        _decode_chunk(expect, cam, int(sr), int(sc), int(r), int(c), codec, ch)
+                        for cam, sr, sc, r, c, codec, ch in zip(
+                            pdf["camId"], pdf["src_rows"], pdf["src_cols"],
+                            pdf["rows"], pdf["cols"], pdf["codec"], pdf["chunk"],
+                        )
+                    ),
+                )
+            else:
+                source_iter = zip(
+                    pdf["camId"],
+                    pdf["timestamp"].values.astype("datetime64[us]").astype("int64"),
+                    pdf["rows"],
+                    pdf["cols"],
+                    pdf["pix"],
+                )
+            for cam, ts, r, c, pix in source_iter:
+                if pix is Ellipsis:
+                    continue  # undecodable/mixed-dims chunk: skip, keep state
                 # Partially-valid records (PERMISSIVE parse nulled rows/cols/
                 # ts but camId survived) must not kill the job: dims default
                 # to 0 -> length validation fails -> 0 boxes, state advances

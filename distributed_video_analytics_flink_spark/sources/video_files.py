@@ -218,6 +218,174 @@ def read_video_files(
     return files.mapInPandas(_extract, FRAME_SCHEMA)
 
 
+# Compressed-passthrough frame rows: `chunk` is the still-encoded payload
+# (JPEG bytes for MJPEG containers, raw BGR for everything else), so a
+# keyBy(camId) exchange carries ~30-60 KB per compressed frame instead of
+# the ~921 KB of decoded 640x480 BGR — the reference's only shuffle is the
+# same keyBy (VideoProcessor.java:86-87), and at 100 TB the exchange, not
+# the decode, is the bottleneck (SCALE.md; r8 VERDICT #1).
+# src_rows/src_cols are the container-declared dims (0 = unknown, fixed by
+# the first good frame, matching decode_mp4's stance); rows/cols are the
+# pipeline target dims the post-shuffle decode resizes to.
+CHUNK_SCHEMA = (
+    "camId string, timestamp timestamp, src_rows int, src_cols int, "
+    "rows int, cols int, codec string, chunk binary"
+)
+
+
+def read_video_chunks(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.{mp4,y4m,avi}",
+    rows: int = 480,
+    cols: int = 640,
+    max_frames_per_file: int = 64,
+) -> DataFrame:
+    """S4 compressed-passthrough scan: like ``read_video_files`` but MJPEG
+    containers (AVI + MP4) are demuxed WITHOUT decoding — pure chunk/sample
+    offset math (sources/avi.py::_chunks, sources/mp4.py::
+    video_sample_ranges) yields the per-frame JPEG bytes as ``chunk`` rows
+    (codec='mjpeg'), deferring the expensive entropy decode until AFTER the
+    motion pipeline's keyBy shuffle, where the pixels are consumed exactly
+    once (operators/video.py::detect_motion_batch's chunk branch).
+
+    Non-compressed containers (Y4M, raw-DIB AVI, PNG, and the inter-frame
+    stub) genuinely must ship pixels, so they decode source-side exactly as
+    ``read_video_files`` does and emit codec='raw-bgr' chunks already at
+    the target dims — one API covers a mixed corpus.
+
+    Divergence from the decode-first path, by design and only on CORRUPT
+    files: timestamps pace by extracted-chunk index, so a mid-file chunk
+    that passes the cheap container checks here but later fails full JPEG
+    decode (skipped post-shuffle) leaves a 33 ms gap where the decode-first
+    path would compact the timeline; clean files are frame-identical
+    (pinned by tests/test_chunk_passthrough.py)."""
+    from distributed_video_analytics_flink_spark.sources.avi import parse_avi_header
+    from distributed_video_analytics_flink_spark.sources.jpeg import is_jpeg
+    from distributed_video_analytics_flink_spark.sources.avi import _chunks as _avi_chunks
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def _mjpeg_avi_chunks(raw: bytes, hdr) -> Iterator[tuple[int, int, bytes]]:
+        """(src_rows, src_cols, jpeg_bytes) per movi chunk passing the same
+        CHEAP checks decode_avi applies before pixel work: complete chunk
+        (a chopped final chunk ends the stream) with a JPEG signature."""
+        want = (b"%02ddb" % hdr.stream_id, b"%02ddc" % hdr.stream_id)
+        n = 0
+        for cid, body, size, declared in _avi_chunks(raw, hdr.movi_start, hdr.movi_end):
+            if n >= max_frames_per_file:
+                return
+            if cid not in want:
+                continue
+            if size < declared:
+                return
+            if not is_jpeg(raw[body : body + 3]):
+                continue
+            yield hdr.height, hdr.width, raw[body : body + size]
+            n += 1
+
+    def _mjpeg_mp4_chunks(raw: bytes) -> Iterator[tuple[int, int, bytes]]:
+        """MP4 twin: sample-table walk, cheap checks only (truncated mdat
+        ends the stream; non-JPEG sample skipped). Raises Mp4Error eagerly
+        for non-MJPEG codecs so the caller falls back, like decode_mp4."""
+        from distributed_video_analytics_flink_spark.sources.mp4 import (
+            MJPEG_SAMPLE_ENTRIES,
+            Mp4Error,
+            _find_video_trak,
+            video_sample_ranges,
+        )
+
+        trak = _find_video_trak(raw)
+        if trak.get("codec") not in MJPEG_SAMPLE_ENTRIES:
+            raise Mp4Error(f"unsupported codec {trak.get('codec')!r}")
+        ranges = list(video_sample_ranges(trak))
+        sr = int(trak.get("height") or 0)
+        sc = int(trak.get("width") or 0)
+
+        def gen() -> Iterator[tuple[int, int, bytes]]:
+            n = 0
+            for off, size in ranges:
+                if n >= max_frames_per_file:
+                    return
+                if off + size > len(raw):
+                    return
+                if not is_jpeg(raw[off : off + 3]):
+                    continue
+                yield sr, sc, raw[off : off + size]
+                n += 1
+
+        return gen()
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from distributed_video_analytics_flink_spark.sources.mp4 import Mp4Error
+
+        for pdf in batches:
+            out = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                cam = os.path.splitext(os.path.basename(p))[0]
+                raw = bytes(content)
+                chunks: Iterator[tuple[int, int, bytes]] | None = None
+                codec = "mjpeg"
+                if is_avi(raw):
+                    try:
+                        hdr = parse_avi_header(raw)
+                    except AviError:
+                        continue  # corrupt header: no rows, no failure
+                    if hdr.codec == "mjpeg":
+                        chunks = _mjpeg_avi_chunks(raw, hdr)
+                elif len(raw) >= 12 and raw[4:8] == b"ftyp":
+                    try:
+                        chunks = _mjpeg_mp4_chunks(raw)
+                    except Mp4Error:
+                        chunks = None  # inter-frame codec: raw fallback below
+                if chunks is None:
+                    # non-compressed (or non-MJPEG) container: decode at the
+                    # source like read_video_files — these bytes ARE pixels
+                    codec = "raw-bgr"
+                    if raw.startswith(Y4M_MAGIC):
+                        try:
+                            decoded = _decode_frames_y4m(raw, rows, cols, max_frames_per_file)
+                        except Y4MError:
+                            decoded = iter(())
+                    elif is_avi(raw):
+                        try:
+                            decoded = _decode_frames_avi(raw, rows, cols, max_frames_per_file)
+                        except AviError:
+                            decoded = iter(())
+                    elif raw.startswith(b"\x89PNG"):
+                        decoded = _decode_frame_png(raw, rows, cols)
+                    else:
+                        decoded = _decode_frames_stub(raw, rows, cols, max_frames_per_file)
+                    chunks = ((rows, cols, f.tobytes()) for f in decoded)
+                for i, (sr, sc, body) in enumerate(chunks):
+                    out.append(
+                        (
+                            cam,
+                            np.datetime64(_EPOCH_US + i * FRAME_INTERVAL_MS * 1000, "us"),
+                            sr,
+                            sc,
+                            rows,
+                            cols,
+                            codec,
+                            body,
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "camId", "timestamp", "src_rows", "src_cols",
+                    "rows", "cols", "codec", "chunk",
+                ],
+            )
+
+    return files.mapInPandas(_extract, CHUNK_SCHEMA)
+
+
 VIDEO_META_SCHEMA = (
     "camId string, path string, size_bytes long, duration_s double, "
     "width double, height double, n_frames long, codec string, fps double"
