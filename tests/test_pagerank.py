@@ -57,3 +57,64 @@ def test_pagerank_iterations_are_jvm_only(spark):
     # scoring re-entered the plan through outdeg/ranks (r8 ADVICE finding)
     assert "FlatMapGroupsInPandas" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_converged_pagerank_contract(spark):
+    """graph_pagerank_converged reaches its integer fixpoint within the
+    iteration cap on the fixture graph and spans every vector."""
+    from distributed_video_analytics_flink_spark.operators.similarity import (
+        graph_pagerank_converged,
+    )
+
+    row = graph_pagerank_converged(spark, SF).collect()[0]
+    assert row["converged"] is True
+    assert row["within_iter_cap"] is True
+    assert row["n_nodes"] == load_table(spark, SF, "embeddings").count()
+
+
+def test_converged_edges_partitioned_once(spark, tmp_path):
+    """The co-partitioning contract (r8 VERDICT #3): the degree-annotated
+    edge set lives in a table BUCKETED by src, so a single iteration step
+    plans NO exchange that re-partitions on the edge frame's `u` — only
+    the rank side (node) and the per-destination aggregate shuffle.
+    Broadcast is disabled so the join takes the sort-merge path a 100 TB
+    rank table would (locally AQE would broadcast the tiny rank side)."""
+    from distributed_video_analytics_flink_spark.plans import (
+        exchange_count,
+        formatted_plan,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)], "u long, v long"
+        )
+        outdeg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("outd"))
+        spark.sql("DROP TABLE IF EXISTS pr_edges_plan_test")
+        (
+            edges.join(outdeg, "u")
+            .write.bucketBy(32, "u")
+            .sortBy("u")
+            .option("path", str(tmp_path / "edges"))
+            .mode("overwrite")
+            .saveAsTable("pr_edges_plan_test")
+        )
+        edges_od = spark.table("pr_edges_plan_test")
+        ranks = edges.select(F.col("u").alias("node")).distinct().withColumn(
+            "r", F.lit(_PR_SCALE // 3).cast("long")
+        ).localCheckpoint()
+        step = (
+            edges_od.join(ranks, edges_od["u"] == ranks["node"])
+            .select(F.col("v").alias("node"), F.expr("(85 * r) DIV (100 * outd)").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        plan = formatted_plan(step)
+        # the bucketed edge layout is reused: nothing re-partitions on u
+        assert "hashpartitioning(u#" not in plan, plan
+        # rank-side join exchange + the destination aggregate exchange only
+        assert exchange_count(step) <= 2, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pr_edges_plan_test")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
