@@ -2947,6 +2947,59 @@ def append_ivf_pq_index(new_vectors: DataFrame, path: str) -> str:
     return path
 
 
+_IVF_PQ_TOMBSTONE_DIR = "_tombstones"  # "_"-prefixed: invisible to the scan
+
+
+def delete_from_ivf_pq_index(spark: SparkSession, vec_ids, path: str) -> str:
+    """DELETE step of the index lifecycle (r8 VERDICT #4): a curation pass
+    that drops near-dup losers (sim_neardup_keep_best) needs dead vectors
+    out of the SERVED index without rewriting it. Deletes are TOMBSTONES:
+    the ids land as a parquet append under ``_tombstones/`` (the "_"
+    prefix keeps the codes scan blind to them, like the model sidecar),
+    applied at serve time by :func:`read_ivf_pq_index` and physically
+    dropped at the next :func:`compact_ivf_pq_index` version roll — the
+    standard LSM/iceberg-style delete-file posture: an O(batch) append
+    now, the O(index) rewrite deferred to compaction.
+
+    ``vec_ids`` is a DataFrame carrying ``vec_id`` or a plain iterable of
+    ids. Deleting an id that was never indexed is a no-op by construction
+    (anti-join), so callers need not pre-filter."""
+    import os as _os
+
+    if not isinstance(vec_ids, DataFrame):
+        vec_ids = spark.createDataFrame(
+            [(int(v),) for v in vec_ids], "vec_id long"
+        )
+    (
+        vec_ids.select(F.col("vec_id").cast("long").alias("vec_id"))
+        .distinct()
+        .write.mode("append")
+        .parquet(_os.path.join(path, _IVF_PQ_TOMBSTONE_DIR))
+    )
+    return path
+
+
+def read_ivf_pq_index(spark: SparkSession, path: str) -> DataFrame:
+    """Serve-time view of an at-rest index: the cell-partitioned codes
+    scan MINUS tombstoned ids. The tombstone set is broadcast into a
+    left-anti join (bounded: delete batches are curation-sized, and
+    compaction regularly zeroes the set), and a caller's cent_id probe
+    predicate still pushes through the join to the scan as a
+    PartitionFilter — pruning is preserved, pinned by
+    tests/test_ivf_pq_at_rest.py. With no tombstones this IS the plain
+    scan (same plan, zero overhead)."""
+    import os as _os
+
+    coded = spark.read.parquet(path)
+    tomb = _os.path.join(path, _IVF_PQ_TOMBSTONE_DIR)
+    if _os.path.isdir(tomb) and any(
+        f.endswith(".parquet") for f in _os.listdir(tomb)
+    ):
+        tombs = spark.read.parquet(tomb).select("vec_id").distinct()
+        coded = coded.join(F.broadcast(tombs), "vec_id", "left_anti")
+    return coded
+
+
 def compact_ivf_pq_index(
     spark: SparkSession, src_path: str, dst_path: str, files_per_cell: int = 1
 ) -> str:
@@ -2959,25 +3012,39 @@ def compact_ivf_pq_index(
     publishes ``dst_path`` with the same single atomic rename as the
     build — the serving fleet flips a path and never observes a
     half-compacted index. The source version stays intact for readers
-    mid-flight. Row set is bit-identical: compaction moves bytes, never
-    re-encodes.
+    mid-flight. Surviving rows are bit-identical: compaction moves
+    bytes, never re-encodes — but TOMBSTONED ids (delete_from_ivf_pq_
+    index) are physically dropped here and the dst version starts with
+    an empty tombstone set (the LSM delete-file lifecycle).
 
-    WRITER CONTRACT (r8 review): QUIESCE appends to ``src_path`` (stop
-    the append stream) before compacting — a batch landing after the
-    read snapshot would be missing from ``dst_path``, so deleting the
-    source after the flip would lose it. The fence below turns a
-    violated contract into a loud error instead of silent loss: after
-    writing the compacted copy it re-lists the source, and any file that
-    appeared since the snapshot aborts the publish (the append stream
-    can then be drained and compaction retried). Only delete
-    ``src_path`` after the flip AND after repointing every appender."""
+    WRITER CONTRACT (r8 review): QUIESCE appends AND deletes to
+    ``src_path`` before compacting — a batch landing after the read
+    snapshot would be missing from ``dst_path``, so deleting the source
+    after the flip would lose it. The fence turns a violated contract
+    into a loud error instead of silent loss: the source file set
+    (data + tombstones) is re-listed BEFORE the rename and AGAIN AFTER
+    it (r8 ADVICE: an append sneaking in between the first re-list and
+    the rename was previously undetected) — a post-rename mismatch
+    rolls the published dst back and raises, so a thinner copy is never
+    left serving. The remaining window is the rename syscall itself;
+    the quiesce contract stays load-bearing for appends that land after
+    publish. Only delete ``src_path`` after the flip AND after
+    repointing every appender."""
     import json
     import os
     import shutil
 
+    def _src_file_set() -> frozenset:
+        out = []
+        for root, dirs, files in os.walk(src_path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.append(os.path.join(root, f))
+        return frozenset(out)
+
     C, _cn, CT1 = _load_index_model(src_path)  # validates src completeness
-    src = spark.read.parquet(src_path)
-    snapshot = set(src.inputFiles())
+    src = read_ivf_pq_index(spark, src_path)  # tombstones applied here
+    snapshot = _src_file_set()
     tmp = f"{dst_path}.build-{os.getpid()}-{threading.get_ident()}"
     (
         src.repartition(
@@ -2987,12 +3054,20 @@ def compact_ivf_pq_index(
         .partitionBy("cent_id")
         .parquet(tmp)
     )
-    if set(spark.read.parquet(src_path).inputFiles()) != snapshot:
+
+    def _fence(stage: str) -> None:
+        if _src_file_set() != snapshot:
+            raise RuntimeError(
+                f"source index {src_path!r} changed during compaction "
+                f"({stage}; concurrent appends/deletes?): quiesce the "
+                "writers and retry"
+            )
+
+    try:
+        _fence("pre-publish")
+    except RuntimeError:
         shutil.rmtree(tmp, ignore_errors=True)
-        raise RuntimeError(
-            f"source index {src_path!r} changed during compaction "
-            "(concurrent appends?): quiesce the append stream and retry"
-        )
+        raise
     with open(os.path.join(tmp, _IVF_PQ_MODEL_FILE), "w") as fh:
         json.dump(
             {"format": _IVF_PQ_INDEX_FORMAT, "C": C.tolist(), "CT1": CT1.tolist()},
@@ -3002,6 +3077,11 @@ def compact_ivf_pq_index(
         os.rename(tmp, dst_path)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    try:
+        _fence("post-publish")
+    except RuntimeError:
+        shutil.rmtree(dst_path, ignore_errors=True)  # roll back the publish
         raise
     return dst_path
 
@@ -3074,7 +3154,7 @@ def sim_ivf_pq_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = write_ivf_pq_index(spark, sf_dir, coarse=(C, cn))
-    coded = spark.read.parquet(path)
+    coded = read_ivf_pq_index(spark, path)  # tombstone-aware serve view
     qt = F.array(
         *[
             F.array(*[F.lit(int(qtab[s, j])) for j in range(_PQ_K)])
@@ -3173,7 +3253,7 @@ def sim_ivf_pq_append_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         append_ivf_pq_index(appended_src, path)
 
-        idx = spark.read.parquet(path)
+        idx = read_ivf_pq_index(spark, path)
         probes = _ivf_coarse_and_query(emb)[4]
         new = idx.filter(F.col("vec_id") >= 1_000_000)
         n_visible = new.filter(F.col("cent_id").isin(probes)).count()

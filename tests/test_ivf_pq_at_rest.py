@@ -398,32 +398,151 @@ def test_compact_rolls_version_identically(spark, tmp_path):
 def test_compact_fences_concurrent_appends(spark, tmp_path, monkeypatch):
     """Compaction's writer contract says quiesce appenders first; the
     fence must turn a violated contract (a batch landing after the read
-    snapshot) into a loud error, never a silently thinner dst version."""
+    snapshot) into a loud error, never a silently thinner dst version.
+    Injection point: right after the compacted copy is written (before
+    the pre-publish fence)."""
+    import pytest as _pytest
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from distributed_video_analytics_flink_spark.operators import similarity as S
+
+    path = write_ivf_pq_index(spark, SF, str(tmp_path / "v1"))
+
+    orig_parquet = DataFrameWriter.parquet
+    state = {"armed": True}
+
+    def sneaky_parquet(self, p, **kw):
+        out = orig_parquet(self, p, **kw)
+        if state["armed"] and ".build-" in p:
+            state["armed"] = False  # the injected append must not recurse
+            S.append_ivf_pq_index(
+                _copy_vectors(spark, n=1, id_offset=6_000_000), path
+            )
+        return out
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", sneaky_parquet)
+    with _pytest.raises(RuntimeError, match="changed during compaction"):
+        S.compact_ivf_pq_index(spark, path, str(tmp_path / "v2"))
+    monkeypatch.undo()
+    assert not (tmp_path / "v2").exists()  # nothing published
+
+
+def test_compact_toctou_append_after_fence_rolls_back(spark, tmp_path, monkeypatch):
+    """r8 ADVICE: an append landing BETWEEN the pre-publish re-list and
+    os.rename was previously undetected (a silently thinner dst stayed
+    published). The post-publish re-list must catch it, roll the dst
+    back, and raise."""
+    import os as _os
+
     import pytest as _pytest
 
     from distributed_video_analytics_flink_spark.operators import similarity as S
 
     path = write_ivf_pq_index(spark, SF, str(tmp_path / "v1"))
 
-    real_rename = S.os.rename if hasattr(S, "os") else None  # noqa: F841
-    orig_read = spark.read.parquet
-    calls = {"n": 0}
+    real_rename = _os.rename
+    state = {"armed": True}
 
-    class _SneakyReader:
-        def parquet(self, p):
-            df = orig_read(p)
-            calls["n"] += 1
-            if calls["n"] == 2:  # the post-write re-list: append raced in
-                S.append_ivf_pq_index(
-                    _copy_vectors(spark, n=1, id_offset=6_000_000), path
-                )
-                return orig_read(p)
-            return df
+    def sneaky_rename(src, dst):
+        if state["armed"] and src.endswith("v2") is False and ".build-" in src:
+            state["armed"] = False
+            S.append_ivf_pq_index(
+                _copy_vectors(spark, n=1, id_offset=7_000_000), path
+            )
+        return real_rename(src, dst)
 
-    monkeypatch.setattr(
-        type(spark), "read", property(lambda self: _SneakyReader())
-    )
+    monkeypatch.setattr(_os, "rename", sneaky_rename)
     with _pytest.raises(RuntimeError, match="changed during compaction"):
         S.compact_ivf_pq_index(spark, path, str(tmp_path / "v2"))
     monkeypatch.undo()
-    assert not (tmp_path / "v2").exists()  # nothing published
+    assert not (tmp_path / "v2").exists()  # published copy rolled back
+
+
+# ---------------------------------------------------------------------------
+# Deletions (VERDICT r8 #4): tombstone sidecars applied at serve time,
+# physically dropped by compaction's version roll.
+# ---------------------------------------------------------------------------
+
+
+def test_delete_invisible_through_pruned_scan(spark, tmp_path):
+    """A tombstoned vec_id disappears from the serve view immediately —
+    including through the probe-pruned scan — while pruning itself stays
+    a PartitionFilter and untouched rows are unaffected."""
+    from distributed_video_analytics_flink_spark.operators.similarity import (
+        delete_from_ivf_pq_index,
+        read_ivf_pq_index,
+    )
+
+    path = write_ivf_pq_index(spark, SF, str(tmp_path / "index"))
+    emb = load_table(spark, SF, "embeddings")
+    probes = _ivf_coarse_and_query(emb)[4]
+    base = spark.read.parquet(path)
+    in_probed = [
+        r["vec_id"]
+        for r in base.filter(F.col("cent_id").isin(probes)).limit(2).collect()
+    ]
+    assert len(in_probed) == 2
+
+    delete_from_ivf_pq_index(spark, in_probed, path)
+
+    view = read_ivf_pq_index(spark, path)
+    probed = view.filter(F.col("cent_id").isin(probes))
+    got = {r["vec_id"] for r in probed.collect()}
+    assert not (set(in_probed) & got)
+    # untouched rows: everything else in the probed cells is still served
+    want = {
+        r["vec_id"]
+        for r in base.filter(F.col("cent_id").isin(probes)).collect()
+    } - set(in_probed)
+    assert got == want
+    # pruning preserved through the anti-join
+    plan = formatted_plan(probed)
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cent_id" in pf_line and "IN" in pf_line
+    # deleting a never-indexed id is a no-op
+    delete_from_ivf_pq_index(spark, [987_654_321], path)
+    assert read_ivf_pq_index(spark, path).count() == view.count()
+
+
+def test_compact_drops_tombstones_physically(spark, tmp_path):
+    """The version roll applies tombstones: deleted rows are absent from
+    the dst's PLAIN scan (physically gone, not filtered), dst starts with
+    an empty tombstone set, and the model carry + appendability survive."""
+    import os as _os
+
+    from distributed_video_analytics_flink_spark.operators.similarity import (
+        _IVF_PQ_TOMBSTONE_DIR,
+        append_ivf_pq_index,
+        compact_ivf_pq_index,
+        delete_from_ivf_pq_index,
+        read_ivf_pq_index,
+    )
+
+    path = write_ivf_pq_index(spark, SF, str(tmp_path / "v1"))
+    append_ivf_pq_index(_copy_vectors(spark, n=3, id_offset=1_000_000), path)
+    victims = [1_000_001, 1_000_002]
+    delete_from_ivf_pq_index(spark, victims, path)
+
+    dst = str(tmp_path / "v2")
+    compact_ivf_pq_index(spark, path, dst)
+
+    plain = spark.read.parquet(dst)  # NOT the tombstone-aware reader
+    ids = {r["vec_id"] for r in plain.select("vec_id").collect()}
+    assert not (set(victims) & ids)
+    assert 1_000_003 in ids  # surviving appended row carried over
+    assert not _os.path.isdir(_os.path.join(dst, _IVF_PQ_TOMBSTONE_DIR))
+    # row set == source serve view, bit-identical
+    key = lambda r: (r["vec_id"], tuple(r["codes"]), r["cent_id"])  # noqa: E731
+    assert sorted(map(key, plain.collect())) == sorted(
+        map(key, read_ivf_pq_index(spark, path).collect())
+    )
+    # model carried: a post-compaction append still encodes identically
+    append_ivf_pq_index(_copy_vectors(spark, n=1, id_offset=4_000_000), dst)
+    a = spark.read.parquet(dst).filter(F.col("vec_id") == 4_000_001).collect()[0]
+    b = spark.read.parquet(path).filter(F.col("vec_id") == 1).collect()[0]
+    assert list(a["codes"]) == list(b["codes"]) and a["cent_id"] == b["cent_id"]
+    # re-deleting on the new version works (fresh tombstone lifecycle)
+    delete_from_ivf_pq_index(spark, [4_000_001], dst)
+    assert 4_000_001 not in {
+        r["vec_id"] for r in read_ivf_pq_index(spark, dst).collect()
+    }
