@@ -134,6 +134,8 @@ HEADLINE = [
     # already benched by motion_stream_fps_640x480.
     "sim_ivf_pq_append_checked",
     "graph_pagerank",
+    # round 9: PageRank iterated to a checked fixpoint over bucketed edges
+    "graph_pagerank_converged",
 ]
 
 MOTION_FRAMES_PER_CAM = 32
@@ -176,15 +178,26 @@ def _over_budget() -> bool:
     return time.time() - _T_START > BENCH_BUDGET_S
 
 
-def _min_of_runs(run_once, n_frames: int) -> float:
+# Full per-run times per motion leg (VERDICT r8 #5): the two same-day r8
+# runs differed ~30% on the motion legs and only the min survived into the
+# record, hiding the distribution. Every _min_of_runs call now appends its
+# raw run times here and emit() writes them into the detail sidecar, so
+# variance is visible without re-running the bench.
+_RUN_TIMES: dict[str, list[float]] = {}
+
+
+def _min_of_runs(run_once, n_frames: int, leg: str | None = None) -> float:
     """min over up to MOTION_MAX_RUNS timed runs, early-stopping once a run
     demonstrates >= MOTION_TARGET_FPS AND at least MOTION_MIN_RUNS runs were
     taken (noise-window escape needs a stable sample, see above), or the
     bench budget is spent (after at least 2 runs)."""
     best = float("inf")
+    runs = _RUN_TIMES.setdefault(leg, []) if leg else []
     max_runs = MOTION_MAX_RUNS if not _over_budget() else 2
     for i in range(max_runs):
-        best = min(best, run_once())
+        t = run_once()
+        runs.append(round(t, 3))
+        best = min(best, t)
         if i + 1 >= MOTION_MIN_RUNS and n_frames / best >= MOTION_TARGET_FPS:
             break
         if i >= 1 and _over_budget():
@@ -250,7 +263,7 @@ def bench_motion_fps(spark) -> tuple[float, int]:
         _force(out)
         return time.time() - t0
 
-    return _min_of_runs(once, n), n
+    return _min_of_runs(once, n, leg="motion_pipeline_640x480"), n
 
 
 def bench_motion_mjpeg_fps(spark) -> tuple[float, int]:
@@ -309,7 +322,7 @@ def bench_motion_mjpeg_fps(spark) -> tuple[float, int]:
             _force(out)
             return time.time() - t0
 
-        return _min_of_runs(once, n), n
+        return _min_of_runs(once, n, leg="motion_mjpeg_640x480"), n
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -396,7 +409,9 @@ def bench_motion_stream_fps(spark) -> tuple[float, int]:
 
     _run("warmup")
     runs = iter(range(MOTION_MAX_RUNS))
-    sec = _min_of_runs(lambda: _run(f"t{next(runs)}"), n)
+    sec = _min_of_runs(
+        lambda: _run(f"t{next(runs)}"), n, leg="motion_stream_640x480"
+    )
     shutil.rmtree(root, ignore_errors=True)
     return sec, n
 
@@ -559,6 +574,9 @@ def main() -> None:
         "motion_mjpeg_fps_640x480": motion_mjpeg_fps,
         "motion_stream_fps_640x480": motion_stream_fps,
         "corpus_stream_docs_per_sec": corpus_docs_per_sec,
+        # per-run distributions (VERDICT r8 #5): the min is the headline,
+        # the spread is the context — same-day runs swing ~30% on this host
+        "motion_run_times": dict(_RUN_TIMES),
     }
     if errors:
         payload["errors"] = errors
