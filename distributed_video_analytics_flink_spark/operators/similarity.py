@@ -3544,8 +3544,13 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .collect()[0]["d"]
             )
             converged = delta is not None and delta <= tol_q
+        # STRICT cap check: iters <= cap would be vacuously true by loop
+        # construction (the r8-ADVICE vacuous-assertion trap); < pins that
+        # convergence, not budget exhaustion, ended the loop — exact
+        # integer arithmetic makes the iteration count deterministic per
+        # fixture, so the boolean is driver-stable
         return spark.createDataFrame(
-            [(converged, iters <= _PR_MAX_ITERS, n)],
+            [(converged, iters < _PR_MAX_ITERS, n)],
             "converged boolean, within_iter_cap boolean, n_nodes bigint",
         )
     finally:
