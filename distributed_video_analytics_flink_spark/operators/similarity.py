@@ -660,32 +660,35 @@ def sim_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     that shuffle is O(B * k) per vector, not O(label). The price of
     exactness is the B-fold replication shuffle; the bucketed twin
     trades that (plus LSH recall) for a single un-replicated shuffle."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    return label_knn_exact(emb, _EXACT_CELL_BUCKETS, k=3)
+    return _shared_knn_frame(spark, sf_dir)
 
 
-# Session-scoped memo of the scored k-NN edge frame: the exact pair-cell
+# Session-scoped memo of the scored k-NN frame: the exact pair-cell
 # scoring is the single most expensive step on FOUR registered queries'
 # critical paths (sim_label_knn itself, graph_triangle_count, and both
-# PageRank variants — r8 VERDICT #7). The graph queries consume the SAME
-# (vec_id, neighbor_id) edge set, so one localCheckpoint per (app, sf_dir)
-# serves them all; results are unchanged (the memo pins the identical
-# frame the callers would recompute). Keyed by applicationId so a new
-# session never sees a stale handle; bounded: |V| * k edge rows per sf.
+# PageRank variants — r8 VERDICT #7). All four consume the SAME scored
+# frame, so one localCheckpoint per (app, sf_dir) serves them all;
+# results are unchanged (the memo pins the identical frame the callers
+# would recompute — exact integer-quantized scoring, so there is no
+# run-to-run drift to freeze in). Keyed by applicationId so a new
+# session never sees a stale handle; bounded: |V| * k rows per sf.
 _KNN_EDGE_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
-def _shared_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shared_knn_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _KNN_EDGE_MEMO.get(key)
     if df is None:
-        df = (
-            sim_label_knn(spark, sf_dir)
-            .select("vec_id", "neighbor_id")
-            .localCheckpoint()
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
         )
+        df = label_knn_exact(emb, _EXACT_CELL_BUCKETS, k=3).localCheckpoint()
         _KNN_EDGE_MEMO[key] = df
     return df
+
+
+def _shared_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shared_knn_frame(spark, sf_dir).select("vec_id", "neighbor_id")
 
 
 def label_knn_exact(emb: DataFrame, n_buckets: int, k: int = 3) -> DataFrame:
