@@ -243,38 +243,12 @@ def detect_motion_batch(frames: DataFrame, annotate: bool = False) -> DataFrame:
     else:
         parted = decoded.repartition("camId").sortWithinPartitions("camId", "timestamp")
 
-    def _decode_chunk(
-        expect: dict, cam: str, sr: int, sc: int, r: int, c: int,
-        codec: str, chunk,
-    ) -> bytes | None | type(Ellipsis):
-        """Post-shuffle decode for one chunk row. Returns pixel bytes at
-        the target dims, None (null payload -> PERMISSIVE empty frame), or
-        Ellipsis meaning SKIP (drop the row, keep state) — the exact
-        stance the source-side decoders take per bad chunk."""
-        if chunk is None:
-            return None
-        if codec != "mjpeg":
-            return bytes(chunk)  # raw-bgr: already target-dim pixels
-        from distributed_video_analytics_flink_spark.functions.resize import cubic_resize
-        from distributed_video_analytics_flink_spark.sources.jpeg import (
-            JpegError,
-            decode_jpeg,
-        )
-
-        try:
-            img = decode_jpeg(bytes(chunk))
-        except JpegError:
-            return Ellipsis
-        exp = expect.get(cam)
-        if exp is None:
-            # header dims when declared, else first good frame fixes them
-            exp = (sr, sc) if sr > 0 and sc > 0 else img.shape[:2]
-            expect[cam] = exp
-        if img.shape[:2] != exp:
-            return Ellipsis
-        if img.shape[:2] != (r, c):
-            img = cubic_resize(img, r, c)
-        return img.tobytes()
+    # post-shuffle decode: the single shared implementation
+    # (sources/video_files.py::decode_chunk_to_pixels) — also used by the
+    # streaming fold, so batch and stream skip semantics cannot drift
+    from distributed_video_analytics_flink_spark.sources.video_files import (
+        decode_chunk_to_pixels as _decode_chunk,
+    )
 
     def _detect(batches):
         last: dict[str, tuple[int, int, bytes | None]] = {}

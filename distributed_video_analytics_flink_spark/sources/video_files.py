@@ -233,6 +233,150 @@ CHUNK_SCHEMA = (
 )
 
 
+def iter_chunk_rows(
+    raw: bytes, cam: str, rows: int, cols: int, max_frames: int
+) -> Iterator[tuple]:
+    """One file's compressed-passthrough rows:
+    ``(camId, ts_us, src_rows, src_cols, rows, cols, codec, chunk_bytes)``.
+    MJPEG AVI/MP4 demux by pure offset math (codec='mjpeg', chunk = the
+    still-encoded JPEG); everything else decodes source-side exactly like
+    ``read_video_files`` and emits codec='raw-bgr' pixels at the target
+    dims. The single copy shared by the binaryFile scan
+    (:func:`read_video_chunks`) and the ``videochunks`` Data Source
+    (batch + streaming), so skip semantics cannot drift between them."""
+    from distributed_video_analytics_flink_spark.sources.avi import (
+        _chunks as _avi_chunks,
+    )
+    from distributed_video_analytics_flink_spark.sources.avi import parse_avi_header
+    from distributed_video_analytics_flink_spark.sources.jpeg import is_jpeg
+    from distributed_video_analytics_flink_spark.sources.mp4 import Mp4Error
+
+    def _mjpeg_avi(hdr) -> Iterator[tuple[int, int, bytes]]:
+        want = (b"%02ddb" % hdr.stream_id, b"%02ddc" % hdr.stream_id)
+        n = 0
+        for cid, body, size, declared in _avi_chunks(raw, hdr.movi_start, hdr.movi_end):
+            if n >= max_frames:
+                return
+            if cid not in want:
+                continue
+            if size < declared:
+                return  # chopped final chunk ends the stream
+            if not is_jpeg(raw[body : body + 3]):
+                continue
+            yield hdr.height, hdr.width, raw[body : body + size]
+            n += 1
+
+    def _mjpeg_mp4() -> Iterator[tuple[int, int, bytes]]:
+        from distributed_video_analytics_flink_spark.sources.mp4 import (
+            MJPEG_SAMPLE_ENTRIES,
+            _find_video_trak,
+            video_sample_ranges,
+        )
+
+        trak = _find_video_trak(raw)
+        if trak.get("codec") not in MJPEG_SAMPLE_ENTRIES:
+            raise Mp4Error(f"unsupported codec {trak.get('codec')!r}")
+        ranges = list(video_sample_ranges(trak))
+        sr = int(trak.get("height") or 0)
+        sc = int(trak.get("width") or 0)
+
+        def gen() -> Iterator[tuple[int, int, bytes]]:
+            n = 0
+            for off, size in ranges:
+                if n >= max_frames:
+                    return
+                if off + size > len(raw):
+                    return  # truncated mdat ends the stream
+                if not is_jpeg(raw[off : off + 3]):
+                    continue
+                yield sr, sc, raw[off : off + size]
+                n += 1
+
+        return gen()
+
+    chunks: Iterator[tuple[int, int, bytes]] | None = None
+    codec = "mjpeg"
+    if is_avi(raw):
+        try:
+            hdr = parse_avi_header(raw)
+        except AviError:
+            return  # corrupt header: no rows, no failure
+        if hdr.codec == "mjpeg":
+            chunks = _mjpeg_avi(hdr)
+    elif len(raw) >= 12 and raw[4:8] == b"ftyp":
+        try:
+            chunks = _mjpeg_mp4()
+        except Mp4Error:
+            chunks = None  # inter-frame codec: raw fallback below
+    if chunks is None:
+        # non-compressed (or non-MJPEG) container: decode at the source
+        # like read_video_files — these bytes ARE pixels
+        codec = "raw-bgr"
+        if raw.startswith(Y4M_MAGIC):
+            try:
+                decoded = _decode_frames_y4m(raw, rows, cols, max_frames)
+            except Y4MError:
+                decoded = iter(())
+        elif is_avi(raw):
+            try:
+                decoded = _decode_frames_avi(raw, rows, cols, max_frames)
+            except AviError:
+                decoded = iter(())
+        elif raw.startswith(b"\x89PNG"):
+            decoded = _decode_frame_png(raw, rows, cols)
+        else:
+            decoded = _decode_frames_stub(raw, rows, cols, max_frames)
+        chunks = ((rows, cols, f.tobytes()) for f in decoded)
+    for i, (sr, sc, body) in enumerate(chunks):
+        yield (
+            cam,
+            _EPOCH_US + i * FRAME_INTERVAL_MS * 1000,
+            sr,
+            sc,
+            rows,
+            cols,
+            codec,
+            body,
+        )
+
+
+def decode_chunk_to_pixels(
+    expect: dict, cam: str, sr: int, sc: int, r: int, c: int, codec: str, chunk
+):
+    """Post-shuffle decode for ONE chunk row — the consumer-side half of
+    the compressed passthrough, shared by the batch motion fold
+    (operators/video.py) and the streaming fold (streaming/motion.py).
+    Returns pixel bytes at the target dims, None (null payload ->
+    PERMISSIVE empty frame), or Ellipsis meaning SKIP (drop the row, keep
+    the previous-frame carry) — the exact stance the source-side decoders
+    take per bad chunk. ``expect`` carries each camera's fixed frame dims
+    (header-declared when known, else the first good frame fixes them —
+    decode_mp4's rule)."""
+    if chunk is None:
+        return None
+    if codec != "mjpeg":
+        return bytes(chunk)  # raw-bgr: already target-dim pixels
+    from distributed_video_analytics_flink_spark.functions.resize import cubic_resize
+    from distributed_video_analytics_flink_spark.sources.jpeg import (
+        JpegError,
+        decode_jpeg,
+    )
+
+    try:
+        img = decode_jpeg(bytes(chunk))
+    except JpegError:
+        return Ellipsis
+    exp = expect.get(cam)
+    if exp is None:
+        exp = (sr, sc) if sr > 0 and sc > 0 else img.shape[:2]
+        expect[cam] = exp
+    if img.shape[:2] != exp:
+        return Ellipsis
+    if img.shape[:2] != (r, c):
+        img = cubic_resize(img, r, c)
+    return img.tobytes()
+
+
 def read_video_chunks(
     spark: SparkSession,
     path: str,
@@ -260,10 +404,6 @@ def read_video_chunks(
     decode (skipped post-shuffle) leaves a 33 ms gap where the decode-first
     path would compact the timeline; clean files are frame-identical
     (pinned by tests/test_chunk_passthrough.py)."""
-    from distributed_video_analytics_flink_spark.sources.avi import parse_avi_header
-    from distributed_video_analytics_flink_spark.sources.jpeg import is_jpeg
-    from distributed_video_analytics_flink_spark.sources.avi import _chunks as _avi_chunks
-
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
@@ -271,110 +411,15 @@ def read_video_chunks(
         .select("path", "content")
     )
 
-    def _mjpeg_avi_chunks(raw: bytes, hdr) -> Iterator[tuple[int, int, bytes]]:
-        """(src_rows, src_cols, jpeg_bytes) per movi chunk passing the same
-        CHEAP checks decode_avi applies before pixel work: complete chunk
-        (a chopped final chunk ends the stream) with a JPEG signature."""
-        want = (b"%02ddb" % hdr.stream_id, b"%02ddc" % hdr.stream_id)
-        n = 0
-        for cid, body, size, declared in _avi_chunks(raw, hdr.movi_start, hdr.movi_end):
-            if n >= max_frames_per_file:
-                return
-            if cid not in want:
-                continue
-            if size < declared:
-                return
-            if not is_jpeg(raw[body : body + 3]):
-                continue
-            yield hdr.height, hdr.width, raw[body : body + size]
-            n += 1
-
-    def _mjpeg_mp4_chunks(raw: bytes) -> Iterator[tuple[int, int, bytes]]:
-        """MP4 twin: sample-table walk, cheap checks only (truncated mdat
-        ends the stream; non-JPEG sample skipped). Raises Mp4Error eagerly
-        for non-MJPEG codecs so the caller falls back, like decode_mp4."""
-        from distributed_video_analytics_flink_spark.sources.mp4 import (
-            MJPEG_SAMPLE_ENTRIES,
-            Mp4Error,
-            _find_video_trak,
-            video_sample_ranges,
-        )
-
-        trak = _find_video_trak(raw)
-        if trak.get("codec") not in MJPEG_SAMPLE_ENTRIES:
-            raise Mp4Error(f"unsupported codec {trak.get('codec')!r}")
-        ranges = list(video_sample_ranges(trak))
-        sr = int(trak.get("height") or 0)
-        sc = int(trak.get("width") or 0)
-
-        def gen() -> Iterator[tuple[int, int, bytes]]:
-            n = 0
-            for off, size in ranges:
-                if n >= max_frames_per_file:
-                    return
-                if off + size > len(raw):
-                    return
-                if not is_jpeg(raw[off : off + 3]):
-                    continue
-                yield sr, sc, raw[off : off + size]
-                n += 1
-
-        return gen()
-
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from distributed_video_analytics_flink_spark.sources.mp4 import Mp4Error
-
         for pdf in batches:
             out = []
             for p, content in zip(pdf["path"], pdf["content"]):
                 cam = os.path.splitext(os.path.basename(p))[0]
-                raw = bytes(content)
-                chunks: Iterator[tuple[int, int, bytes]] | None = None
-                codec = "mjpeg"
-                if is_avi(raw):
-                    try:
-                        hdr = parse_avi_header(raw)
-                    except AviError:
-                        continue  # corrupt header: no rows, no failure
-                    if hdr.codec == "mjpeg":
-                        chunks = _mjpeg_avi_chunks(raw, hdr)
-                elif len(raw) >= 12 and raw[4:8] == b"ftyp":
-                    try:
-                        chunks = _mjpeg_mp4_chunks(raw)
-                    except Mp4Error:
-                        chunks = None  # inter-frame codec: raw fallback below
-                if chunks is None:
-                    # non-compressed (or non-MJPEG) container: decode at the
-                    # source like read_video_files — these bytes ARE pixels
-                    codec = "raw-bgr"
-                    if raw.startswith(Y4M_MAGIC):
-                        try:
-                            decoded = _decode_frames_y4m(raw, rows, cols, max_frames_per_file)
-                        except Y4MError:
-                            decoded = iter(())
-                    elif is_avi(raw):
-                        try:
-                            decoded = _decode_frames_avi(raw, rows, cols, max_frames_per_file)
-                        except AviError:
-                            decoded = iter(())
-                    elif raw.startswith(b"\x89PNG"):
-                        decoded = _decode_frame_png(raw, rows, cols)
-                    else:
-                        decoded = _decode_frames_stub(raw, rows, cols, max_frames_per_file)
-                    chunks = ((rows, cols, f.tobytes()) for f in decoded)
-                for i, (sr, sc, body) in enumerate(chunks):
-                    out.append(
-                        (
-                            cam,
-                            np.datetime64(_EPOCH_US + i * FRAME_INTERVAL_MS * 1000, "us"),
-                            sr,
-                            sc,
-                            rows,
-                            cols,
-                            codec,
-                            body,
-                        )
-                    )
+                for row in iter_chunk_rows(
+                    bytes(content), cam, rows, cols, max_frames_per_file
+                ):
+                    out.append((row[0], np.datetime64(row[1], "us")) + row[2:])
             yield pd.DataFrame(
                 out,
                 columns=[

@@ -125,11 +125,74 @@ def _out_columns(annotate: bool) -> list[str]:
     return cols
 
 
+def _chunks_to_pix(batch: pd.DataFrame) -> pd.DataFrame:
+    """Compressed-passthrough leg of the streaming fold: decode a chunk
+    micro-batch (CHUNK schema: still-encoded payloads that crossed the
+    keyBy shuffle) into the pix rows `_fold_batch` consumes, DROPPING
+    undecodable/mixed-dims chunks exactly like the batch twin — the drop
+    happens before the fold, so the previous-frame carry never advances
+    past a skipped chunk (sources/video_files.py::decode_chunk_to_pixels
+    is the single shared implementation). Rows are decoded in event-time
+    order so the first-good-frame dims rule is order-stable; per-camera
+    dims expectations reset per micro-batch, which is exact whenever the
+    container declares dims (always, for MJPEG-AVI) and documented
+    divergence only for declared-dims-free corrupt streams."""
+    from distributed_video_analytics_flink_spark.sources.video_files import (
+        decode_chunk_to_pixels,
+    )
+
+    batch = batch.sort_values("timestamp", kind="stable")
+    expect: dict = {}
+    keep, pix = [], []
+    for i, (cam, sr, sc, r, c, codec, ch) in enumerate(
+        zip(
+            batch["camId"], batch["src_rows"], batch["src_cols"],
+            batch["rows"], batch["cols"], batch["codec"], batch["chunk"],
+        )
+    ):
+        p = decode_chunk_to_pixels(
+            expect, cam,
+            0 if pd.isna(sr) else int(sr), 0 if pd.isna(sc) else int(sc),
+            0 if pd.isna(r) else int(r), 0 if pd.isna(c) else int(c),
+            codec, ch,
+        )
+        if p is Ellipsis:
+            continue  # skip: no row, carry untouched
+        keep.append(i)
+        pix.append(p)
+    out = batch.iloc[keep][["camId", "timestamp", "rows", "cols"]].copy()
+    out["pix"] = pix
+    return out
+
+
+def _prepare(frames: DataFrame) -> tuple[DataFrame, bool]:
+    """Project the streaming input for the keyBy shuffle. Wire frames
+    (FRAME schema) decode base64 JVM-side before the exchange; chunk
+    frames (read_video_chunks / the videochunks stream source) keep the
+    still-encoded payload across the exchange and decode post-shuffle in
+    the fold — the r9 compressed-passthrough posture, streaming leg."""
+    if {"codec", "chunk"}.issubset(set(frames.columns)):
+        return (
+            frames.select(
+                "camId", "timestamp", "src_rows", "src_cols",
+                "rows", "cols", "codec", "chunk",
+            ),
+            True,
+        )
+    return (
+        frames.select(
+            "camId", "timestamp", "rows", "cols", F.unbase64("data").alias("pix")
+        ),
+        False,
+    )
+
+
 def _fold_group(
     key: tuple,
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
     annotate: bool = False,
+    chunked: bool = False,
 ) -> Iterator[pd.DataFrame]:
     cam = key[0]
     rows_acc: list[pd.DataFrame] = [pdf for pdf in pdfs]
@@ -137,6 +200,8 @@ def _fold_group(
         state.remove()
         return
     batch = pd.concat(rows_acc, ignore_index=True)
+    if chunked:
+        batch = _chunks_to_pix(batch)
     prev = tuple(state.get) if state.exists else None
     out, new_state = _fold_batch(cam, batch, prev, annotate=annotate)
     state.update(new_state)
@@ -159,9 +224,7 @@ def detect_motion_stream(
     never quiesces — pace the query with a ``processingTime`` trigger and
     stop it explicitly (or use the default NoTimeout mode for replay-style
     workloads)."""
-    decoded = frames.select(
-        "camId", "timestamp", "rows", "cols", F.unbase64("data").alias("pix")
-    )
+    decoded, chunked = _prepare(frames)
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if state_ttl_ms is not None
@@ -171,7 +234,7 @@ def detect_motion_stream(
     def fold(key, pdfs, state):
         if state_ttl_ms is not None and not state.hasTimedOut:
             state.setTimeoutDuration(int(state_ttl_ms))
-        yield from _fold_group(key, pdfs, state, annotate=annotate)
+        yield from _fold_group(key, pdfs, state, annotate=annotate, chunked=chunked)
 
     schema = MOTION_STREAM_ANNOTATED_SCHEMA if annotate else MOTION_STREAM_SCHEMA
     return decoded.groupBy("camId").applyInPandasWithState(
@@ -213,9 +276,7 @@ def detect_motion_stream_tws(
         StatefulProcessorHandle,
     )
 
-    decoded = frames.select(
-        "camId", "timestamp", "rows", "cols", F.unbase64("data").alias("pix")
-    )
+    decoded, chunked = _prepare(frames)
 
     class _MotionProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -226,6 +287,8 @@ def detect_motion_stream_tws(
         def handleInputRows(self, key, rows, timerValues):
             cam = key[0]
             batch = pd.concat(list(rows), ignore_index=True)
+            if chunked:
+                batch = _chunks_to_pix(batch)
             got = self._prev.get()
             out, new_state = _fold_batch(
                 cam, batch, tuple(got) if got is not None else None, annotate=annotate

@@ -143,3 +143,90 @@ def test_corrupt_chunk_skipped_keeps_state(spark, tmp_path):
     # produces motion detections after the corrupt frame
     assert 0 < len(out) <= 6
     assert any(r["detection_count"] > 0 for r in out[-2:])
+
+
+# ---------------------------------------------------------------------------
+# Streaming leg: the videochunks Data Source + the chunk-aware stateful fold
+# ---------------------------------------------------------------------------
+
+
+def test_videochunks_batch_source_matches_binaryfile_reader(spark, corpus):
+    """format('videochunks') emits byte-identical rows to read_video_chunks
+    on the same files (both ride iter_chunk_rows)."""
+    from distributed_video_analytics_flink_spark.sources.chunk_datasource import (
+        register_videochunks_source,
+    )
+
+    register_videochunks_source(spark)
+    a = spark.read.format("videochunks").load(corpus)
+    b = read_video_chunks(spark, corpus, glob="*.{avi,mp4}")
+
+    def key(r):
+        return (r["camId"], r["timestamp"], r["src_rows"], r["src_cols"],
+                r["rows"], r["cols"], r["codec"], bytes(r["chunk"]))
+
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+
+def test_stream_chunk_passthrough_matches_batch(spark, corpus, tmp_path):
+    """Streaming compressed passthrough end-to-end: videochunks stream ->
+    detect_motion_stream (chunk branch decodes post-shuffle in the fold)
+    must equal detect_motion_batch over read_video_chunks on the same
+    files — the repo's batch/stream equivalence property, extended to the
+    chunk schema."""
+    import pyspark.sql.functions as F
+
+    from distributed_video_analytics_flink_spark.sources.chunk_datasource import (
+        register_videochunks_source,
+    )
+    from distributed_video_analytics_flink_spark.streaming.motion import (
+        detect_motion_stream,
+    )
+
+    register_videochunks_source(spark)
+    stream = spark.readStream.format("videochunks").load(corpus)
+    out_dir = tmp_path / "out"
+    q = (
+        detect_motion_stream(stream)
+        .withColumn("bj", F.to_json("motion_boxes"))
+        .drop("motion_boxes")
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    streamed = sorted(
+        (r["camId"], r["ts_us"], r["detection_count"], r["bj"])
+        for r in spark.read.schema(
+            "camId string, ts_us long, detection_count int, bj string"
+        ).parquet(str(out_dir)).collect()
+    )
+    batch = sorted(
+        (r["camId"], r["ts_us"], r["detection_count"], r["bj"])
+        for r in detect_motion_batch(read_video_chunks(spark, corpus, glob="*.{avi,mp4}"))
+        .withColumn("bj", F.to_json("motion_boxes"))
+        .select("camId", "ts_us", "detection_count", "bj")
+        .collect()
+    )
+    assert len(streamed) > 0 and streamed == batch
+
+
+def test_stream_prepare_keeps_chunks_compressed(spark, corpus):
+    """The streaming projection ships the still-encoded chunk through the
+    keyBy exchange: chunk-schema input selects codec/chunk (no unbase64,
+    no pixel column) while wire input takes the pix path."""
+    from distributed_video_analytics_flink_spark.operators.video import fixture_frames
+    from distributed_video_analytics_flink_spark.schemas import FRAME_SCHEMA
+    from distributed_video_analytics_flink_spark.streaming.motion import _prepare
+
+    chunks = read_video_chunks(spark, corpus, glob="*.{avi,mp4}")
+    proj, chunked = _prepare(chunks)
+    assert chunked and "chunk" in proj.columns and "pix" not in proj.columns
+
+    wire = spark.createDataFrame(fixture_frames(), schema=FRAME_SCHEMA)
+    proj2, chunked2 = _prepare(wire)
+    assert not chunked2 and "pix" in proj2.columns
