@@ -134,8 +134,10 @@ HEADLINE = [
     # already benched by motion_stream_fps_640x480.
     "sim_ivf_pq_append_checked",
     "graph_pagerank",
-    # round 9: PageRank iterated to a checked fixpoint over bucketed edges
+    # round 9: PageRank iterated to a checked fixpoint over bucketed edges,
+    # and the compressed-passthrough ingest parity contract
     "graph_pagerank_converged",
+    "video_motion_passthrough_parity",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

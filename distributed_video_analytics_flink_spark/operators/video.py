@@ -686,3 +686,109 @@ def video_motion_replay_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "camera_id string, n_motion_frames bigint, stream_equals_batch boolean",
     )
+
+
+@query(
+    "video_motion_passthrough_parity",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('avi-mjpeg', CAST(20 AS BIGINT), CAST(12 AS BIGINT), TRUE),
+      ('mp4-mjpeg', CAST(20 AS BIGINT), CAST(12 AS BIGINT), TRUE)
+    ) AS t(container, n_frames, n_motion_frames,
+           passthrough_equals_decode_first)
+    """,
+)
+def video_motion_passthrough_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r9 compressed-passthrough contract as one driver-checked row
+    set: shipping still-encoded MJPEG chunks through the keyBy exchange
+    and decoding post-shuffle (``read_video_chunks`` ->
+    ``detect_motion_batch``'s chunk branch) must produce motion rows
+    IDENTICAL — boxes included — to the decode-first path
+    (``read_video_files``) on the same files, for both real MJPEG
+    containers (AVI '00dc' chunk walk and ISO-BMFF sample-table MP4).
+
+    Wiring: two cameras per container are encoded in-session with the
+    engine's own deterministic JPEG encoder (quality 85 — lossy, but
+    bit-deterministic, so the decoded pixels and therefore the motion
+    boxes are fixtures), written to a temp dir, ingested through BOTH
+    paths, and full-outer-joined on (camId, ts_us) comparing
+    detection_count and the exact boxes JSON. Per container the query
+    emits frame count (2 cams x 10 frames), motion-frame count (the
+    block moves on frames 4-9: 2 x 6), and the parity boolean the
+    oracle pins to literal TRUE — a drifted post-shuffle decode, a
+    dropped chunk, or a skip-semantics mismatch hash-mismatches the
+    round (the video_motion_replay_parity pattern).
+
+    Scale: the fixture is tiny by design — the property proven (chunk
+    passthrough == decode-first) is size-independent; the shuffle-volume
+    and placement arguments live in tests/test_chunk_passthrough.py and
+    SCALE.md. Bounded collect: 2 container rows."""
+    import os
+    import shutil
+    import tempfile
+
+    from distributed_video_analytics_flink_spark.sources.avi import encode_avi
+    from distributed_video_analytics_flink_spark.sources.mp4 import encode_mp4_mjpeg
+    from distributed_video_analytics_flink_spark.sources.video_files import (
+        read_video_chunks,
+        read_video_files,
+    )
+
+    fix = []
+    for i in range(10):
+        px = np.full((240, 320, 3), 50, dtype=np.uint8)
+        if i >= 4:
+            px[40:100, 30 + 14 * (i - 4) : 90 + 14 * (i - 4), :] = 200
+        fix.append(px)
+    root = tempfile.mkdtemp(prefix="dvafs-passthrough-")
+    try:
+        avi = encode_avi(fix, codec="mjpeg", quality=85)
+        mp4 = encode_mp4_mjpeg(fix, quality=85)
+        for cam in range(2):
+            with open(os.path.join(root, f"avi{cam}.avi"), "wb") as fh:
+                fh.write(avi)
+            with open(os.path.join(root, f"mp4{cam}.mp4"), "wb") as fh:
+                fh.write(mp4)
+
+        def leg(df: DataFrame) -> DataFrame:
+            return detect_motion_batch(df).select(
+                "camId",
+                "ts_us",
+                "detection_count",
+                F.to_json("motion_boxes").alias("bj"),
+            )
+
+        chunked = leg(read_video_chunks(spark, root)).alias("c")
+        first = leg(read_video_files(spark, root)).alias("f")
+        j = chunked.join(first, ["camId", "ts_us"], "full_outer")
+        same = (
+            F.col("c.detection_count").isNotNull()
+            & F.col("f.detection_count").isNotNull()
+            & F.col("c.detection_count").eqNullSafe(F.col("f.detection_count"))
+            & F.col("c.bj").eqNullSafe(F.col("f.bj"))
+        )
+        summary = (
+            j.groupBy(
+                F.concat(F.substring("camId", 1, 3), F.lit("-mjpeg")).alias(
+                    "container"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_frames"),
+                F.sum(
+                    F.when(F.col("c.detection_count") > 0, 1).otherwise(0)
+                ).alias("n_motion_frames"),
+                F.min(same.cast("int")).alias("ok"),
+            )
+            .collect()  # bounded: one row per container format (2)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["container"], r["n_frames"], r["n_motion_frames"], bool(r["ok"]))
+            for r in summary
+        ],
+        "container string, n_frames bigint, n_motion_frames bigint, "
+        "passthrough_equals_decode_first boolean",
+    )
