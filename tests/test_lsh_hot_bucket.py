@@ -163,3 +163,27 @@ def test_aqe_splits_skewed_self_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cap_is_join_based_not_driver_literals(spark, corpus_dir):
+    """r9 VERDICT #2: the hot-bucket exclusion must be a broadcast join,
+    not driver-collected hashes re-injected as isin literal lists — plan
+    size and driver memory must be independent of how many buckets are
+    hot. Pinned two ways: (1) no hot band_hash digest appears anywhere in
+    the optimized plan text; (2) the plan contains broadcast left joins
+    carrying the hot flags."""
+    q = minhash_lsh_pairs_capped(spark, corpus_dir, cap=CAP)
+    plan = q._jdf.queryExecution().optimizedPlan().toString()
+    hot_hashes = [
+        r["band_hash"]
+        for r in _minhash_bands(spark, corpus_dir)
+        .groupBy("band_id", "band_hash")
+        .count()
+        .filter(F.col("count") > CAP)
+        .collect()
+    ]
+    assert hot_hashes  # premise: the corpus has hot buckets
+    for h in hot_hashes:
+        assert h not in plan
+    physical = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in physical and "LeftOuter" in physical
