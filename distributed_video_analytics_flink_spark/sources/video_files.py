@@ -356,6 +356,13 @@ def decode_chunk_to_pixels(
         return None
     if codec != "mjpeg":
         return bytes(chunk)  # raw-bgr: already target-dim pixels
+    if r <= 0 or c <= 0:
+        # PERMISSIVE-nulled target dims (null -> 0 via the callers'
+        # isna guards): degrade to the empty frame — same observable row
+        # as the pixel path's nulled-dims stance (0 boxes, state
+        # advances) — rather than resize to 0x0 (ZeroDivisionError would
+        # kill the task; r9 ADVICE)
+        return None
     from distributed_video_analytics_flink_spark.functions.resize import cubic_resize
     from distributed_video_analytics_flink_spark.sources.jpeg import (
         JpegError,

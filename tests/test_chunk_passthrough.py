@@ -230,3 +230,36 @@ def test_stream_prepare_keeps_chunks_compressed(spark, corpus):
     wire = spark.createDataFrame(fixture_frames(), schema=FRAME_SCHEMA)
     proj2, chunked2 = _prepare(wire)
     assert not chunked2 and "pix" in proj2.columns
+
+
+def test_null_dims_chunk_row_does_not_kill_batch(spark):
+    """r9 ADVICE: CHUNK_SCHEMA's ints are nullable — a PERMISSIVE parse
+    that nulled src_rows/rows must degrade that row (dims default to 0 →
+    no decode / no boxes), never int(NaN)-crash the task. Mirrors the
+    streaming twin's guard (streaming/motion.py:155) so the two paths'
+    skip semantics cannot drift."""
+    import datetime as _dt
+
+    from distributed_video_analytics_flink_spark.sources.video_files import (
+        CHUNK_SCHEMA,
+        iter_chunk_rows,
+    )
+
+    raw = encode_avi(_motion_frames(5), codec="mjpeg", quality=85)
+    rows = []
+    for i, (cam, ts_us, sr, sc, r, c, codec, chunk) in enumerate(
+        iter_chunk_rows(raw, "camA", 240, 320, max_frames=100)
+    ):
+        ts = _dt.datetime.fromtimestamp(ts_us / 1e6, _dt.timezone.utc).replace(
+            tzinfo=None
+        )
+        if i == 2:  # the hostile row: every dimension nulled
+            rows.append((cam, ts, None, None, None, None, codec, chunk))
+        else:
+            rows.append((cam, ts, sr, sc, r, c, codec, chunk))
+    df = spark.createDataFrame(rows, CHUNK_SCHEMA)
+    out = detect_motion_batch(df).orderBy("ts_us").collect()
+    # the job survives; the 4 well-formed frames still flow through and
+    # motion is still detected after the degraded row
+    assert len(out) >= 4
+    assert any(r["detection_count"] > 0 for r in out)
