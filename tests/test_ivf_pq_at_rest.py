@@ -456,6 +456,14 @@ def test_compact_toctou_append_after_fence_rolls_back(spark, tmp_path, monkeypat
         S.compact_ivf_pq_index(spark, path, str(tmp_path / "v2"))
     monkeypatch.undo()
     assert not (tmp_path / "v2").exists()  # published copy rolled back
+    # ... but QUARANTINED, not deleted (r9 ADVICE): a reader that flipped
+    # to v2 before the fence never has its files rmtree'd mid-scan, and
+    # the operator can inspect/recover the complete copy
+    quarantined = [
+        d for d in _os.listdir(tmp_path) if d.startswith("v2.quarantine-")
+    ]
+    assert len(quarantined) == 1
+    assert (tmp_path / quarantined[0] / "_model.json").exists()
 
 
 # ---------------------------------------------------------------------------
