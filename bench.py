@@ -138,6 +138,9 @@ HEADLINE = [
     # and the compressed-passthrough ingest parity contract
     "graph_pagerank_converged",
     "video_motion_passthrough_parity",
+    # round 10: the delete leg of the index lifecycle, driver-checked
+    # pre- and post-compaction
+    "sim_ivf_pq_delete_checked",
 ]
 
 MOTION_FRAMES_PER_CAM = 32
@@ -186,6 +189,27 @@ def _over_budget() -> bool:
 # raw run times here and emit() writes them into the detail sidecar, so
 # variance is visible without re-running the bench.
 _RUN_TIMES: dict[str, list[float]] = {}
+
+# Per-run, per-micro-batch trigger durations for the streaming legs
+# (VERDICT r9 #5): r9's motion_stream run array [2.97, 6.79, 3.76] hid
+# WHERE the 2.3x outlier spent its time. StreamingQueryProgress's
+# durationMs.triggerExecution per batch shows whether a slow run is one
+# pathological micro-batch (first-checkpoint cost, GC pause) or uniform
+# slowness (background load). Detail-sidecar only — too wide for the
+# driver's compact tail line.
+_STREAM_BATCH_MS: dict[str, dict[str, list[int]]] = {}
+
+
+def _record_stream_progress(leg: str, tag: str, query) -> None:
+    """Harvest per-micro-batch triggerExecution ms from a finished run."""
+    try:
+        _STREAM_BATCH_MS.setdefault(leg, {})[tag] = [
+            int(p["durationMs"]["triggerExecution"])
+            for p in query.recentProgress
+            if p.get("durationMs", {}).get("triggerExecution") is not None
+        ]
+    except Exception:
+        pass  # diagnostics must never fail the bench
 
 
 def _min_of_runs(run_once, n_frames: int, leg: str | None = None) -> float:
@@ -404,6 +428,7 @@ def bench_motion_stream_fps(spark) -> tuple[float, int]:
             .start()
         )
         q.processAllAvailable()
+        _record_stream_progress("motion_stream_640x480", tag, q)  # in-memory
         q.stop()
         sec = time.time() - t0
         shutil.rmtree(ck, ignore_errors=True)
@@ -475,6 +500,7 @@ def bench_corpus_stream_docs(spark) -> tuple[float, int]:
         )
         q = stream_curated_corpus(stream, out, ck, dedup_within="1 hour")
         q.processAllAvailable()
+        _record_stream_progress("corpus_stream_ingest", tag, q)  # in-memory
         q.stop()
         sec = time.time() - t0
         shutil.rmtree(ck, ignore_errors=True)
@@ -579,6 +605,9 @@ def main() -> None:
         # per-run distributions (VERDICT r8 #5): the min is the headline,
         # the spread is the context — same-day runs swing ~30% on this host
         "motion_run_times": dict(_RUN_TIMES),
+        # per-micro-batch trigger durations for streaming runs (r9 #5);
+        # stripped from the compact stdout line, sidecar-only
+        "motion_stream_batch_ms": dict(_STREAM_BATCH_MS),
     }
     if errors:
         payload["errors"] = errors
@@ -608,7 +637,11 @@ def compact_payload(
     ``queries_detail`` is null when the sidecar write failed (read-only
     checkout) so the summary never points at a file that was never
     written (ADVICE r6)."""
-    scalars = {k: v for k, v in payload.items() if k not in ("queries", "errors")}
+    scalars = {
+        k: v
+        for k, v in payload.items()
+        if k not in ("queries", "errors", "motion_stream_batch_ms")
+    }
     scalars["n_queries"] = len(payload.get("queries", {}))
     scalars["queries_detail"] = os.path.basename(DETAIL_PATH) if detail_written else None
     if payload.get("errors"):
