@@ -118,3 +118,33 @@ def test_converged_edges_partitioned_once(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS pr_edges_plan_test")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_knn_memo_bounded_and_stale_apps_evicted(spark, monkeypatch):
+    """r9 ADVICE: the shared k-NN frame memo must not grow without bound —
+    entries from dead applications are evicted on insert (their checkpoint
+    blocks died with the context) and at most _KNN_MEMO_MAX live entries
+    are kept, oldest first, so dropping the reference lets the
+    ContextCleaner reclaim the pinned localCheckpoint blocks."""
+    import distributed_video_analytics_flink_spark.operators.similarity as S
+
+    app = spark.sparkContext.applicationId
+    saved = dict(S._KNN_EDGE_MEMO)
+    try:
+        S._KNN_EDGE_MEMO.clear()
+        dummy = spark.range(1)
+        S._KNN_EDGE_MEMO[("dead-app", "sfX")] = dummy  # stale application
+        S._KNN_EDGE_MEMO[(app, "old1")] = dummy
+        S._KNN_EDGE_MEMO[(app, "old2")] = dummy
+        monkeypatch.setattr(S, "_KNN_MEMO_MAX", 2)
+        df = S._shared_knn_frame(spark, SF)
+        assert ("dead-app", "sfX") not in S._KNN_EDGE_MEMO
+        assert len(S._KNN_EDGE_MEMO) <= 2
+        assert S._KNN_EDGE_MEMO[(app, SF)] is df
+        # hit path: same handle back, no growth, no eviction churn
+        n = len(S._KNN_EDGE_MEMO)
+        assert S._shared_knn_frame(spark, SF) is df
+        assert len(S._KNN_EDGE_MEMO) == n
+    finally:
+        S._KNN_EDGE_MEMO.clear()
+        S._KNN_EDGE_MEMO.update(saved)
