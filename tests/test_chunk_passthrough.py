@@ -263,3 +263,22 @@ def test_null_dims_chunk_row_does_not_kill_batch(spark):
     # motion is still detected after the degraded row
     assert len(out) >= 4
     assert any(r["detection_count"] > 0 for r in out)
+
+
+def test_chunk_passthrough_golden_tiny_arrow_batches(spark, corpus):
+    """Hostile Arrow batching for the CHUNK branch: maxRecordsPerBatch=7
+    makes every per-camera group span multiple Arrow batches inside the
+    post-shuffle decode fold, so the previous-frame carry AND the
+    per-camera expected-dims state (which fixes dims from the first good
+    frame) must both survive batch boundaries — the same bug class
+    test_batch_pipeline_golden_tiny_arrow_batches pins for the pixel
+    branch. Golden = the identical pipeline under default batching."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try:
+        hostile = _boxes(spark, read_video_chunks, corpus)
+    finally:
+        spark.conf.set(key, old)
+    assert hostile == _boxes(spark, read_video_chunks, corpus)
+    assert len(hostile) > 0 and any(r["detection_count"] > 0 for r in hostile)
