@@ -673,7 +673,10 @@ def sim_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # run-to-run drift to freeze in). Keyed by applicationId so a new
 # session never sees a stale handle. BOUNDED (r9 ADVICE): entries from
 # dead applications are evicted on insert (their checkpoint blocks died
-# with the context) and at most _KNN_MEMO_MAX live entries are kept,
+# with the context — appId inequality IS a liveness check here: PySpark
+# supports one active SparkContext per process, so an entry under a
+# different applicationId can only belong to a stopped context, never a
+# concurrently-live session) and at most _KNN_MEMO_MAX live entries are kept,
 # oldest-first eviction — dropping the last DataFrame reference lets
 # the ContextCleaner reclaim the pinned localCheckpoint blocks, so a
 # long-lived session sweeping many sf_dirs holds O(1) indexes, not one
@@ -3116,10 +3119,19 @@ def compact_ivf_pq_index(
         # operator who gets this error decides whether to re-publish the
         # quarantined copy or recompact. The rename only moves the
         # directory entry; open file handles under it stay valid.
-        quarantine = (
-            f"{dst_path}.quarantine-{os.getpid()}-{threading.get_ident()}"
-        )
+        import tempfile as _tempfile
+
         try:
+            # mkdtemp guarantees a fresh empty target even when the same
+            # thread retries and fence-fails repeatedly (a pid+tid-named
+            # path would collide on the second failure, the rename would
+            # hit ENOTEMPTY, and the known-inconsistent dst would stay
+            # published at the serving path)
+            qroot = _tempfile.mkdtemp(
+                prefix=os.path.basename(dst_path) + ".quarantine-",
+                dir=os.path.dirname(dst_path) or ".",
+            )
+            quarantine = os.path.join(qroot, "index")
             os.rename(dst_path, quarantine)
         except OSError:
             quarantine = dst_path  # rename failed: left in place

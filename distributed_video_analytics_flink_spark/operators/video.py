@@ -262,19 +262,9 @@ def detect_motion_batch(frames: DataFrame, annotate: bool = False) -> DataFrame:
                     pdf["rows"],
                     pdf["cols"],
                     (
-                        # null-guard mirrors the streaming twin
-                        # (streaming/motion.py:155): CHUNK_SCHEMA ints are
-                        # nullable and a PERMISSIVE-nulled dim arrives as
-                        # NaN — int(NaN) would kill the task, violating
-                        # "a bad row must never kill the job" (r9 ADVICE)
-                        _decode_chunk(
-                            expect, cam,
-                            0 if pd.isna(sr) else int(sr),
-                            0 if pd.isna(sc) else int(sc),
-                            0 if pd.isna(r) else int(r),
-                            0 if pd.isna(c) else int(c),
-                            codec, ch,
-                        )
+                        # dim normalization (None/NaN -> 0, r9 ADVICE)
+                        # lives inside the shared decoder
+                        _decode_chunk(expect, cam, sr, sc, r, c, codec, ch)
                         for cam, sr, sc, r, c, codec, ch in zip(
                             pdf["camId"], pdf["src_rows"], pdf["src_cols"],
                             pdf["rows"], pdf["cols"], pdf["codec"], pdf["chunk"],

@@ -351,7 +351,17 @@ def decode_chunk_to_pixels(
     the previous-frame carry) — the exact stance the source-side decoders
     take per bad chunk. ``expect`` carries each camera's fixed frame dims
     (header-declared when known, else the first good frame fixes them —
-    decode_mp4's rule)."""
+    decode_mp4's rule).
+
+    Dims may arrive as pandas-nullable values (a PERMISSIVE parse nulls
+    them, and Arrow hands nullable ints to pandas as NaN floats);
+    normalization to 0 lives HERE — the one shared site — so the batch
+    and streaming folds' skip semantics cannot drift (r10 review: both
+    callers previously carried copy-pasted isna guards)."""
+    sr = 0 if pd.isna(sr) else int(sr)
+    sc = 0 if pd.isna(sc) else int(sc)
+    r = 0 if pd.isna(r) else int(r)
+    c = 0 if pd.isna(c) else int(c)
     if chunk is None:
         return None
     if codec != "mjpeg":

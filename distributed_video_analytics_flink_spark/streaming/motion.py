@@ -150,12 +150,8 @@ def _chunks_to_pix(batch: pd.DataFrame) -> pd.DataFrame:
             batch["rows"], batch["cols"], batch["codec"], batch["chunk"],
         )
     ):
-        p = decode_chunk_to_pixels(
-            expect, cam,
-            0 if pd.isna(sr) else int(sr), 0 if pd.isna(sc) else int(sc),
-            0 if pd.isna(r) else int(r), 0 if pd.isna(c) else int(c),
-            codec, ch,
-        )
+        # dim normalization (None/NaN -> 0) lives inside the shared decoder
+        p = decode_chunk_to_pixels(expect, cam, sr, sc, r, c, codec, ch)
         if p is Ellipsis:
             continue  # skip: no row, carry untouched
         keep.append(i)

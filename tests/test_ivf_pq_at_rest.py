@@ -463,7 +463,7 @@ def test_compact_toctou_append_after_fence_rolls_back(spark, tmp_path, monkeypat
         d for d in _os.listdir(tmp_path) if d.startswith("v2.quarantine-")
     ]
     assert len(quarantined) == 1
-    assert (tmp_path / quarantined[0] / "_model.json").exists()
+    assert (tmp_path / quarantined[0] / "index" / "_model.json").exists()
 
 
 # ---------------------------------------------------------------------------
