@@ -470,3 +470,20 @@ def test_oversubscribed_dht_refused():
     data[dht_at + 5] = 255
     with pytest.raises(JpegError):
         decode_jpeg(bytes(data))
+
+
+def test_jpeg_stuffed_bytes_roundtrip():
+    """Entropy streams containing literal 0xFF data bytes carry them as
+    stuffed FF 00 pairs (T.81 B.1.1.5). Pins that unstuffing survives the
+    r10 bulk-refill fast path (which must fall back to the byte-wise
+    reader whenever a 4-byte window contains 0xFF): seed 1 provably emits
+    5 stuffed pairs, and the q100 roundtrip stays near-lossless — a
+    mis-consumed stuffed byte would desynchronize the whole scan, not
+    nudge one pixel."""
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    b = encode_jpeg(img, quality=100)
+    assert b.count(b"\xff\x00") >= 3  # premise: stuffing really present
+    out = decode_jpeg(b)
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 3
