@@ -49,10 +49,12 @@ class JpegError(ValueError):
 
 
 # zigzag: index i of the scan order -> (row, col) in the 8x8 block
-# entropy-scan bit accumulator width: 64 bits lets the refill take 4
-# marker-free bytes in one int.from_bytes (consumers read only the low
-# `nbits`, so width is invisible to them)
-_MASK64 = (1 << 64) - 1
+# entropy-scan bit accumulator bound: wide enough for a refill to take 8
+# marker-free bytes in one int.from_bytes on top of <=24 buffered bits
+# (consumers read only the low `nbits` and mask every extract, so the
+# accumulator width is invisible to them; the mask just keeps the Python
+# int small)
+_MASK96 = (1 << 96) - 1
 
 _ZZ = np.array(
     [
@@ -395,25 +397,24 @@ def _decode_jpeg_checked(data: bytes) -> np.ndarray:
         nonlocal bits, nbits, bpos, bmarker
         # Bulk fast path (r10 perf): profiling showed ~30% of the entropy
         # scan inside this refill at one byte per loop turn. When the next
-        # 4 bytes contain no 0xFF (the overwhelmingly common case —
-        # checked with a C-speed `in` on the memoryview-free slice), they
-        # can't hold a stuffed byte or a marker, so all 4 land in one
-        # int.from_bytes. The accumulator widens to 64 bits; consumers
-        # only ever read the low `nbits`, so the change is invisible to
-        # them. Byte-wise path below is unchanged and keeps exact T.81
-        # unstuff/pad/marker semantics at segment edges.
-        if bmarker is None and nbits <= 24 and bpos + 4 <= dlen:
-            w = data[bpos : bpos + 4]
+        # 8 bytes contain no 0xFF (the overwhelmingly common case —
+        # checked with a C-speed `in` on the slice), they can't hold a
+        # stuffed byte or a marker, so all 8 land in one int.from_bytes.
+        # Consumers only ever read the low `nbits`, so accumulator width
+        # is invisible to them. Byte-wise path below is unchanged and
+        # keeps exact T.81 unstuff/pad/marker semantics at segment edges.
+        if bmarker is None and nbits <= 24 and bpos + 8 <= dlen:
+            w = data[bpos : bpos + 8]
             if 0xFF not in w:
-                bits = ((bits << 32) | int.from_bytes(w, "big")) & _MASK64
-                nbits += 32
-                bpos += 4
+                bits = ((bits << 64) | int.from_bytes(w, "big")) & _MASK96
+                nbits += 64
+                bpos += 8
                 return
         while nbits <= 24:
             if bmarker is not None or bpos >= dlen:
                 # pad with zeros past the end / a marker (spec: padding 1s,
                 # but any decode consuming pad bits is already done)
-                bits = (bits << 8) & _MASK64
+                bits = (bits << 8) & _MASK96
                 nbits += 8
                 continue
             b = data[bpos]
@@ -426,7 +427,7 @@ def _decode_jpeg_checked(data: bytes) -> np.ndarray:
                     continue
             else:
                 bpos += 1
-            bits = ((bits << 8) | b) & _MASK64
+            bits = ((bits << 8) | b) & _MASK96
             nbits += 8
 
     # per-component hot constants: block count + both LUTs' (maxlen,
