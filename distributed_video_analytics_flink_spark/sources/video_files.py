@@ -8,17 +8,20 @@ a 100 TB video corpus), then a ``mapInPandas`` extractor turns each file's
 bytes into wire-format frame rows (FRAME_SCHEMA: camId from the file stem,
 timestamps paced 33 ms apart, base64 BGR payloads).
 
-Decode is REAL for THREE containers — Y4M (YUV4MPEG2: pure byte-slicing
+Decode is REAL for FOUR containers — Y4M (YUV4MPEG2: pure byte-slicing
 header/frame parse + integer-exact YUV->BGR, sources/y4m.py), AVI (RIFF
 chunk walk, sources/avi.py: raw-DIB BGR rows AND per-chunk baseline-JPEG
-MJPEG via sources/jpeg.py), and MP4 when the video track carries
+MJPEG via sources/jpeg.py), MP4 when the video track carries
 Motion-JPEG samples (ISO BMFF sample-table walk + the same JPEG codec,
-sources/mp4.py) — plus PNG stills, each through the engine's own bicubic
-resize to the target dims (functions/resize.py, the analog of
-VideoEventCreator.java:75's cv2.resize) — so genuine video bytes flow
-end-to-end through the motion pipeline with zero codec dependency.
+sources/mp4.py), and animated GIF (LZW + palette + INTER-FRAME canvas
+compositing with disposal/transparency, sources/gif.py — the first
+genuinely inter-frame format decoded for real) — plus PNG stills, each
+through the engine's own bicubic resize to the target dims
+(functions/resize.py, the analog of VideoEventCreator.java:75's
+cv2.resize) — so genuine video bytes flow end-to-end through the motion
+pipeline with zero codec dependency.
 
-INTER-FRAME codecs (avc1/H.264 etc.) remain a STUB: this container ships
+MOTION-COMPENSATED codecs (avc1/H.264 etc.) remain a STUB: this container ships
 no cv2/ffmpeg, so such files fall to ``_decode_frames_stub``, which
 synthesizes deterministic frames from the file bytes (content-seeded,
 reproducible). The binaryFile scan, partitioning, Arrow batching, schema,
@@ -146,10 +149,37 @@ def _decode_frames_mp4(
     return _resized(frames, rows, cols)
 
 
+def _decode_frames_gif(
+    content: bytes, rows: int, cols: int, max_frames: int
+) -> Iterator[np.ndarray]:
+    """REAL decoder for animated GIF (sources/gif.py): LZW + palette +
+    inter-frame compositing (disposal/transparency) to full-canvas BGR,
+    then the shared resize. Same eager-header contract as the other
+    twins: GifError on a corrupt header raises here, inside the caller's
+    guard. decode_gif itself stays STRICT mid-stream (fuzz tests pin the
+    raise); the PERMISSIVE stance — a malformed tail ends the stream, it
+    never kills the task — lives in this wrapper, the same split as the
+    Y4M decoder's strict-header/permissive-tail contract."""
+    from distributed_video_analytics_flink_spark.sources.gif import (
+        GifError,
+        decode_gif,
+    )
+
+    frames = decode_gif(content, max_frames=max_frames)  # eager header parse
+
+    def _permissive_tail() -> Iterator[np.ndarray]:
+        try:
+            yield from frames
+        except GifError:
+            return  # corrupt tail: the good prefix already streamed out
+
+    return _resized(_permissive_tail(), rows, cols)
+
+
 def read_video_files(
     spark: SparkSession,
     path: str,
-    glob: str = "*.{mp4,y4m,avi}",
+    glob: str = "*.{mp4,y4m,avi,gif}",
     rows: int = 480,
     cols: int = 640,
     max_frames_per_file: int = 64,
@@ -157,9 +187,10 @@ def read_video_files(
     """Scan video files into wire-format frame rows. camId = file stem (the
     producer keys messages by camera id the same way), timestamps are paced
     FRAME_INTERVAL_MS apart from a fixed deterministic epoch. Dispatch is
-    by content magic, not extension: Y4M, AVI (raw-DIB + MJPEG), PNG, and
-    MJPEG-MP4 get the real decode; inter-frame codecs (avc1 etc.) fall to
-    the compressed-codec stub."""
+    by content magic, not extension: Y4M, AVI (raw-DIB + MJPEG), PNG, GIF
+    (inter-frame compositing), and MJPEG-MP4 get the real decode;
+    remaining inter-frame codecs (avc1 etc.) fall to the compressed-codec
+    stub."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
@@ -185,6 +216,13 @@ def read_video_files(
                         decoded = iter(())  # corrupt/compressed: no rows, no failure
                 elif raw.startswith(b"\x89PNG"):
                     decoded = _decode_frame_png(raw, rows, cols)
+                elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                    from distributed_video_analytics_flink_spark.sources.gif import GifError
+
+                    try:
+                        decoded = _decode_frames_gif(raw, rows, cols, max_frames_per_file)
+                    except GifError:
+                        decoded = iter(())  # corrupt header: no rows, no failure
                 elif len(raw) >= 12 and raw[4:8] == b"ftyp":
                     from distributed_video_analytics_flink_spark.sources.mp4 import Mp4Error
 
@@ -324,6 +362,17 @@ def iter_chunk_rows(
                 decoded = iter(())
         elif raw.startswith(b"\x89PNG"):
             decoded = _decode_frame_png(raw, rows, cols)
+        elif raw[:6] in (b"GIF87a", b"GIF89a"):
+            # GIF frames are inter-frame (palette + canvas compositing
+            # state), so a chunk is NOT independently decodable — GIF
+            # decodes source-side and ships raw-bgr, the same stance as
+            # every non-MJPEG container
+            from distributed_video_analytics_flink_spark.sources.gif import GifError
+
+            try:
+                decoded = _decode_frames_gif(raw, rows, cols, max_frames)
+            except GifError:
+                decoded = iter(())
         else:
             decoded = _decode_frames_stub(raw, rows, cols, max_frames)
         chunks = ((rows, cols, f.tobytes()) for f in decoded)
@@ -397,7 +446,7 @@ def decode_chunk_to_pixels(
 def read_video_chunks(
     spark: SparkSession,
     path: str,
-    glob: str = "*.{mp4,y4m,avi}",
+    glob: str = "*.{mp4,y4m,avi,gif}",
     rows: int = 480,
     cols: int = 640,
     max_frames_per_file: int = 64,
@@ -410,8 +459,10 @@ def read_video_chunks(
     motion pipeline's keyBy shuffle, where the pixels are consumed exactly
     once (operators/video.py::detect_motion_batch's chunk branch).
 
-    Non-compressed containers (Y4M, raw-DIB AVI, PNG, and the inter-frame
-    stub) genuinely must ship pixels, so they decode source-side exactly as
+    Non-passthrough containers (Y4M, raw-DIB AVI, PNG, GIF — whose frames
+    depend on palette + composited-canvas state, so a chunk is not
+    independently decodable — and the motion-compensated stub) genuinely
+    must ship pixels, so they decode source-side exactly as
     ``read_video_files`` does and emit codec='raw-bgr' chunks already at
     the target dims — one API covers a mixed corpus.
 
@@ -455,7 +506,7 @@ VIDEO_META_SCHEMA = (
 
 
 def video_container_metadata(
-    spark: SparkSession, path: str, glob: str = "*.{mp4,y4m,avi}"
+    spark: SparkSession, path: str, glob: str = "*.{mp4,y4m,avi,gif}"
 ) -> DataFrame:
     """REAL (no stub) container-metadata scan over video files: binaryFile
     scan + pure-stdlib ISO BMFF probe (sources/mp4.py) -> one row per file
@@ -494,6 +545,18 @@ def video_container_metadata(
                     try:
                         meta = probe_avi(b)
                     except AviError:
+                        meta = dict.fromkeys(
+                            ("duration_s", "width", "height", "n_frames", "codec", "fps")
+                        )
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    from distributed_video_analytics_flink_spark.sources.gif import (
+                        GifError,
+                        probe_gif,
+                    )
+
+                    try:
+                        meta = probe_gif(b)
+                    except GifError:
                         meta = dict.fromkeys(
                             ("duration_s", "width", "height", "n_frames", "codec", "fps")
                         )
