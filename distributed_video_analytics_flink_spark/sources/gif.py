@@ -121,8 +121,13 @@ _LZW_MAX = 4096  # dictionary ceiling (12-bit codes)
 def lzw_decode(min_code_size: int, data: bytes, npix: int) -> bytes:
     """GIF-flavor LZW: LSB-first variable-width codes -> palette indices.
     Stops after ``npix`` indices (trailing codes are legal padding);
-    raises GifError on truncation or an out-of-range code."""
-    if not 2 <= min_code_size <= 11:
+    raises GifError on truncation or an out-of-range code. The code-size
+    bound is 2..8 — GIF literals are palette indices, so a larger root
+    size is meaningless AND would make the base-table build raise a bare
+    ValueError (bytes > 255) that escapes every ``except GifError``
+    permissive guard (review finding: a single bit flip turns size 2
+    into 10)."""
+    if not 2 <= min_code_size <= 8:
         raise GifError(f"bad LZW minimum code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1
@@ -173,8 +178,9 @@ def lzw_decode(min_code_size: int, data: bytes, npix: int) -> bytes:
 def lzw_encode(min_code_size: int, indices: bytes) -> bytes:
     """GIF-flavor LZW encoder (fixtures/tests): emits CLEAR, the code
     stream, and EOI, with the decoder's exact width schedule (module
-    docstring). Resets with CLEAR when the dictionary fills."""
-    if not 2 <= min_code_size <= 11:
+    docstring). Resets with CLEAR when the dictionary fills. Same 2..8
+    code-size bound as the decoder."""
+    if not 2 <= min_code_size <= 8:
         raise GifError(f"bad LZW minimum code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1
@@ -298,8 +304,6 @@ def decode_gif(data: bytes, max_frames: int = 1 << 30) -> Iterator[np.ndarray]:
             idx = np.frombuffer(
                 lzw_decode(min_code, payload, iw * ih), dtype=np.uint8
             ).reshape(ih, iw)
-            if idx.max(initial=0) >= len(palette):
-                raise GifError("pixel index outside the color table")
             if packed & 0x40:  # interlaced
                 rows = np.empty_like(idx)
                 rows[_interlace_order(ih)] = idx
@@ -307,9 +311,18 @@ def decode_gif(data: bytes, max_frames: int = 1 << 30) -> Iterator[np.ndarray]:
             saved = canvas.copy() if disposal == 3 else None
             region = canvas[top : top + ih, left : left + iw]
             if transparent is not None:
+                # bounds-check only DRAWN pixels: transparent ones are
+                # never looked up in the table, and real encoders emit
+                # transparent indices >= table size (review finding —
+                # rejecting them dropped valid frames)
                 mask = idx != transparent
-                region[mask] = palette[idx][mask]
+                drawn = idx[mask]
+                if drawn.max(initial=0) >= len(palette):
+                    raise GifError("pixel index outside the color table")
+                region[mask] = palette[drawn]
             else:
+                if idx.max(initial=0) >= len(palette):
+                    raise GifError("pixel index outside the color table")
                 region[:] = palette[idx]
             yield canvas[:, :, ::-1].copy()  # palette is RGB; wire is BGR
             n += 1
@@ -321,6 +334,31 @@ def decode_gif(data: bytes, max_frames: int = 1 << 30) -> Iterator[np.ndarray]:
             transparent = None
 
     return frames()
+
+
+def decode_gif_permissive(
+    data: bytes, max_frames: int = 1 << 30
+) -> tuple[None, Iterator[np.ndarray]]:
+    """The ONE permissive wrapper every ingest path shares (review
+    finding: video_files and the gif Data Source each hand-rolled this,
+    so a stance fix could land in one and not the other): strict-header
+    errors yield an empty stream (zero rows for the file), a corrupt
+    tail ends the stream after the good prefix — a bad file never kills
+    the task. ``decode_gif`` itself stays strict for tests. Returns
+    ``(None, frames)`` matching the (header, frames) decoder signature
+    of decode_y4m/decode_avi so frame_datasource can call it directly."""
+    try:
+        frames = decode_gif(data, max_frames=max_frames)
+    except GifError:
+        return None, iter(())
+
+    def _tail() -> Iterator[np.ndarray]:
+        try:
+            yield from frames
+        except GifError:
+            return
+
+    return None, _tail()
 
 
 def probe_gif(data: bytes) -> dict:

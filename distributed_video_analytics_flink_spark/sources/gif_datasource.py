@@ -22,8 +22,6 @@ pure-stdlib LZW + compositing walk in ``sources/gif.py``."""
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 from pyspark.sql.datasource import DataSource, DataSourceReader
 
 from distributed_video_analytics_flink_spark.sources.frame_datasource import (
@@ -36,26 +34,15 @@ from distributed_video_analytics_flink_spark.sources.frame_datasource import (
 
 
 def _decode_permissive(data: bytes, max_frames: int):
-    """(header, frames) adapter with the strict-header/permissive-tail
-    split of video_files._decode_frames_gif: header errors yield an empty
-    stream (zero rows for the file), tail errors end it."""
+    """(header, frames) adapter — the strict-header/permissive-tail
+    stance is the ONE shared implementation in gif.decode_gif_permissive
+    (also used by video_files._decode_frames_gif), so the binaryFile and
+    format('gif') paths cannot drift on which corrupt files kill tasks."""
     from distributed_video_analytics_flink_spark.sources.gif import (
-        GifError,
-        decode_gif,
+        decode_gif_permissive,
     )
 
-    try:
-        frames = decode_gif(data, max_frames=max_frames)
-    except GifError:
-        return None, iter(())
-
-    def _tail() -> Iterator:
-        try:
-            yield from frames
-        except GifError:
-            return
-
-    return None, _tail()
+    return decode_gif_permissive(data, max_frames=max_frames)
 
 
 class GifReader(DataSourceReader):

@@ -154,26 +154,17 @@ def _decode_frames_gif(
 ) -> Iterator[np.ndarray]:
     """REAL decoder for animated GIF (sources/gif.py): LZW + palette +
     inter-frame compositing (disposal/transparency) to full-canvas BGR,
-    then the shared resize. Same eager-header contract as the other
-    twins: GifError on a corrupt header raises here, inside the caller's
-    guard. decode_gif itself stays STRICT mid-stream (fuzz tests pin the
-    raise); the PERMISSIVE stance — a malformed tail ends the stream, it
-    never kills the task — lives in this wrapper, the same split as the
-    Y4M decoder's strict-header/permissive-tail contract."""
+    then the shared resize. The strict-header/permissive-tail stance
+    (corrupt header -> zero rows, corrupt tail -> stream ends after the
+    good prefix, the task never dies) lives in ONE place —
+    gif.decode_gif_permissive — shared with the ``format("gif")`` Data
+    Source so the two ingest paths cannot drift."""
     from distributed_video_analytics_flink_spark.sources.gif import (
-        GifError,
-        decode_gif,
+        decode_gif_permissive,
     )
 
-    frames = decode_gif(content, max_frames=max_frames)  # eager header parse
-
-    def _permissive_tail() -> Iterator[np.ndarray]:
-        try:
-            yield from frames
-        except GifError:
-            return  # corrupt tail: the good prefix already streamed out
-
-    return _resized(_permissive_tail(), rows, cols)
+    _, frames = decode_gif_permissive(content, max_frames=max_frames)
+    return _resized(frames, rows, cols)
 
 
 def read_video_files(
@@ -217,12 +208,8 @@ def read_video_files(
                 elif raw.startswith(b"\x89PNG"):
                     decoded = _decode_frame_png(raw, rows, cols)
                 elif raw[:6] in (b"GIF87a", b"GIF89a"):
-                    from distributed_video_analytics_flink_spark.sources.gif import GifError
-
-                    try:
-                        decoded = _decode_frames_gif(raw, rows, cols, max_frames_per_file)
-                    except GifError:
-                        decoded = iter(())  # corrupt header: no rows, no failure
+                    # corrupt header/tail handled inside (shared stance)
+                    decoded = _decode_frames_gif(raw, rows, cols, max_frames_per_file)
                 elif len(raw) >= 12 and raw[4:8] == b"ftyp":
                     from distributed_video_analytics_flink_spark.sources.mp4 import Mp4Error
 
@@ -366,13 +353,8 @@ def iter_chunk_rows(
             # GIF frames are inter-frame (palette + canvas compositing
             # state), so a chunk is NOT independently decodable — GIF
             # decodes source-side and ships raw-bgr, the same stance as
-            # every non-MJPEG container
-            from distributed_video_analytics_flink_spark.sources.gif import GifError
-
-            try:
-                decoded = _decode_frames_gif(raw, rows, cols, max_frames)
-            except GifError:
-                decoded = iter(())
+            # every non-MJPEG container; corrupt files handled inside
+            decoded = _decode_frames_gif(raw, rows, cols, max_frames)
         else:
             decoded = _decode_frames_stub(raw, rows, cols, max_frames)
         chunks = ((rows, cols, f.tobytes()) for f in decoded)

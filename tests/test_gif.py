@@ -61,8 +61,13 @@ def test_lzw_roundtrip_fuzz():
 
 
 def test_lzw_rejects():
-    with pytest.raises(GifError):
-        lzw_decode(1, b"\x00", 1)  # bad min code size
+    for bad_mcs in (1, 9, 10, 11, 12):
+        # 9-11 would build a >256-entry base table: bytes([i]) raises a
+        # bare ValueError that escapes GifError guards (review finding)
+        with pytest.raises(GifError):
+            lzw_decode(bad_mcs, b"\x00", 1)
+        with pytest.raises(GifError):
+            lzw_encode(bad_mcs, b"\x00")
     with pytest.raises(GifError):
         lzw_decode(2, b"", 1)  # truncated
     with pytest.raises(GifError):
@@ -114,10 +119,12 @@ def test_fullframe_many_colors_roundtrip():
         assert np.array_equal(got, want)
 
 
-def _hand_gif(frames_spec, gct, bg_index=0):
+def _hand_gif(frames_spec, gct, bg_index=0, min_code=None):
     """Assemble raw GIF89a bytes: frames_spec = [(left, top, idx2d,
     disposal, transparent_or_None)], gct = list of RGB tuples (padded to a
-    power of two)."""
+    power of two). ``min_code`` overrides the LZW root size (real files
+    use e.g. size 3 over a 4-entry table to carry a transparent index
+    outside it)."""
     n = max(2, len(gct))
     size_pow = (n - 1).bit_length()
     table = np.zeros((1 << size_pow, 3), np.uint8)
@@ -130,7 +137,7 @@ def _hand_gif(frames_spec, gct, bg_index=0):
     out.append(bg_index)
     out.append(0)
     out += table.tobytes()
-    min_code = max(2, size_pow)
+    min_code = max(2, size_pow) if min_code is None else min_code
     for left, top, idx, disposal, transparent in frames_spec:
         flags = (disposal << 2) | (1 if transparent is not None else 0)
         gce = (
@@ -229,19 +236,62 @@ def test_rejects_corrupt():
 
 
 def test_fuzz_never_crashes_differently():
-    """Any single-byte mutation either still decodes or raises GifError —
-    no other exception type, no hang (same harness as the JPEG fuzz)."""
+    """EVERY single-bit flip of a small valid GIF either still decodes or
+    raises GifError — no other exception type escapes (the r10 review
+    found seeded sampling missed the LZW-code-size byte, where a flip
+    turned size 2 into 10 and a bare ValueError killed the task).
+    Exhaustive over all positions x all 8 bits."""
+    base = encode_gif(
+        [f[:8, :10] for f in _moving_square(3)], delta=True, use_transparency=True
+    )
+    for i in range(len(base)):
+        for bit in range(8):
+            b = bytearray(base)
+            b[i] ^= 1 << bit
+            try:
+                for _f in decode_gif(bytes(b)):
+                    pass
+            except GifError:
+                pass
+
+
+def test_multibyte_fuzz_random():
+    """Multi-byte random mutations of a larger fixture: same contract."""
     base = encode_gif(_moving_square(3), delta=True, use_transparency=True)
     rng = random.Random(5)
-    for _ in range(300):
+    for _ in range(200):
         b = bytearray(base)
-        i = rng.randrange(len(b))
-        b[i] ^= 1 << rng.randrange(8)
+        for _k in range(rng.randrange(1, 4)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
         try:
             for _f in decode_gif(bytes(b)):
                 pass
         except GifError:
             pass
+
+
+def test_transparent_index_outside_table_is_legal():
+    """Real encoders emit transparent indices >= the color-table size
+    (those pixels are never looked up); the bounds check must only
+    police DRAWN pixels (r10 review finding: rejecting them silently
+    dropped every frame from the first such one on)."""
+    full_red = np.full((4, 4), 1, np.uint8)
+    patch = np.array([[2, 5], [5, 2]], np.uint8)  # 5 >= table size 4
+    data = _hand_gif(
+        [(0, 0, full_red, 1, None), (1, 1, patch, 0, 5)], GCT4, min_code=3
+    )
+    f1, f2 = list(decode_gif(data))
+    want = np.broadcast_to((0, 0, 255), (4, 4, 3)).copy()
+    want[1, 1] = (0, 255, 0)
+    want[2, 2] = (0, 255, 0)  # index-5 cells stay red (transparent)
+    assert np.array_equal(f2, want)
+    # a DRAWN out-of-table index still raises
+    bad = np.array([[5]], np.uint8)
+    data = _hand_gif(
+        [(0, 0, full_red, 1, None), (0, 0, bad, 0, None)], GCT4, min_code=3
+    )
+    with pytest.raises(GifError):
+        list(decode_gif(data))
 
 
 def test_gif_motion_boxes_identical_to_y4m_twin(spark, tmp_path):
