@@ -282,3 +282,44 @@ def test_chunk_passthrough_golden_tiny_arrow_batches(spark, corpus):
         spark.conf.set(key, old)
     assert hostile == _boxes(spark, read_video_chunks, corpus)
     assert len(hostile) > 0 and any(r["detection_count"] > 0 for r in hostile)
+
+
+def test_gif_in_mixed_corpus_ships_raw_bgr_and_matches_decode_first(spark, tmp_path):
+    """A GIF in a mixed directory rides the same chunk API: its frames
+    are inter-frame (canvas compositing), so iter_chunk_rows decodes
+    source-side and ships codec='raw-bgr' pixels — and the motion boxes
+    through the chunk path match the decode-first path exactly."""
+    from distributed_video_analytics_flink_spark.sources.gif import encode_gif
+    from distributed_video_analytics_flink_spark.sources.video_files import (
+        read_video_files,
+    )
+
+    frames = _motion_frames()
+    (tmp_path / "mj.avi").write_bytes(encode_avi(frames, codec="mjpeg", quality=85))
+    (tmp_path / "anim.gif").write_bytes(
+        encode_gif(frames, delta=True, use_transparency=True)
+    )
+
+    chunks = read_video_chunks(spark, str(tmp_path), glob="*.{avi,gif}")
+    per_codec = {
+        r["camId"]: r["codec"] for r in chunks.select("camId", "codec").collect()
+    }
+    assert per_codec == {"mj": "mjpeg", "anim": "raw-bgr"}
+
+    import pyspark.sql.functions as F
+
+    def boxes(df):
+        return (
+            detect_motion_batch(df)
+            .select("camId", "ts_us", "detection_count",
+                    F.to_json("motion_boxes").alias("bj"))
+            .orderBy("camId", "ts_us")
+            .collect()
+        )
+
+    got = [tuple(r) for r in boxes(chunks) if r["camId"] == "anim"]
+    want = [
+        tuple(r)
+        for r in boxes(read_video_files(spark, str(tmp_path), glob="*.gif"))
+    ]
+    assert got == want and len(got) == len(_motion_frames())
