@@ -141,6 +141,9 @@ HEADLINE = [
     # round 10: the delete leg of the index lifecycle, driver-checked
     # pre- and post-compaction
     "sim_ivf_pq_delete_checked",
+    # round 10: the inter-frame GIF decode parity contract (delta +
+    # full-frame layouts against a lossless container)
+    "video_motion_gif_parity",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

@@ -794,3 +794,115 @@ def video_motion_passthrough_parity(spark: SparkSession, sf_dir: str) -> DataFra
         "container string, n_frames bigint, n_motion_frames bigint, "
         "passthrough_equals_decode_first boolean",
     )
+
+
+@query(
+    "video_motion_gif_parity",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('gif-delta', CAST(10 AS BIGINT), CAST(6 AS BIGINT), TRUE),
+      ('gif-full', CAST(10 AS BIGINT), CAST(6 AS BIGINT), TRUE)
+    ) AS t(layout, n_frames, n_motion_frames, gif_equals_lossless)
+    """,
+)
+def video_motion_gif_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 inter-frame decode contract as one driver-checked row set:
+    animated-GIF ingestion (sources/gif.py — LZW + palette + canvas
+    compositing, where frame N needs decoder state from frames < N) must
+    produce motion rows IDENTICAL — boxes included — to a LOSSLESS
+    container carrying the same pixels, for BOTH frame layouts: 'gif-full'
+    (every frame a full canvas) and 'gif-delta' (frames 2+ are partial
+    changed-region rectangles with a transparency mask, the genuinely
+    inter-frame path).
+
+    Wiring: one deterministic 10-frame moving-block fixture (2 distinct
+    colors, so the GIF palette is exact and the roundtrip is lossless) is
+    written in-session as a raw-DIB AVI (bit-exact BGR reference) plus the
+    two GIF layouts, all ingested through ``read_video_files`` (the GIF
+    branch dispatches by content magic into the compositing decoder), and
+    each GIF leg is joined to the reference leg on ts_us comparing
+    detection_count and the exact boxes JSON. Per layout the query emits
+    frame count, motion-frame count (the block appears at frame 4 and
+    moves through frame 9: 6), and the parity boolean the oracle pins to
+    literal TRUE — a compositing drift, a dropped frame, or a broken LZW
+    width schedule hash-mismatches the round (the
+    video_motion_passthrough_parity pattern, operators/video.py:703).
+
+    Scale: the fixture is tiny by design — the property proven (GIF
+    inter-frame decode == lossless decode) is size-independent; the
+    decoder's honest pricing and per-file parallelism argument live in
+    SCALE.md (r10 GIF pricing). Bounded collect: 2 layout rows."""
+    import os
+    import shutil
+    import tempfile
+
+    from distributed_video_analytics_flink_spark.sources.avi import encode_avi
+    from distributed_video_analytics_flink_spark.sources.gif import encode_gif
+    from distributed_video_analytics_flink_spark.sources.video_files import (
+        read_video_files,
+    )
+
+    fix = []
+    for i in range(10):
+        px = np.full((240, 320, 3), 50, dtype=np.uint8)
+        if i >= 4:
+            px[40:100, 30 + 14 * (i - 4) : 90 + 14 * (i - 4), :] = 200
+        fix.append(px)
+    root = tempfile.mkdtemp(prefix="dvafs-gifparity-")
+    try:
+        with open(os.path.join(root, "ref.avi"), "wb") as fh:
+            fh.write(encode_avi(fix, codec="rawbgr"))
+        with open(os.path.join(root, "gifd.gif"), "wb") as fh:
+            fh.write(encode_gif(fix, delta=True, use_transparency=True))
+        with open(os.path.join(root, "giff.gif"), "wb") as fh:
+            fh.write(encode_gif(fix))
+
+        def leg(glob: str) -> DataFrame:
+            # native fixture dims: no resize on either leg (identical
+            # transform either way, so parity is unaffected; the motion
+            # counts the oracle pins were computed at these dims)
+            return detect_motion_batch(
+                read_video_files(spark, root, glob=glob, rows=240, cols=320)
+            ).select(
+                "camId",
+                "ts_us",
+                "detection_count",
+                F.to_json("motion_boxes").alias("bj"),
+            )
+
+        ref = leg("*.avi").alias("r")
+        gifs = leg("*.gif").alias("g")
+        same = (
+            F.col("r.detection_count").isNotNull()
+            & F.col("g.detection_count").eqNullSafe(F.col("r.detection_count"))
+            & F.col("g.bj").eqNullSafe(F.col("r.bj"))
+        )
+        summary = (
+            # left join from the GIF side: a dropped/extra GIF frame
+            # changes n_frames (oracle-pinned 10); a GIF frame with no
+            # reference row leaves the r side null, failing `same`
+            gifs.join(ref, gifs["ts_us"] == ref["ts_us"], "left")
+            .groupBy(
+                F.when(F.col("g.camId") == "gifd", "gif-delta")
+                .otherwise("gif-full")
+                .alias("layout")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_frames"),
+                F.sum(
+                    F.when(F.col("g.detection_count") > 0, 1).otherwise(0)
+                ).alias("n_motion_frames"),
+                F.min(same.cast("int")).alias("ok"),
+            )
+            .collect()  # bounded: one row per GIF layout (2)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["layout"], r["n_frames"], r["n_motion_frames"], bool(r["ok"]))
+            for r in summary
+        ],
+        "layout string, n_frames bigint, n_motion_frames bigint, "
+        "gif_equals_lossless boolean",
+    )
