@@ -21,6 +21,7 @@ from distributed_video_analytics_flink_spark.sources.frame_datasource import (
     FilePartition,
     FrameStreamReader,
     file_partitions,
+    permissive_header,
     wire_frame_rows,
 )
 
@@ -34,11 +35,16 @@ class AviReader(DataSourceReader):
         return file_partitions(self._path, "avi")
 
     def read(self, partition: FilePartition):
-        from distributed_video_analytics_flink_spark.sources.avi import decode_avi
+        from distributed_video_analytics_flink_spark.sources.avi import (
+            AviError,
+            decode_avi,
+        )
 
         yield from wire_frame_rows(
             partition.path,
-            lambda data, mf: decode_avi(data, max_frames=mf),
+            permissive_header(
+                lambda data, mf: decode_avi(data, max_frames=mf), AviError
+            ),
             self._max_frames,
         )
 
@@ -58,10 +64,17 @@ class AviDataSource(DataSource):
         """spark.readStream.format("avi").load(dir): micro-batch over a
         growing directory — one file per InputPartition per batch, same
         wire rows as the batch reader (see FrameStreamReader)."""
-        from distributed_video_analytics_flink_spark.sources.avi import decode_avi
+        from distributed_video_analytics_flink_spark.sources.avi import (
+            AviError,
+            decode_avi,
+        )
 
         return FrameStreamReader(
-            self.options, "avi", lambda data, mf: decode_avi(data, max_frames=mf)
+            self.options,
+            "avi",
+            permissive_header(
+                lambda data, mf: decode_avi(data, max_frames=mf), AviError
+            ),
         )
 
 

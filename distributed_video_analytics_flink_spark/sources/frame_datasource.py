@@ -100,6 +100,27 @@ class FrameStreamReader(DataSourceStreamReader):
         pass
 
 
+def permissive_header(
+    decode: Callable[[bytes, int], tuple], err: type[Exception]
+) -> Callable[[bytes, int], tuple]:
+    """Wrap a ``(data, max_frames) -> (header, frames)`` decoder so a
+    file whose header fails to parse contributes ZERO rows instead of
+    killing the task — the same PERMISSIVE stance as read_video_files'
+    dispatch, where each branch guards its format error (r10 review
+    follow-up: one corrupt .y4m in a directory previously failed the
+    whole ``format("y4m")`` scan, while the binaryFile path tolerated
+    it). ``err`` stays format-specific on purpose: catching ValueError
+    broadly here would also mask genuine decoder bugs."""
+
+    def _wrapped(data: bytes, max_frames: int):
+        try:
+            return decode(data, max_frames)
+        except err:
+            return None, iter(())
+
+    return _wrapped
+
+
 def wire_frame_rows(
     path: str,
     decode: Callable[[bytes, int | None], tuple],

@@ -28,6 +28,7 @@ from distributed_video_analytics_flink_spark.sources.frame_datasource import (
     FilePartition,
     FrameStreamReader,
     file_partitions,
+    permissive_header,
     wire_frame_rows,
 )
 
@@ -41,11 +42,16 @@ class Y4MReader(DataSourceReader):
         return file_partitions(self._path, "y4m")
 
     def read(self, partition: FilePartition):
-        from distributed_video_analytics_flink_spark.sources.y4m import decode_y4m
+        from distributed_video_analytics_flink_spark.sources.y4m import (
+            Y4MError,
+            decode_y4m,
+        )
 
         yield from wire_frame_rows(
             partition.path,
-            lambda data, mf: decode_y4m(data, max_frames=mf),
+            permissive_header(
+                lambda data, mf: decode_y4m(data, max_frames=mf), Y4MError
+            ),
             self._max_frames,
         )
 
@@ -65,10 +71,17 @@ class Y4MDataSource(DataSource):
         """spark.readStream.format("y4m").load(dir): micro-batch over a
         growing directory — one file per InputPartition per batch, same
         wire rows as the batch reader (see FrameStreamReader)."""
-        from distributed_video_analytics_flink_spark.sources.y4m import decode_y4m
+        from distributed_video_analytics_flink_spark.sources.y4m import (
+            Y4MError,
+            decode_y4m,
+        )
 
         return FrameStreamReader(
-            self.options, "y4m", lambda data, mf: decode_y4m(data, max_frames=mf)
+            self.options,
+            "y4m",
+            permissive_header(
+                lambda data, mf: decode_y4m(data, max_frames=mf), Y4MError
+            ),
         )
 
 

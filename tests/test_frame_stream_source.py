@@ -153,3 +153,33 @@ def test_stream_starts_on_empty_dir(spark, tmp_path):
     (src / "cam1.avi").write_bytes(encode_avi(_bgr_square_frames(16, 16, [0], 6)))
     rows2 = _run_available_now(spark, src, tmp_path / "ck0", tmp_path / "out0")
     assert len(rows2) == 1
+
+
+def test_corrupt_file_yields_zero_rows_not_task_failure(spark, tmp_path):
+    """r10 review follow-up: one corrupt file in a directory must not
+    fail the whole format('y4m'/'avi') scan — the binaryFile path
+    tolerates it, so the Data Source paths must too (permissive_header
+    in frame_datasource). The corrupt file contributes zero rows."""
+    from distributed_video_analytics_flink_spark.sources.avi import encode_avi
+    from distributed_video_analytics_flink_spark.sources.y4m import encode_y4m
+    from distributed_video_analytics_flink_spark.sources.y4m_datasource import (
+        register_y4m_source,
+    )
+    from tests.test_y4m import _square_planes
+
+    import numpy as np
+
+    (tmp_path / "good.y4m").write_bytes(
+        encode_y4m([_square_planes(48, 64, 0, 16)])
+    )
+    (tmp_path / "junk.y4m").write_bytes(b"YUV4MPEG2 garbage-no-newline")
+    register_y4m_source(spark)
+    rows = spark.read.format("y4m").load(str(tmp_path)).collect()
+    assert {r["camId"] for r in rows} == {"good"}
+
+    f = np.zeros((16, 16, 3), np.uint8)
+    (tmp_path / "good.avi").write_bytes(encode_avi([f]))
+    (tmp_path / "junk.avi").write_bytes(b"RIFF\x10\x00\x00\x00AVI LIST")
+    register_avi_source(spark)
+    rows = spark.read.format("avi").load(str(tmp_path)).collect()
+    assert {r["camId"] for r in rows} == {"good"}
