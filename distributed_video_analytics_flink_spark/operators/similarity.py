@@ -688,12 +688,14 @@ _KNN_MEMO_MAX = 4  # live (app, sf_dir) entries; a bench session uses 1-2
 def _shared_knn_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     app = spark.sparkContext.applicationId
     key = (app, sf_dir)
-    df = _KNN_EDGE_MEMO.get(key)
-    if df is None:
+    df = _KNN_EDGE_MEMO.pop(key, None)
+    if df is not None:
+        _KNN_EDGE_MEMO[key] = df  # re-insert: dict order becomes true LRU
+    else:
         for stale in [k for k in _KNN_EDGE_MEMO if k[0] != app]:
             del _KNN_EDGE_MEMO[stale]
         while len(_KNN_EDGE_MEMO) >= _KNN_MEMO_MAX:
-            del _KNN_EDGE_MEMO[next(iter(_KNN_EDGE_MEMO))]  # oldest first
+            del _KNN_EDGE_MEMO[next(iter(_KNN_EDGE_MEMO))]  # LRU first
         emb = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "label", "embedding"
         )
@@ -3132,7 +3134,11 @@ def compact_ivf_pq_index(
                 dir=os.path.dirname(dst_path) or ".",
             )
             quarantine = os.path.join(qroot, "index")
-            os.rename(dst_path, quarantine)
+            try:
+                os.rename(dst_path, quarantine)
+            except OSError:
+                os.rmdir(qroot)  # don't leak the unused empty quarantine
+                raise
         except OSError:
             quarantine = dst_path  # rename failed: left in place
         raise RuntimeError(

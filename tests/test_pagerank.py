@@ -145,6 +145,15 @@ def test_knn_memo_bounded_and_stale_apps_evicted(spark, monkeypatch):
         n = len(S._KNN_EDGE_MEMO)
         assert S._shared_knn_frame(spark, SF) is df
         assert len(S._KNN_EDGE_MEMO) == n
+        # LRU, not insertion-FIFO (r10 review): a hit refreshes the
+        # entry's position, so the just-used frame is evicted LAST
+        S._KNN_EDGE_MEMO.clear()
+        S._KNN_EDGE_MEMO[(app, "oldA")] = dummy
+        S._KNN_EDGE_MEMO[(app, SF)] = df
+        S._KNN_EDGE_MEMO[(app, "oldB")] = dummy  # SF now middle-aged
+        assert S._shared_knn_frame(spark, SF) is df  # hit -> most recent
+        assert list(S._KNN_EDGE_MEMO)[-1] == (app, SF)
+        assert next(iter(S._KNN_EDGE_MEMO)) == (app, "oldA")  # LRU head
     finally:
         S._KNN_EDGE_MEMO.clear()
         S._KNN_EDGE_MEMO.update(saved)

@@ -4,8 +4,6 @@ after its counts silently went stale)."""
 
 import re
 
-import pytest
-
 from distributed_video_analytics_flink_spark.operators import QUERIES, oracle_sql
 
 README = "/root/repo/README.md"
