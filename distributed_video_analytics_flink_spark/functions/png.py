@@ -105,6 +105,45 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+def unfilter_scanlines(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
+    """Reverse PNG scanline filtering: ``raw`` is the zlib-decompressed
+    byte stream of ``h`` scanlines, each 1 filter byte + w*ch samples.
+    Returns (h, w*ch) uint8. Shared by decode_png and the APNG frame
+    decoder (sources/apng.py) — fdAT payloads are filtered exactly like
+    IDAT, over the FRAME's width, so the one implementation serves both.
+    Raises ValueError on truncation or an unknown filter type."""
+    stride = w * ch
+    if len(raw) < h * (1 + stride):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row = raw[y * (1 + stride) : (y + 1) * (1 + stride)]
+        f, line = row[0], np.frombuffer(row[1:], dtype=np.uint8)
+        if f == 0:  # None
+            cur = line.copy()
+        elif f == 1:  # Sub: wrapping prefix-sum per channel lane
+            lanes = line.reshape(w, ch)
+            cur = np.add.accumulate(lanes, axis=0, dtype=np.uint8).reshape(stride)
+        elif f == 2:  # Up
+            cur = line + prior  # uint8 wraps
+        elif f in (3, 4):  # Average / Paeth: sequential in x
+            cur = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prior[x])
+                if f == 3:
+                    cur[x] = (int(line[x]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prior[x - ch]) if x >= ch else 0
+                    cur[x] = (int(line[x]) + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {f}")
+        out[y] = cur
+        prior = cur
+    return out
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """General 8-bit PNG decode over stdlib zlib: color types 0 (gray),
     2 (RGB), 6 (RGBA — alpha dropped), all five scanline filters
@@ -148,36 +187,8 @@ def decode_png(data: bytes) -> np.ndarray:
     if w is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     ch = {0: 1, 2: 3, 6: 4}[color_type]
-    stride = w * ch
     raw = zlib.decompress(idat)
-    if len(raw) < h * (1 + stride):
-        raise ValueError("truncated PNG pixel data")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        row = raw[y * (1 + stride) : (y + 1) * (1 + stride)]
-        f, line = row[0], np.frombuffer(row[1:], dtype=np.uint8)
-        if f == 0:  # None
-            cur = line.copy()
-        elif f == 1:  # Sub: wrapping prefix-sum per channel lane
-            lanes = line.reshape(w, ch)
-            cur = np.add.accumulate(lanes, axis=0, dtype=np.uint8).reshape(stride)
-        elif f == 2:  # Up
-            cur = line + prior  # uint8 wraps
-        elif f in (3, 4):  # Average / Paeth: sequential in x
-            cur = np.zeros(stride, dtype=np.uint8)
-            for x in range(stride):
-                a = int(cur[x - ch]) if x >= ch else 0
-                b = int(prior[x])
-                if f == 3:
-                    cur[x] = (int(line[x]) + ((a + b) >> 1)) & 0xFF
-                else:
-                    c = int(prior[x - ch]) if x >= ch else 0
-                    cur[x] = (int(line[x]) + _paeth(a, b, c)) & 0xFF
-        else:
-            raise ValueError(f"bad filter type {f}")
-        out[y] = cur
-        prior = cur
+    out = unfilter_scanlines(raw, w, h, ch)
     px = out.reshape(h, w, ch)
     if ch == 1:
         rgb = np.repeat(px, 3, axis=2)

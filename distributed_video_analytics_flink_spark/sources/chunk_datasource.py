@@ -39,7 +39,7 @@ CHUNK_DDL_SCHEMA = (
     "camId string, timestamp timestamp, src_rows int, src_cols int, "
     "rows int, cols int, codec string, chunk binary"
 )
-_EXTS = ("avi", "mp4", "y4m", "gif")
+_EXTS = ("avi", "mp4", "y4m", "gif", "apng")
 
 
 def _chunk_listing(path: str | None, require: bool) -> list[str]:

@@ -8,14 +8,17 @@ a 100 TB video corpus), then a ``mapInPandas`` extractor turns each file's
 bytes into wire-format frame rows (FRAME_SCHEMA: camId from the file stem,
 timestamps paced 33 ms apart, base64 BGR payloads).
 
-Decode is REAL for FOUR containers — Y4M (YUV4MPEG2: pure byte-slicing
+Decode is REAL for FIVE containers — Y4M (YUV4MPEG2: pure byte-slicing
 header/frame parse + integer-exact YUV->BGR, sources/y4m.py), AVI (RIFF
 chunk walk, sources/avi.py: raw-DIB BGR rows AND per-chunk baseline-JPEG
 MJPEG via sources/jpeg.py), MP4 when the video track carries
 Motion-JPEG samples (ISO BMFF sample-table walk + the same JPEG codec,
-sources/mp4.py), and animated GIF (LZW + palette + INTER-FRAME canvas
+sources/mp4.py), animated GIF (LZW + palette + INTER-FRAME canvas
 compositing with disposal/transparency, sources/gif.py — the first
-genuinely inter-frame format decoded for real) — plus PNG stills, each
+genuinely inter-frame format decoded for real), and animated PNG
+(fcTL/fdAT chains through the engine's own PNG unfilter with
+dispose/blend compositing incl. exact-integer alpha OVER,
+sources/apng.py) — plus PNG stills, each
 through the engine's own bicubic resize to the target dims
 (functions/resize.py, the analog of VideoEventCreator.java:75's
 cv2.resize) — so genuine video bytes flow end-to-end through the motion
@@ -167,10 +170,26 @@ def _decode_frames_gif(
     return _resized(frames, rows, cols)
 
 
+def _decode_frames_apng(
+    content: bytes, rows: int, cols: int, max_frames: int
+) -> Iterator[np.ndarray]:
+    """REAL decoder for animated PNG (sources/apng.py): fdAT chains
+    through the engine's own PNG unfilter, composited per fcTL
+    dispose/blend ops, then the shared resize. Strict-header/
+    permissive-tail stance lives in decode_apng_permissive (the
+    gif-decoder contract)."""
+    from distributed_video_analytics_flink_spark.sources.apng import (
+        decode_apng_permissive,
+    )
+
+    _, frames = decode_apng_permissive(content, max_frames=max_frames)
+    return _resized(frames, rows, cols)
+
+
 def read_video_files(
     spark: SparkSession,
     path: str,
-    glob: str = "*.{mp4,y4m,avi,gif}",
+    glob: str = "*.{mp4,y4m,avi,gif,apng}",
     rows: int = 480,
     cols: int = 640,
     max_frames_per_file: int = 64,
@@ -206,7 +225,14 @@ def read_video_files(
                     except AviError:
                         decoded = iter(())  # corrupt/compressed: no rows, no failure
                 elif raw.startswith(b"\x89PNG"):
-                    decoded = _decode_frame_png(raw, rows, cols)
+                    from distributed_video_analytics_flink_spark.sources.apng import is_apng
+
+                    if is_apng(raw):  # animated: inter-frame compositing
+                        decoded = _decode_frames_apng(
+                            raw, rows, cols, max_frames_per_file
+                        )
+                    else:  # still image
+                        decoded = _decode_frame_png(raw, rows, cols)
                 elif raw[:6] in (b"GIF87a", b"GIF89a"):
                     # corrupt header/tail handled inside (shared stance)
                     decoded = _decode_frames_gif(raw, rows, cols, max_frames_per_file)
@@ -348,7 +374,13 @@ def iter_chunk_rows(
             except AviError:
                 decoded = iter(())
         elif raw.startswith(b"\x89PNG"):
-            decoded = _decode_frame_png(raw, rows, cols)
+            from distributed_video_analytics_flink_spark.sources.apng import is_apng
+
+            if is_apng(raw):
+                # APNG is inter-frame like GIF: decode source-side
+                decoded = _decode_frames_apng(raw, rows, cols, max_frames)
+            else:
+                decoded = _decode_frame_png(raw, rows, cols)
         elif raw[:6] in (b"GIF87a", b"GIF89a"):
             # GIF frames are inter-frame (palette + canvas compositing
             # state), so a chunk is NOT independently decodable — GIF
@@ -428,7 +460,7 @@ def decode_chunk_to_pixels(
 def read_video_chunks(
     spark: SparkSession,
     path: str,
-    glob: str = "*.{mp4,y4m,avi,gif}",
+    glob: str = "*.{mp4,y4m,avi,gif,apng}",
     rows: int = 480,
     cols: int = 640,
     max_frames_per_file: int = 64,
@@ -488,7 +520,7 @@ VIDEO_META_SCHEMA = (
 
 
 def video_container_metadata(
-    spark: SparkSession, path: str, glob: str = "*.{mp4,y4m,avi,gif}"
+    spark: SparkSession, path: str, glob: str = "*.{mp4,y4m,avi,gif,apng}"
 ) -> DataFrame:
     """REAL (no stub) container-metadata scan over video files: binaryFile
     scan + pure-stdlib ISO BMFF probe (sources/mp4.py) -> one row per file
@@ -543,18 +575,33 @@ def video_container_metadata(
                             ("duration_s", "width", "height", "n_frames", "codec", "fps")
                         )
                 elif b.startswith(b"\x89PNG") and len(b) >= 24:
-                    # IHDR is always the first chunk: width/height at 16/20
-                    import struct as _struct
+                    from distributed_video_analytics_flink_spark.sources.apng import (
+                        ApngError,
+                        is_apng,
+                        probe_apng,
+                    )
 
-                    w, h = _struct.unpack(">II", b[16:24])
-                    meta = {
-                        "duration_s": None,
-                        "width": float(w),
-                        "height": float(h),
-                        "n_frames": 1,
-                        "codec": "png",
-                        "fps": None,
-                    }
+                    if is_apng(b):
+                        try:
+                            meta = probe_apng(b)
+                        except ApngError:
+                            meta = dict.fromkeys(
+                                ("duration_s", "width", "height", "n_frames",
+                                 "codec", "fps")
+                            )
+                    else:
+                        # still PNG: IHDR is always the first chunk
+                        import struct as _struct
+
+                        w, h = _struct.unpack(">II", b[16:24])
+                        meta = {
+                            "duration_s": None,
+                            "width": float(w),
+                            "height": float(h),
+                            "n_frames": 1,
+                            "codec": "png",
+                            "fps": None,
+                        }
                 else:
                     meta = probe_mp4(b)
                 rows.append(
