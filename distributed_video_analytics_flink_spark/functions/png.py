@@ -97,14 +97,6 @@ def annotate_png(
     return encode_png_bgr(draw_boxes_bgr(frame, boxes))
 
 
-def _paeth(a: int, b: int, c: int) -> int:
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    return b if pb <= pc else c
-
-
 def unfilter_scanlines(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
     """Reverse PNG scanline filtering: ``raw`` is the zlib-decompressed
     byte stream of ``h`` scanlines, each 1 filter byte + w*ch samples.
@@ -128,15 +120,35 @@ def unfilter_scanlines(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
         elif f == 2:  # Up
             cur = line + prior  # uint8 wraps
         elif f in (3, 4):  # Average / Paeth: sequential in x
-            cur = np.zeros(stride, dtype=np.uint8)
-            for x in range(stride):
-                a = int(cur[x - ch]) if x >= ch else 0
-                b = int(prior[x])
-                if f == 3:
-                    cur[x] = (int(line[x]) + ((a + b) >> 1)) & 0xFF
-                else:
-                    c = int(prior[x - ch]) if x >= ch else 0
-                    cur[x] = (int(line[x]) + _paeth(a, b, c)) & 0xFF
+            # plain-list arithmetic with _paeth inlined: numpy scalar
+            # indexing costs ~100 ns per access vs ~10 ns for a list —
+            # a ~5x win on the only per-sample loop left, which APNG
+            # moved onto a per-frame video path (real-world encoders
+            # emit adaptive filtering, heavily Paeth; r10 review)
+            cur_l = [0] * stride
+            prior_l = prior.tolist()
+            line_l = line.tolist()
+            if f == 3:
+                for x in range(stride):
+                    a = cur_l[x - ch] if x >= ch else 0
+                    cur_l[x] = (line_l[x] + ((a + prior_l[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    a = cur_l[x - ch] if x >= ch else 0
+                    b = prior_l[x]
+                    c = prior_l[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
+                    if pa <= pb and pa <= pc:
+                        pr = a
+                    elif pb <= pc:
+                        pr = b
+                    else:
+                        pr = c
+                    cur_l[x] = (line_l[x] + pr) & 0xFF
+            cur = np.array(cur_l, dtype=np.uint8)
         else:
             raise ValueError(f"bad filter type {f}")
         out[y] = cur
@@ -153,9 +165,11 @@ def decode_png(data: bytes) -> np.ndarray:
     and arbitrary externally-produced 8-bit PNGs with zero codec
     dependency. Filters None/Sub/Up unfilter vectorized per scanline
     (Sub is a wrapping uint8 prefix-sum per channel lane); Average/Paeth
-    fall back to a per-pixel loop on just the scanlines that use them —
-    encoders emit them on a minority of rows, and correctness beats
-    micro-speed in a 1-frame-per-file ingest path.
+    are sequential in x by construction, so those scanlines take the
+    list-arithmetic loop in unfilter_scanlines (~358 ms for a worst-case
+    all-Paeth 640x480 RGBA frame — a real price on APNG's per-frame
+    path, priced in SCALE.md; stills and the engine's own filter-0
+    side-outputs never pay it).
 
     Raises ValueError on non-PNG bytes or unsupported subsets (16-bit,
     palette, interlaced) — callers treat that as PERMISSIVE skip."""

@@ -41,6 +41,7 @@ import numpy as np
 
 from distributed_video_analytics_flink_spark.functions.png import (
     _PNG_SIG,
+    _chunk,
     unfilter_scanlines,
 )
 
@@ -146,10 +147,23 @@ def decode_apng(data: bytes, max_frames: int = 1 << 30) -> Iterator[np.ndarray]:
         def emit() -> Iterator[np.ndarray]:
             nonlocal canvas, fctl, fdata, n
             f = fctl
-            raw = zlib.decompress(b"".join(fdata))
-            px = unfilter_scanlines(raw, f["w"], f["h"], ch).reshape(
-                f["h"], f["w"], ch
-            )
+            # BOUNDED decompress (r10 review: plain zlib.decompress on an
+            # untrusted deflate stream is a decompression bomb — a 204 KB
+            # crafted file drove ~459 MB; max_length caps the output at
+            # exactly the declared frame's byte need, and every error from
+            # the codec layer is re-raised as ApngError so the strict
+            # surface matches the docstring)
+            need = f["h"] * (1 + f["w"] * ch)
+            try:
+                raw = zlib.decompressobj().decompress(b"".join(fdata), need)
+            except zlib.error as exc:
+                raise ApngError(f"bad frame deflate: {exc}") from exc
+            try:
+                px = unfilter_scanlines(raw, f["w"], f["h"], ch).reshape(
+                    f["h"], f["w"], ch
+                )
+            except ValueError as exc:
+                raise ApngError(str(exc)) from exc
             if ch == 1:
                 rgba = np.dstack([np.repeat(px, 3, axis=2), np.full_like(px, 255)])
             elif ch == 3:
@@ -246,9 +260,9 @@ def decode_apng_permissive(
     def _tail() -> Iterator[np.ndarray]:
         try:
             yield from frames
-        except (ApngError, zlib.error, ValueError):
-            # fdAT bodies reach zlib/unfilter directly; their errors are
-            # the same "corrupt tail" case as a bad chunk walk
+        except ApngError:
+            # the strict decoder wraps zlib/unfilter failures in
+            # ApngError, so this one except covers the whole surface
             return
 
     return None, _tail()
@@ -290,13 +304,8 @@ def probe_apng(data: bytes) -> dict:
     }
 
 
-def _chunk(tag: bytes, payload: bytes) -> bytes:
-    return (
-        struct.pack(">I", len(payload))
-        + tag
-        + payload
-        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
-    )
+# chunk framing (length + tag + payload + CRC) is shared with stills:
+# functions/png.py::_chunk, imported at the top
 
 
 def encode_apng(

@@ -186,6 +186,22 @@ def _decode_frames_apng(
     return _resized(frames, rows, cols)
 
 
+def _decode_frames_png_or_apng(
+    content: bytes, rows: int, cols: int, max_frames: int
+) -> Iterator[np.ndarray]:
+    """ONE dispatch site for PNG-signature bytes (r10 review: the
+    animated-vs-still branch was copy-pasted into read_video_files and
+    iter_chunk_rows — a stance change landing in one and not the other
+    would silently diverge the binaryFile and chunk-passthrough paths):
+    acTL before IDAT means animated (inter-frame compositing decode,
+    source-side), else a single still frame."""
+    from distributed_video_analytics_flink_spark.sources.apng import is_apng
+
+    if is_apng(content):
+        return _decode_frames_apng(content, rows, cols, max_frames)
+    return _decode_frame_png(content, rows, cols)
+
+
 def read_video_files(
     spark: SparkSession,
     path: str,
@@ -225,14 +241,9 @@ def read_video_files(
                     except AviError:
                         decoded = iter(())  # corrupt/compressed: no rows, no failure
                 elif raw.startswith(b"\x89PNG"):
-                    from distributed_video_analytics_flink_spark.sources.apng import is_apng
-
-                    if is_apng(raw):  # animated: inter-frame compositing
-                        decoded = _decode_frames_apng(
-                            raw, rows, cols, max_frames_per_file
-                        )
-                    else:  # still image
-                        decoded = _decode_frame_png(raw, rows, cols)
+                    decoded = _decode_frames_png_or_apng(
+                        raw, rows, cols, max_frames_per_file
+                    )
                 elif raw[:6] in (b"GIF87a", b"GIF89a"):
                     # corrupt header/tail handled inside (shared stance)
                     decoded = _decode_frames_gif(raw, rows, cols, max_frames_per_file)
@@ -374,13 +385,9 @@ def iter_chunk_rows(
             except AviError:
                 decoded = iter(())
         elif raw.startswith(b"\x89PNG"):
-            from distributed_video_analytics_flink_spark.sources.apng import is_apng
-
-            if is_apng(raw):
-                # APNG is inter-frame like GIF: decode source-side
-                decoded = _decode_frames_apng(raw, rows, cols, max_frames)
-            else:
-                decoded = _decode_frame_png(raw, rows, cols)
+            # APNG is inter-frame like GIF: decode source-side (shared
+            # animated-vs-still dispatch)
+            decoded = _decode_frames_png_or_apng(raw, rows, cols, max_frames)
         elif raw[:6] in (b"GIF87a", b"GIF89a"):
             # GIF frames are inter-frame (palette + canvas compositing
             # state), so a chunk is NOT independently decodable — GIF

@@ -156,8 +156,9 @@ def test_corrupt_tail_permissive():
 
 def test_bitflip_fuzz_only_apng_errors():
     """Single-bit flips over a small fixture: the strict decoder's
-    documented error surface is ApngError/zlib.error/ValueError (the
-    permissive wrapper catches exactly these); nothing else escapes."""
+    documented error surface is ApngError and nothing else (r10 review:
+    zlib/unfilter failures are wrapped, so a strict caller catching the
+    documented type cannot be killed by a flipped deflate byte)."""
     base = encode_apng([f[:8, :10] for f in _moving_square(3)], delta=True)
     for i in range(len(base)):
         b = bytearray(base)
@@ -165,8 +166,37 @@ def test_bitflip_fuzz_only_apng_errors():
         try:
             for _f in decode_apng(bytes(b)):
                 pass
-        except (ApngError, zlib.error, ValueError):
+        except ApngError:
             pass
+
+
+def test_decompression_bomb_bounded():
+    """r10 review: a crafted fdAT whose deflate stream inflates far past
+    the declared frame size must NOT balloon memory (a 204 KB file drove
+    ~459 MB through plain zlib.decompress). The bounded decompress caps
+    output at the frame's exact byte need."""
+    import tracemalloc
+
+    bomb_rect = np.zeros((1, 1, 4), np.uint8)
+    base = np.zeros((4, 4, 4), np.uint8)
+    data = bytearray(_hand_apng(4, 4, [(0, 0, base, 0, 0), (0, 0, bomb_rect, 0, 0)]))
+    # swap the 1x1 frame's fdAT body for a ~50 MB-inflating bomb
+    i = bytes(data).rfind(b"fdAT")
+    import struct
+
+    (length,) = struct.unpack(">I", data[i - 4 : i])
+    seq = data[i + 4 : i + 8]
+    bomb = zlib.compress(b"\x00" * 50_000_000, 9)
+    from distributed_video_analytics_flink_spark.sources.apng import _chunk
+
+    new_chunk = _chunk(b"fdAT", seq + bomb)
+    data[i - 4 : i + 4 + length + 4] = new_chunk
+    tracemalloc.start()
+    frames = list(decode_apng(bytes(data), max_frames=10))
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert len(frames) == 2  # bounded read of the first 5 bytes suffices
+    assert peak < 20_000_000, f"peak {peak} — the bomb inflated"
 
 
 def test_apng_motion_boxes_identical_to_lossless_twin(spark, tmp_path):
