@@ -15,6 +15,9 @@ import zlib
 import numpy as np
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# Same per-image pixel budget as the animated decoders (sources/apng.py,
+# sources/gif.py): a declared-dimensions sanity fence on untrusted input.
+_MAX_PIXELS = 64 * 1024 * 1024
 
 # reference draws green boxes: Scalar(0, 255, 0) BGR (MotionDetector.java:64)
 BOX_BGR = (0, 255, 0)
@@ -200,8 +203,17 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + length
     if w is None or not idat:
         raise ValueError("missing IHDR/IDAT")
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        raise ValueError(f"implausible dimensions {w}x{h}")
     ch = {0: 1, 2: 3, 6: 4}[color_type]
-    raw = zlib.decompress(idat)
+    # BOUNDED decompress: IDAT is untrusted (PERMISSIVE ingest reads
+    # arbitrary files); a plain zlib.decompress is a decompression bomb —
+    # max_length caps output at exactly the declared scanline need, same
+    # fix as the APNG frame path (sources/apng.py).
+    try:
+        raw = zlib.decompressobj().decompress(idat, h * (1 + w * ch))
+    except zlib.error as exc:
+        raise ValueError(f"bad IDAT deflate: {exc}") from exc
     out = unfilter_scanlines(raw, w, h, ch)
     px = out.reshape(h, w, ch)
     if ch == 1:

@@ -195,7 +195,14 @@ def decode_apng(data: bytes, max_frames: int = 1 << 30) -> Iterator[np.ndarray]:
             if n >= max_frames:
                 return
             if tag == b"fcTL":
-                if fctl is not None and fdata:
+                if fctl is not None:
+                    if not fdata:
+                        # a pending fcTL with zero accumulated data would be
+                        # silently replaced — a lost frame; keep the strict
+                        # surface strict (r10 review)
+                        raise ApngError(
+                            "fcTL with no frame data for the preceding fcTL"
+                        )
                     yield from emit()
                     if n >= max_frames:
                         return
@@ -294,11 +301,15 @@ def probe_apng(data: bytes) -> dict:
             n_fctl += 1
     if w is None or n_frames is None:
         raise ApngError("missing IHDR/acTL")
+    # n_frames reports the counted fcTLs — what decode_apng will actually
+    # emit — not acTL's declared count, so the probe's n_frames, fps and
+    # duration are mutually consistent even when a malformed file's acTL
+    # disagrees (r10 review); acTL is still required to be present.
     return {
         "duration_s": float(delay_s) if delay_s else None,
         "width": float(w),
         "height": float(h),
-        "n_frames": n_frames,
+        "n_frames": n_fctl,
         "codec": "apng",
         "fps": float(n_fctl / delay_s) if delay_s else None,
     }

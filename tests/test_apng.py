@@ -310,3 +310,44 @@ def test_dispose_previous_reverts_frame_region():
     want3 = red_bgr.copy()
     want3[0, 0] = (200, 0, 0)  # blue in BGR; green rect reverted
     assert np.array_equal(o3, want3)
+
+
+def test_fctl_with_no_frame_data_raises():
+    """Two consecutive fcTLs with no fdAT/IDAT between them would silently
+    drop the first frame control; the strict decoder must raise instead
+    (consistent with its out-of-order/orphan-fdAT surface)."""
+    import struct
+
+    from distributed_video_analytics_flink_spark.functions.png import _PNG_SIG
+    from distributed_video_analytics_flink_spark.sources.apng import _chunk
+
+    px = np.zeros((2, 2, 4), np.uint8)
+    body = zlib.compress(b"".join(b"\x00" + px[r].tobytes() for r in range(2)))
+    out = bytearray(_PNG_SIG)
+    out += _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0))
+    out += _chunk(b"acTL", struct.pack(">II", 2, 0))
+    out += _chunk(b"fcTL", struct.pack(">IIIIIHHBB", 0, 2, 2, 0, 0, 1, 100, 0, 0))
+    out += _chunk(b"fcTL", struct.pack(">IIIIIHHBB", 1, 2, 2, 0, 0, 1, 100, 0, 0))
+    out += _chunk(b"IDAT", body)
+    out += _chunk(b"IEND", b"")
+    with pytest.raises(ApngError, match="no frame data"):
+        list(decode_apng(bytes(out)))
+    # PERMISSIVE wrapper: stream ends cleanly at the malformation
+    _, frames = decode_apng_permissive(bytes(out))
+    assert list(frames) == []
+
+
+def test_probe_n_frames_follows_fctl_count_not_actl():
+    """A malformed acTL declaring more frames than the file carries must
+    not make the probe inconsistent with what decode_apng emits: n_frames
+    reports the counted fcTLs."""
+    import struct
+
+    frames = _moving_square(3)
+    data = bytearray(encode_apng(frames, delay=(1, 10)))
+    i = bytes(data).find(b"acTL")
+    # payload starts 4 bytes after the tag; first field is num_frames
+    data[i + 4 : i + 8] = struct.pack(">I", 7)  # lie: declare 7
+    meta = probe_apng(bytes(data))
+    assert meta["n_frames"] == 3 == len(list(decode_apng(bytes(data))))
+    assert meta["fps"] == 10.0

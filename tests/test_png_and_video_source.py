@@ -244,3 +244,44 @@ def test_container_metadata_probes_png(spark, tmp_path):
     ).collect()}
     m = meta["shotA"]
     assert (m["width"], m["height"], m["n_frames"], m["codec"]) == (40.0, 24.0, 1, "png")
+
+
+def test_decode_png_bounded_against_decompression_bombs():
+    """decode_png reads untrusted bytes on the PERMISSIVE ingest path, so
+    (a) implausible declared dimensions are rejected before any inflate,
+    and (b) the IDAT inflate is capped at the declared scanline need — a
+    crafted stream that deflates to far more than w*h can never allocate
+    beyond the header's promise (mirrors the APNG frame-path fix)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from distributed_video_analytics_flink_spark.functions.png import (
+        _PNG_SIG,
+        _chunk,
+        decode_png,
+    )
+
+    # (a) 1-gigapixel declared dims, tiny file
+    ihdr = struct.pack(">IIBBBBB", 1 << 15, 1 << 15, 8, 2, 0, 0, 0)
+    bomb = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="implausible"):
+        decode_png(bomb)
+
+    # (b) honest 4x4 header, IDAT that inflates to 16 MiB: the bounded
+    # decompress takes exactly the declared need, so the valid prefix
+    # still decodes byte-exactly
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    rows = b"".join(b"\x00" + img[y].tobytes() for y in range(4))
+    padded = zlib.compress(rows + b"\x00" * (16 << 20), 9)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    data = _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", padded) + _chunk(b"IEND", b"")
+    got = decode_png(data)
+    assert (got == img[:, :, ::-1]).all()
