@@ -144,6 +144,9 @@ HEADLINE = [
     # round 10: the inter-frame GIF decode parity contract (delta +
     # full-frame layouts against a lossless container)
     "video_motion_gif_parity",
+    # round 11: the APNG twin (delta/OVER/dispose-background layouts
+    # against the same lossless container)
+    "video_motion_apng_parity",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

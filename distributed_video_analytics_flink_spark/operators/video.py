@@ -880,8 +880,15 @@ def video_motion_gif_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         summary = (
             # left join from the GIF side: a dropped/extra GIF frame
             # changes n_frames (oracle-pinned 10); a GIF frame with no
-            # reference row leaves the r side null, failing `same`
-            gifs.join(ref, gifs["ts_us"] == ref["ts_us"], "left")
+            # reference row leaves the r side null, failing `same`.
+            # The reference camId is part of the join key (every GIF leg
+            # maps to the one lossless twin 'ref'), so the contract cannot
+            # fan out if the fixture dir ever gains a second .avi
+            gifs.join(
+                ref,
+                (gifs["ts_us"] == ref["ts_us"]) & (ref["camId"] == F.lit("ref")),
+                "left",
+            )
             .groupBy(
                 F.when(F.col("g.camId") == "gifd", "gif-delta")
                 .otherwise("gif-full")
@@ -905,4 +912,132 @@ def video_motion_gif_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "layout string, n_frames bigint, n_motion_frames bigint, "
         "gif_equals_lossless boolean",
+    )
+
+
+@query(
+    "video_motion_apng_parity",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('apng-delta', CAST(10 AS BIGINT), CAST(6 AS BIGINT), TRUE),
+      ('apng-dispose-bg', CAST(10 AS BIGINT), CAST(6 AS BIGINT), TRUE),
+      ('apng-over', CAST(10 AS BIGINT), CAST(6 AS BIGINT), TRUE)
+    ) AS t(layout, n_frames, n_motion_frames, apng_equals_lossless)
+    """,
+)
+def video_motion_apng_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APNG inter-frame decode contract as one driver-checked row
+    set — the exact ``video_motion_gif_parity`` pattern for the engine's
+    second compositing format (sources/apng.py, acTL/fcTL/fdAT): APNG
+    ingestion must produce motion rows IDENTICAL — boxes included — to a
+    LOSSLESS container carrying the same pixels, across the three
+    compositing modes a producer can emit:
+
+    - 'apng-delta': frames 2+ are changed-region rectangles, blend
+      SOURCE, dispose NONE — the genuinely inter-frame path (frame N
+      needs canvas state from frames < N);
+    - 'apng-over': the same delta rectangles blended OVER (the
+      straight-alpha compositing arithmetic; opaque alpha makes OVER
+      pixel-equal to SOURCE, so any drift in the exact-integer OVER
+      math breaks parity);
+    - 'apng-dispose-bg': full frames with dispose BACKGROUND — the
+      canvas is cleared to transparent between frames, so each emit
+      exercises the dispose bookkeeping and the alpha-flatten.
+
+    Wiring: the same deterministic 10-frame moving-block fixture as the
+    GIF contract (the block appears at frame 4 and moves through frame
+    9: 6 motion frames) is written in-session as a raw-DIB AVI
+    (bit-exact BGR reference) plus the three APNG layouts, all ingested
+    through ``read_video_files`` (the PNG-magic branch dispatches into
+    the APNG compositing decoder via is_apng), and each APNG leg is
+    joined to the reference leg on (ts_us, reference camId), comparing
+    detection_count and the exact boxes JSON. The oracle pins frame
+    count, motion-frame count, and the parity boolean to literal TRUE —
+    a compositing drift, a dropped frame, a broken dispose/blend op, or
+    a scanline-unfilter bug hash-mismatches the round.
+
+    Scale: the fixture is tiny by design — the property proven (APNG
+    inter-frame decode == lossless decode) is size-independent; per-file
+    decode parallelism and honest per-frame pricing live in SCALE.md.
+    Bounded collect: 3 layout rows."""
+    import os
+    import shutil
+    import tempfile
+
+    from distributed_video_analytics_flink_spark.sources.apng import encode_apng
+    from distributed_video_analytics_flink_spark.sources.avi import encode_avi
+    from distributed_video_analytics_flink_spark.sources.video_files import (
+        read_video_files,
+    )
+
+    fix = []
+    for i in range(10):
+        px = np.full((240, 320, 3), 50, dtype=np.uint8)
+        if i >= 4:
+            px[40:100, 30 + 14 * (i - 4) : 90 + 14 * (i - 4), :] = 200
+        fix.append(px)
+    root = tempfile.mkdtemp(prefix="dvafs-apngparity-")
+    try:
+        with open(os.path.join(root, "ref.avi"), "wb") as fh:
+            fh.write(encode_avi(fix, codec="rawbgr"))
+        with open(os.path.join(root, "pdelta.apng"), "wb") as fh:
+            fh.write(encode_apng(fix, delta=True))
+        with open(os.path.join(root, "pover.apng"), "wb") as fh:
+            fh.write(encode_apng(fix, delta=True, blend_over=True))
+        with open(os.path.join(root, "pdispose.apng"), "wb") as fh:
+            fh.write(encode_apng(fix, dispose=1))
+
+        def leg(glob: str) -> DataFrame:
+            # native fixture dims: no resize on either leg
+            return detect_motion_batch(
+                read_video_files(spark, root, glob=glob, rows=240, cols=320)
+            ).select(
+                "camId",
+                "ts_us",
+                "detection_count",
+                F.to_json("motion_boxes").alias("bj"),
+            )
+
+        ref = leg("*.avi").alias("r")
+        apngs = leg("*.apng").alias("g")
+        same = (
+            F.col("r.detection_count").isNotNull()
+            & F.col("g.detection_count").eqNullSafe(F.col("r.detection_count"))
+            & F.col("g.bj").eqNullSafe(F.col("r.bj"))
+        )
+        summary = (
+            # left join from the APNG side on (ts_us, reference camId):
+            # a dropped/extra APNG frame changes n_frames (oracle-pinned
+            # 10); an APNG frame with no reference row leaves the r side
+            # null, failing `same`; pinning r.camId keeps the contract
+            # from fanning out if the dir ever gained a second .avi
+            apngs.join(
+                ref,
+                (apngs["ts_us"] == ref["ts_us"]) & (ref["camId"] == F.lit("ref")),
+                "left",
+            )
+            .groupBy(
+                F.when(F.col("g.camId") == "pdelta", "apng-delta")
+                .when(F.col("g.camId") == "pover", "apng-over")
+                .otherwise("apng-dispose-bg")
+                .alias("layout")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_frames"),
+                F.sum(
+                    F.when(F.col("g.detection_count") > 0, 1).otherwise(0)
+                ).alias("n_motion_frames"),
+                F.min(same.cast("int")).alias("ok"),
+            )
+            .collect()  # bounded: one row per APNG layout (3)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["layout"], r["n_frames"], r["n_motion_frames"], bool(r["ok"]))
+            for r in summary
+        ],
+        "layout string, n_frames bigint, n_motion_frames bigint, "
+        "apng_equals_lossless boolean",
     )

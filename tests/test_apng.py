@@ -351,3 +351,73 @@ def test_probe_n_frames_follows_fctl_count_not_actl():
     meta = probe_apng(bytes(data))
     assert meta["n_frames"] == 3 == len(list(decode_apng(bytes(data))))
     assert meta["fps"] == 10.0
+
+
+def test_apng_python_datasource(spark, tmp_path):
+    """Spark 4 Python Data Source: spark.read.format('apng') yields the
+    same wire-format frames as read_video_files (one partition per file)
+    and feeds the motion pipeline unchanged; a corrupt file — and a plain
+    still PNG, which is not an animation — contributes zero rows, not a
+    task failure."""
+    from distributed_video_analytics_flink_spark.functions.png import encode_png_bgr
+    from distributed_video_analytics_flink_spark.sources.apng_datasource import (
+        register_apng_source,
+    )
+
+    # block 25x25 (=625 px) clears the contour area>300 filter
+    frames = [np.zeros((60, 80, 3), np.uint8)]
+    for t in range(1, 5):
+        f = np.zeros((60, 80, 3), np.uint8)
+        f[10:35, 10 * t : 10 * t + 25] = (200, 100, 30 * t)
+        frames.append(f)
+    (tmp_path / "cam7.apng").write_bytes(encode_apng(frames, delta=True))
+    (tmp_path / "cam8.apng").write_bytes(encode_apng(frames[:3]))
+    (tmp_path / "junk.apng").write_bytes(b"\x89PNG\r\n\x1a\n\x00bad")
+    (tmp_path / "still.apng").write_bytes(encode_png_bgr(frames[0]))
+
+    register_apng_source(spark)
+    df = spark.read.format("apng").load(str(tmp_path))
+    assert df.rdd.getNumPartitions() == 4  # one per file
+    rows = df.collect()
+    assert {r["camId"] for r in rows} == {"cam7", "cam8"}  # junk+still: 0 rows
+    assert len(rows) == 8
+
+    out = (
+        detect_motion_batch(df.filter(df.camId == "cam7")).orderBy("ts_us").collect()
+    )
+    # frame 0 is blank: frame 1 shows only the appearing square (1 box);
+    # each later frame shows vanish + appear as a merged or split region
+    counts = [r["detection_count"] for r in out]
+    assert counts[0] == 0 and all(c >= 1 for c in counts[1:])
+
+
+def test_apng_stream_source_matches_batch(spark, tmp_path):
+    """spark.readStream.format('apng') over a directory replays the same
+    wire rows as the batch reader (FrameStreamReader machinery shared
+    with y4m/avi/gif)."""
+    from distributed_video_analytics_flink_spark.sources.apng_datasource import (
+        register_apng_source,
+    )
+
+    frames = _moving_square(3)
+    data_dir = tmp_path / "in"
+    data_dir.mkdir()
+    (data_dir / "camA.apng").write_bytes(encode_apng(frames, delta=True))
+    register_apng_source(spark)
+
+    q = (
+        spark.readStream.format("apng")
+        .load(str(data_dir))
+        .writeStream.format("memory")
+        .queryName("apng_stream_rows")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT camId, timestamp, rows, cols, type, data FROM apng_stream_rows"
+    ).collect()
+    want = spark.read.format("apng").load(str(data_dir)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) == 3
