@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from distributed_video_analytics_flink_spark.operators.registry import query
+from distributed_video_analytics_flink_spark.sinks.index_store import PublishConflict
 from distributed_video_analytics_flink_spark.sources.tables import load_table
 
 _Q = 1e12  # quantization scale for integer dot products
@@ -2753,6 +2754,7 @@ def write_ivf_pq_index(
     sf_dir: str,
     path: str | None = None,
     coarse: tuple | None = None,
+    store=None,
 ) -> str:
     """BUILD step of the at-rest IVF+PQ index: one Arrow pass assigns each
     vector its coarse cell (argmax centroid cosine — ivf_assignments'
@@ -2782,7 +2784,7 @@ def write_ivf_pq_index(
     with _IVF_PQ_BUILD_LOCK:
         if path in _IVF_PQ_INDEX_BUILT:
             return path
-        return _build_ivf_pq_index(spark, sf_dir, path, coarse)
+        return _build_ivf_pq_index(spark, sf_dir, path, coarse, store=store)
 
 
 _IVF_PQ_MODEL_FILE = "_model.json"  # "_"-prefixed: invisible to the scan
@@ -2824,13 +2826,49 @@ def _encode_to_index_rows(vectors: DataFrame, encoder) -> DataFrame:
     )
 
 
+def _index_store(store):
+    """The publish/list seam (sinks/index_store.py): default is the
+    POSIX atomic-rename store; an object-store deployment passes the
+    manifest-pointer store. Imported lazily to keep module import light."""
+    if store is not None:
+        return store
+    from distributed_video_analytics_flink_spark.sinks.index_store import (
+        DEFAULT_INDEX_STORE,
+    )
+
+    return DEFAULT_INDEX_STORE
+
+
+def _validated_live_dir(serving: str, store) -> str:
+    """Resolve the live physical directory of a published index and
+    validate provenance before trusting it: it must exist, be ours (uid
+    check — the per-user 0700 cache root makes squatting by another user
+    impossible, this is defense in depth) and complete (the committer's
+    _SUCCESS marker — a crashed half-write never has it — plus the
+    frozen-model sidecar)."""
+    import os
+
+    live = store.resolve(serving)
+    if (
+        live is None
+        or os.stat(live).st_uid != os.getuid()
+        or not os.path.exists(os.path.join(live, "_SUCCESS"))
+        or not os.path.exists(os.path.join(live, _IVF_PQ_MODEL_FILE))
+    ):
+        raise RuntimeError(
+            f"existing index at {serving!r} failed ownership/completeness "
+            "validation; refusing to serve from it"
+        )
+    return live
+
+
 def _build_ivf_pq_index(
-    spark: SparkSession, sf_dir: str, path: str, coarse: tuple | None
+    spark: SparkSession, sf_dir: str, path: str, coarse: tuple | None, store=None
 ) -> str:
     import json
     import os
-    import shutil
 
+    store = _index_store(store)
     emb = load_table(spark, sf_dir, "embeddings")
     if coarse is None:
         C, cn = _ivf_coarse_and_query(emb)[:2]
@@ -2838,7 +2876,7 @@ def _build_ivf_pq_index(
         C, cn = coarse
     _, CT1 = _pq_refined_codebook(emb, cache_key=sf_dir)
 
-    tmp = f"{path}.build-{os.getpid()}-{threading.get_ident()}"
+    tmp = store.stage(path)
     (
         _encode_to_index_rows(emb, _ivf_pq_encoder(C, cn, CT1))
         .write.mode("overwrite")
@@ -2857,48 +2895,44 @@ def _build_ivf_pq_index(
             fh,
         )
     try:
-        os.rename(tmp, path)
-    except OSError:
+        store.publish(tmp, path)
+    except PublishConflict:
         # lost the publish race (or a prior run already published): the
         # index content is deterministic per fixture + format version, so
-        # the existing directory is the same index — keep it, drop ours.
-        # But only TRUST it after validating provenance: it must be ours
-        # (uid check — the per-user 0700 root makes squatting by another
-        # user impossible, this is defense in depth) and complete (the
-        # committer's _SUCCESS marker — a crashed half-write never has it).
-        shutil.rmtree(tmp, ignore_errors=True)
-        if not os.path.isdir(path):
+        # the existing published version is the same index — keep it,
+        # drop ours. But only TRUST it after the ownership + completeness
+        # validation in _validated_live_dir.
+        store.discard_staged(tmp)
+        if store.resolve(path) is None:
             raise
-        if (
-            os.stat(path).st_uid != os.getuid()
-            or not os.path.exists(os.path.join(path, "_SUCCESS"))
-            or not os.path.exists(os.path.join(path, _IVF_PQ_MODEL_FILE))
-        ):
-            raise RuntimeError(
-                f"existing index at {path!r} failed ownership/completeness "
-                "validation; refusing to serve from it"
-            )
+        _validated_live_dir(path, store)
     _IVF_PQ_INDEX_BUILT.add(path)
     return path
 
 
-def _load_index_model(path: str):
+def _load_index_model(path: str, store=None):
     """(C, cn, CT1) from a published index's frozen-model sidecar, after
     the same ownership + completeness validation the publish-race loser
-    applies: never encode against a half-written or foreign directory."""
+    applies: never encode against a half-written or foreign directory.
+    ``path`` is the SERVING name; the store seam resolves the live
+    physical directory (identical on POSIX, a pointer lookup on an
+    object store)."""
     import json
     import os
 
+    store = _index_store(store)
+    live = store.resolve(path)
     if (
-        not os.path.isdir(path)
-        or os.stat(path).st_uid != os.getuid()
-        or not os.path.exists(os.path.join(path, "_SUCCESS"))
-        or not os.path.exists(os.path.join(path, _IVF_PQ_MODEL_FILE))
+        live is None
+        or os.stat(live).st_uid != os.getuid()
+        or not os.path.exists(os.path.join(live, "_SUCCESS"))
+        or not os.path.exists(os.path.join(live, _IVF_PQ_MODEL_FILE))
     ):
         raise RuntimeError(
             f"no complete owned IVF+PQ index at {path!r} (need _SUCCESS + "
             f"{_IVF_PQ_MODEL_FILE}); build with write_ivf_pq_index first"
         )
+    path = live
     with open(os.path.join(path, _IVF_PQ_MODEL_FILE)) as fh:
         model = json.load(fh)
     if model.get("format") != _IVF_PQ_INDEX_FORMAT:
@@ -2937,7 +2971,7 @@ def _append_encoded(
     )
 
 
-def append_ivf_pq_index(new_vectors: DataFrame, path: str) -> str:
+def append_ivf_pq_index(new_vectors: DataFrame, path: str, store=None) -> str:
     """INCREMENTAL index maintenance (VERDICT r7 #4): encode a batch of new
     (vec_id, embedding) rows against the index's FROZEN model sidecar —
     same coarse-cell argmax, same Lloyd-refined PQ codes as the build, via
@@ -2962,15 +2996,19 @@ def append_ivf_pq_index(new_vectors: DataFrame, path: str) -> str:
     codes. At 100 TB cells drift unbalanced as the corpus grows — monitor
     per-cell file counts via the manifest and roll a re-trained version
     when the hottest cell outgrows its scan budget."""
-    C, cn, CT1 = _load_index_model(path)
-    _append_encoded(new_vectors, _ivf_pq_encoder(C, cn, CT1), C.shape[1], path)
+    store = _index_store(store)
+    C, cn, CT1 = _load_index_model(path, store=store)
+    live = store.resolve(path)
+    _append_encoded(new_vectors, _ivf_pq_encoder(C, cn, CT1), C.shape[1], live)
     return path
 
 
 _IVF_PQ_TOMBSTONE_DIR = "_tombstones"  # "_"-prefixed: invisible to the scan
 
 
-def delete_from_ivf_pq_index(spark: SparkSession, vec_ids, path: str) -> str:
+def delete_from_ivf_pq_index(
+    spark: SparkSession, vec_ids, path: str, store=None
+) -> str:
     """DELETE step of the index lifecycle (r8 VERDICT #4): a curation pass
     that drops near-dup losers (sim_neardup_keep_best) needs dead vectors
     out of the SERVED index without rewriting it. Deletes are TOMBSTONES:
@@ -2986,6 +3024,10 @@ def delete_from_ivf_pq_index(spark: SparkSession, vec_ids, path: str) -> str:
     (anti-join), so callers need not pre-filter."""
     import os as _os
 
+    store = _index_store(store)
+    live = store.resolve(path)
+    if live is None:
+        raise RuntimeError(f"no published index at {path!r} to delete from")
     if not isinstance(vec_ids, DataFrame):
         vec_ids = spark.createDataFrame(
             [(int(v),) for v in vec_ids], "vec_id long"
@@ -2994,12 +3036,12 @@ def delete_from_ivf_pq_index(spark: SparkSession, vec_ids, path: str) -> str:
         vec_ids.select(F.col("vec_id").cast("long").alias("vec_id"))
         .distinct()
         .write.mode("append")
-        .parquet(_os.path.join(path, _IVF_PQ_TOMBSTONE_DIR))
+        .parquet(_os.path.join(live, _IVF_PQ_TOMBSTONE_DIR))
     )
     return path
 
 
-def read_ivf_pq_index(spark: SparkSession, path: str) -> DataFrame:
+def read_ivf_pq_index(spark: SparkSession, path: str, store=None) -> DataFrame:
     """Serve-time view of an at-rest index: the cell-partitioned codes
     scan MINUS tombstoned ids. The tombstone set is broadcast into a
     left-anti join (bounded: delete batches are curation-sized, and
@@ -3010,8 +3052,12 @@ def read_ivf_pq_index(spark: SparkSession, path: str) -> DataFrame:
     scan (same plan, zero overhead)."""
     import os as _os
 
-    coded = spark.read.parquet(path)
-    tomb = _os.path.join(path, _IVF_PQ_TOMBSTONE_DIR)
+    store = _index_store(store)
+    live = store.resolve(path)
+    if live is None:
+        raise RuntimeError(f"no published index at {path!r} to read")
+    coded = spark.read.parquet(live)
+    tomb = _os.path.join(live, _IVF_PQ_TOMBSTONE_DIR)
     if _os.path.isdir(tomb) and any(
         f.endswith(".parquet") for f in _os.listdir(tomb)
     ):
@@ -3021,7 +3067,11 @@ def read_ivf_pq_index(spark: SparkSession, path: str) -> DataFrame:
 
 
 def compact_ivf_pq_index(
-    spark: SparkSession, src_path: str, dst_path: str, files_per_cell: int = 1
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    files_per_cell: int = 1,
+    store=None,
 ) -> str:
     """Version-roll compaction for an appended index: streaming appends
     land one small file per (micro-batch, cell), and at some point the
@@ -3053,20 +3103,27 @@ def compact_ivf_pq_index(
     never a silent drop. The remaining window is the rename syscall;
     the quiesce contract stays load-bearing for appends that land after
     publish. Only delete ``src_path`` after the flip AND after
-    repointing every appender."""
+    repointing every appender.
+
+    STORE SEAM: the two primitives this function needs from storage —
+    PUBLISH (atomically expose the fully-written dst version) and LIST
+    (the file-set snapshot behind both fences) — go through
+    ``sinks/index_store.py``. The default POSIX store publishes with one
+    atomic directory rename (Hive/Iceberg-v1 posture); the
+    manifest-pointer store publishes by atomically writing one small
+    pointer object naming an immutable version prefix (the
+    Iceberg/Delta posture for rename-less object stores). The fence and
+    quarantine SEMANTICS are identical through either — pinned by
+    tests/test_index_store.py parameterized over both."""
     import json
     import os
-    import shutil
+
+    store = _index_store(store)
 
     def _src_file_set() -> frozenset:
-        out = []
-        for root, dirs, files in os.walk(src_path):
-            for f in files:
-                if f.endswith(".parquet"):
-                    out.append(os.path.join(root, f))
-        return frozenset(out)
+        return store.list_files(src_path)
 
-    C, _cn, CT1 = _load_index_model(src_path)  # validates src completeness
+    C, _cn, CT1 = _load_index_model(src_path, store=store)
     # Snapshot BEFORE the serve view lists files (r9 ADVICE): the scan's
     # own listing and its eager tombstone read happen inside
     # read_ivf_pq_index, so a file landing between that listing and a
@@ -3077,8 +3134,8 @@ def compact_ivf_pq_index(
     # landing after this line is seen by the fence re-list but not the
     # snapshot, tripping the fence — a spurious abort, the safe direction.
     snapshot = _src_file_set()
-    src = read_ivf_pq_index(spark, src_path)  # tombstones applied here
-    tmp = f"{dst_path}.build-{os.getpid()}-{threading.get_ident()}"
+    src = read_ivf_pq_index(spark, src_path, store=store)  # tombstones applied
+    tmp = store.stage(dst_path)
     (
         src.repartition(
             "cent_id", F.pmod(F.hash("vec_id"), F.lit(files_per_cell))
@@ -3099,7 +3156,7 @@ def compact_ivf_pq_index(
     try:
         _fence("pre-publish")
     except RuntimeError:
-        shutil.rmtree(tmp, ignore_errors=True)
+        store.discard_staged(tmp)
         raise
     with open(os.path.join(tmp, _IVF_PQ_MODEL_FILE), "w") as fh:
         json.dump(
@@ -3107,40 +3164,23 @@ def compact_ivf_pq_index(
             fh,
         )
     try:
-        os.rename(tmp, dst_path)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
+        store.publish(tmp, dst_path)
+    except PublishConflict:
+        store.discard_staged(tmp)
         raise
     try:
         _fence("post-publish")
     except RuntimeError as exc:
         # QUARANTINE, don't delete (r9 ADVICE): a reader that already
-        # flipped to dst in the rename-to-fence window must never have
-        # its index rmtree'd out from under it mid-scan, and in the
-        # append-after-rename case dst is complete and correct — the
+        # flipped to dst in the publish-to-fence window must never have
+        # its index files deleted out from under it mid-scan, and in the
+        # append-after-publish case dst is complete and correct — the
         # operator who gets this error decides whether to re-publish the
-        # quarantined copy or recompact. The rename only moves the
-        # directory entry; open file handles under it stay valid.
-        import tempfile as _tempfile
-
-        try:
-            # mkdtemp guarantees a fresh empty target even when the same
-            # thread retries and fence-fails repeatedly (a pid+tid-named
-            # path would collide on the second failure, the rename would
-            # hit ENOTEMPTY, and the known-inconsistent dst would stay
-            # published at the serving path)
-            qroot = _tempfile.mkdtemp(
-                prefix=os.path.basename(dst_path) + ".quarantine-",
-                dir=os.path.dirname(dst_path) or ".",
-            )
-            quarantine = os.path.join(qroot, "index")
-            try:
-                os.rename(dst_path, quarantine)
-            except OSError:
-                os.rmdir(qroot)  # don't leak the unused empty quarantine
-                raise
-        except OSError:
-            quarantine = dst_path  # rename failed: left in place
+        # quarantined copy or recompact. The POSIX store quarantines by
+        # moving only the directory entry (open handles stay valid); the
+        # manifest store deletes only the pointer (the version prefix is
+        # untouched) — both preserve every byte.
+        quarantine = store.quarantine(dst_path)
         raise RuntimeError(
             f"{exc} — published copy preserved at {quarantine!r}"
         ) from exc
@@ -3152,6 +3192,7 @@ def stream_append_ivf_pq_index(
     path: str,
     checkpoint_dir: str,
     trigger_seconds: int | None = None,
+    store=None,
 ):
     """Always-on index ingestion: a (vec_id, embedding) stream appended
     into a served at-rest IVF+PQ index one micro-batch at a time via
@@ -3167,11 +3208,13 @@ def stream_append_ivf_pq_index(
     review): the sidecar is immutable by design, so re-parsing the
     codebook JSON on every trigger would be pure overhead on a
     low-interval stream."""
-    C, cn, CT1 = _load_index_model(path)
+    store = _index_store(store)
+    C, cn, CT1 = _load_index_model(path, store=store)
     encoder, dim = _ivf_pq_encoder(C, cn, CT1), C.shape[1]
+    live = store.resolve(path)  # immutable per published version
 
     def _append(batch_df: DataFrame, _batch_id: int) -> None:
-        _append_encoded(batch_df, encoder, dim, path)
+        _append_encoded(batch_df, encoder, dim, live)
 
     writer = (
         vectors_stream.writeStream.foreachBatch(_append)
@@ -3428,25 +3471,54 @@ def sim_ivf_pq_delete_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the delete is an O(batch) sidecar append; both visibility
     counts ride the partition-pruned codes-only scan; the parity join
     touches codes only. All collects are bounded summary rows; the base
-    index build is shared (memoized) and the copy is file-level."""
+    index build is shared (memoized) and the copy is file-level.
+
+    The whole lifecycle runs through the store seam
+    (sinks/index_store.py) — this query uses the default POSIX
+    atomic-rename store; tests/test_index_store.py proves the SAME
+    lifecycle values through the manifest-pointer (object-store) store."""
+    return spark.createDataFrame(
+        [_ivf_pq_delete_lifecycle(spark, sf_dir)],
+        "n_deleted bigint, n_probe_visible_after_delete bigint, "
+        "deleted_invisible_pre_compact boolean, "
+        "n_probe_visible_post_compact bigint, "
+        "deleted_invisible_post_compact boolean, "
+        "survivors_bit_identical boolean, tombstones_cleared boolean",
+    )
+
+
+def _ivf_pq_delete_lifecycle(spark: SparkSession, sf_dir: str, store=None) -> tuple:
+    """The build->delete->compact lifecycle behind
+    sim_ivf_pq_delete_checked, parameterized over the publish/list store
+    so the contract is provable through BOTH the POSIX rename store and
+    the rename-less manifest-pointer store (VERDICT r10 #3). Returns the
+    query's row tuple."""
     import os
     import shutil
     import tempfile
 
-    base = write_ivf_pq_index(spark, sf_dir)
+    store = _index_store(store)
+    base = write_ivf_pq_index(spark, sf_dir)  # shared memoized base (POSIX)
     root = tempfile.mkdtemp(prefix="dvafs-ivfpq-delete-")
     try:
+        # publish a file-level copy of the base THROUGH the store under
+        # test: stage + publish, never a bare copytree onto the serving
+        # name (the manifest store's serving name is a pointer, not a dir)
         path = os.path.join(root, "index")
-        shutil.copytree(base, path)
+        staged = store.stage(path)
+        shutil.copytree(base, staged)
+        store.publish(staged, path)
         n_deleted = (
-            read_ivf_pq_index(spark, path)
+            read_ivf_pq_index(spark, path, store=store)
             .filter(F.col("vec_id").between(_DEL_LO, _DEL_HI))
             .count()
         )
-        delete_from_ivf_pq_index(spark, range(_DEL_LO, _DEL_HI + 1), path)
+        delete_from_ivf_pq_index(
+            spark, range(_DEL_LO, _DEL_HI + 1), path, store=store
+        )
 
         probes = _ivf_coarse_and_query(load_table(spark, sf_dir, "embeddings"))[4]
-        idx = read_ivf_pq_index(spark, path)
+        idx = read_ivf_pq_index(spark, path, store=store)
         n_vis_pre = idx.filter(F.col("cent_id").isin(probes)).count()
         deleted_vis_pre = idx.filter(
             F.col("vec_id").between(_DEL_LO, _DEL_HI)
@@ -3454,8 +3526,8 @@ def sim_ivf_pq_delete_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows_pre = idx.count()
 
         dst = os.path.join(root, "index_v2")
-        compact_ivf_pq_index(spark, path, dst)
-        idx2 = read_ivf_pq_index(spark, dst)
+        compact_ivf_pq_index(spark, path, dst, store=store)
+        idx2 = read_ivf_pq_index(spark, dst, store=store)
         n_vis_post = idx2.filter(F.col("cent_id").isin(probes)).count()
         deleted_vis_post = idx2.filter(
             F.col("vec_id").between(_DEL_LO, _DEL_HI)
@@ -3480,30 +3552,20 @@ def sim_ivf_pq_delete_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]  # bounded: one summary row
         )
         tombstones_cleared = not os.path.isdir(
-            os.path.join(dst, _IVF_PQ_TOMBSTONE_DIR)
+            os.path.join(store.resolve(dst), _IVF_PQ_TOMBSTONE_DIR)
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        [
-            (
-                int(n_deleted),
-                int(n_vis_pre),
-                bool(deleted_vis_pre == 0),
-                int(n_vis_post),
-                bool(deleted_vis_post == 0),
-                bool(
-                    n_rows_pre == n_rows_post == parity["n"]
-                    and parity["all_match"] == 1
-                ),
-                bool(tombstones_cleared),
-            )
-        ],
-        "n_deleted bigint, n_probe_visible_after_delete bigint, "
-        "deleted_invisible_pre_compact boolean, "
-        "n_probe_visible_post_compact bigint, "
-        "deleted_invisible_post_compact boolean, "
-        "survivors_bit_identical boolean, tombstones_cleared boolean",
+    return (
+        int(n_deleted),
+        int(n_vis_pre),
+        bool(deleted_vis_pre == 0),
+        int(n_vis_post),
+        bool(deleted_vis_post == 0),
+        bool(
+            n_rows_pre == n_rows_post == parity["n"] and parity["all_match"] == 1
+        ),
+        bool(tombstones_cleared),
     )
 
 
