@@ -147,6 +147,9 @@ HEADLINE = [
     # round 11: the APNG twin (delta/OVER/dispose-background layouts
     # against the same lossless container)
     "video_motion_apng_parity",
+    # round 11: the skew-proof salted interval join (hot user owning
+    # ~50% of sessions, spread over 16 salts)
+    "join_interval_salted",
 ]
 
 MOTION_FRAMES_PER_CAM = 32
@@ -542,8 +545,20 @@ def main() -> None:
     # died at query 15/36 and produced no numbers at all — never again).
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
+    # Which queries rode the session-scoped k-NN scoring memo (VERDICT
+    # r10 #4): the shared frame serves sim_label_knn + the graph family,
+    # so the FIRST of them to run pays the scoring and the rest are
+    # memo-served — round-over-round diff tooling must compare the family
+    # SUM, not individual rows. memo_cached[name] = True means the
+    # recorded (min) time had a warm memo; False means it paid the build.
+    from distributed_video_analytics_flink_spark.operators.similarity import (
+        _KNN_MEMO_STATS,
+    )
+
+    memo_cached: dict[str, bool] = {}
     for name in HEADLINE:
         best = float("inf")
+        stats0 = dict(_KNN_MEMO_STATS)
         try:
             fn = ops.QUERIES[name].fn  # inside the fence: a renamed entry must not kill the run
             for _ in range(1 if _over_budget() else 2):
@@ -554,6 +569,13 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — harness must survive any query
             timings[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        hits = _KNN_MEMO_STATS["hits"] - stats0["hits"]
+        misses = _KNN_MEMO_STATS["misses"] - stats0["misses"]
+        if hits or misses:  # this query consumed the shared k-NN frame
+            # with min-of-2, run 1 may build (miss) and run 2 ride the
+            # memo (hit) — the min is then the cached run, so hits>0 is
+            # the honest marker for the recorded number
+            memo_cached[name] = hits > 0
 
     motion_fps: float | None = None
     try:
@@ -614,6 +636,10 @@ def main() -> None:
         # per-micro-batch trigger durations for streaming runs (r9 #5);
         # stripped from the compact stdout line, sidecar-only
         "motion_stream_batch_ms": dict(_STREAM_BATCH_MS),
+        # which graph-family timings rode the shared k-NN memo (r10 #4);
+        # diff tooling compares the family SUM when these differ across
+        # rounds. Sidecar-only.
+        "memo_cached": memo_cached,
     }
     if errors:
         payload["errors"] = errors
@@ -646,7 +672,7 @@ def compact_payload(
     scalars = {
         k: v
         for k, v in payload.items()
-        if k not in ("queries", "errors", "motion_stream_batch_ms")
+        if k not in ("queries", "errors", "motion_stream_batch_ms", "memo_cached")
     }
     scalars["n_queries"] = len(payload.get("queries", {}))
     scalars["queries_detail"] = os.path.basename(DETAIL_PATH) if detail_written else None

@@ -2463,6 +2463,132 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_interval_salted",
+    oracle="""
+    WITH skewed AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS user_id,
+             event_id, ts
+      FROM events),
+    flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM skewed),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged),
+    sessions AS (
+      SELECT user_id, session_id,
+             epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
+      FROM numbered GROUP BY user_id, session_id),
+    per_session AS (
+      SELECT s.user_id, s.session_id, COUNT(*) AS n_events
+      FROM skewed e JOIN sessions s
+        ON e.user_id = s.user_id
+       AND epoch_us(e.ts) BETWEEN s.s_us AND s.e_us
+      GROUP BY s.user_id, s.session_id)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events
+    FROM per_session GROUP BY user_id ORDER BY user_id
+    """,
+)
+def join_interval_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof SALTED interval join (VERDICT r10 #6) — the range-join
+    twin of agg_salted_hot_keys' two-phase aggregation: events are
+    enriched with their containing session (ts BETWEEN session start AND
+    end, same user) under a DELIBERATELY hot key — folding the even half
+    of the user population into user 0 makes one user own ~50% of all
+    events and sessions, the shape where a plain user_id-keyed range
+    join sends half the corpus to ONE reducer (the straggler/OOM at
+    100 TB).
+
+    The ORACLE declares the naive join (events x sessions ON user +
+    range). The Spark plan is the salted shape: the event side carries
+    ``salt = pmod(event_id, 16)`` and the (smaller) session side is
+    replicated over all 16 salts, so the equi-key is (user_id, salt) —
+    the hot user's probe rows spread over 16 tasks with a per-task bound
+    of ~1/16th of the hot key (pinned with the plan by
+    tests/test_salted_interval_join.py). Matching the oracle proves the
+    salted rewrite lossless; the per-session and per-user rollups after
+    the join are safe at any skew because partial (map-side) aggregation
+    combines before the exchange.
+
+    Scale: salting trades a 16x replication of the SESSION side (the
+    small side — one row per ~30-min burst, orders of magnitude fewer
+    than events) for an even spread of the event side; S=16 bounds the
+    hottest task at hot_key/16 while keeping replication negligible. The
+    same rewrite serves any fact-to-interval-dimension enrichment (IP ->
+    CIDR block, ts -> calendar period, reading -> validity window) where
+    a handful of intervals dominate the matches."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "event_id",
+        "ts",
+    )
+    n_salts = 16
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+    sessions = (
+        ev.withColumn(
+            "new_session",
+            F.when(F.lag("ts").over(w).isNull() | (gap_us > 30 * 60 * 1_000_000), 1)
+            .otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("s_us"),
+            F.unix_micros(F.max("ts")).alias("e_us"),
+        )
+    )
+    salted_ev = ev.select(
+        F.col("user_id").alias("e_user"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.pmod("event_id", F.lit(n_salts)).alias("salt"),
+    )
+    # replicate the small (session) side over every salt; the hot user's
+    # events then meet their sessions in 16 independent tasks
+    rep_sessions = sessions.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    per_session = (
+        salted_ev.join(
+            rep_sessions,
+            (salted_ev["e_user"] == rep_sessions["user_id"])
+            & (salted_ev["salt"] == rep_sessions["salt"])
+            & F.col("ts_us").between(F.col("s_us"), F.col("e_us")),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "subquery_priority_exists",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n_orders

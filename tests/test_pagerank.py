@@ -157,3 +157,24 @@ def test_knn_memo_bounded_and_stale_apps_evicted(spark, monkeypatch):
     finally:
         S._KNN_EDGE_MEMO.clear()
         S._KNN_EDGE_MEMO.update(saved)
+
+
+def test_knn_memo_stats_observable(spark):
+    """r10 VERDICT #4: the memo exposes hit/miss counters so bench.py can
+    mark which graph-family timings rode a warm memo (memo_cached in
+    BENCH_DETAIL) instead of relying on the SCALE.md prose caveat."""
+    import distributed_video_analytics_flink_spark.operators.similarity as S
+
+    app = spark.sparkContext.applicationId
+    saved = dict(S._KNN_EDGE_MEMO)
+    try:
+        S._KNN_EDGE_MEMO.clear()
+        s0 = dict(S._KNN_MEMO_STATS)
+        df = S._shared_knn_frame(spark, SF)  # cold: a miss
+        assert S._KNN_MEMO_STATS["misses"] == s0["misses"] + 1
+        assert S._KNN_MEMO_STATS["hits"] == s0["hits"]
+        assert S._shared_knn_frame(spark, SF) is df  # warm: a hit
+        assert S._KNN_MEMO_STATS["hits"] == s0["hits"] + 1
+    finally:
+        S._KNN_EDGE_MEMO.clear()
+        S._KNN_EDGE_MEMO.update(saved)
