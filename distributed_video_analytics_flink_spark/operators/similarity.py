@@ -32,7 +32,10 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from distributed_video_analytics_flink_spark.operators.registry import query
-from distributed_video_analytics_flink_spark.sinks.index_store import PublishConflict
+from distributed_video_analytics_flink_spark.sinks.index_store import (
+    DEFAULT_INDEX_STORE,
+    PublishConflict,
+)
 from distributed_video_analytics_flink_spark.sources.tables import load_table
 
 _Q = 1e12  # quantization scale for integer dot products
@@ -2835,14 +2838,8 @@ def _encode_to_index_rows(vectors: DataFrame, encoder) -> DataFrame:
 def _index_store(store):
     """The publish/list seam (sinks/index_store.py): default is the
     POSIX atomic-rename store; an object-store deployment passes the
-    manifest-pointer store. Imported lazily to keep module import light."""
-    if store is not None:
-        return store
-    from distributed_video_analytics_flink_spark.sinks.index_store import (
-        DEFAULT_INDEX_STORE,
-    )
-
-    return DEFAULT_INDEX_STORE
+    manifest-pointer store."""
+    return DEFAULT_INDEX_STORE if store is None else store
 
 
 def _validated_live_dir(serving: str, store) -> str:

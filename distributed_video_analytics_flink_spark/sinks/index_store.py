@@ -133,6 +133,8 @@ class ManifestPointerStore:
         written to a scratch object first, then linked to the pointer
         name — link fails with EEXIST if already published (the publish
         race) and a reader can never see a partial pointer."""
+        import errno
+
         ptr = self._pointer(serving)
         tmp = f"{ptr}.put-{os.getpid()}-{threading.get_ident()}"
         with open(tmp, "w") as fh:
@@ -142,7 +144,9 @@ class ManifestPointerStore:
         try:
             os.link(tmp, ptr)
         except OSError as exc:
-            raise PublishConflict(str(exc)) from exc
+            if exc.errno == errno.EEXIST:  # lost the race: pointer taken
+                raise PublishConflict(str(exc)) from exc
+            raise  # anything else is a real IO failure, not a lost race
         finally:
             os.unlink(tmp)
 
