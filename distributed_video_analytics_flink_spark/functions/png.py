@@ -187,6 +187,11 @@ def decode_png(data: bytes) -> np.ndarray:
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
+            if len(payload) < 13:
+                # struct.error is not ValueError: without this check a
+                # truncated IHDR would escape the PERMISSIVE guards at
+                # every ingest call site and kill the task
+                raise ValueError("truncated IHDR")
             w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", payload[:13]
             )

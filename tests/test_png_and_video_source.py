@@ -285,3 +285,33 @@ def test_decode_png_bounded_against_decompression_bombs():
     data = _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", padded) + _chunk(b"IEND", b"")
     got = decode_png(data)
     assert (got == img[:, :, ::-1]).all()
+
+
+def test_decode_png_fuzz_only_documented_errors_escape():
+    """The PERMISSIVE ingest guards catch (ValueError, zlib.error) — so
+    nothing else may escape decode_png on malformed bytes, or a crafted
+    file kills the task instead of being skipped. Single-byte flips at
+    every offset of a small real PNG, plus every truncation length
+    (covers the struct.error a truncated IHDR used to raise)."""
+    import zlib
+
+    import numpy as np
+
+    from distributed_video_analytics_flink_spark.functions.png import decode_png
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    data = bytearray(_encode_png_with_filters(img, 2, [0, 1, 2, 3, 4]))
+
+    for i in range(len(data)):
+        mutated = bytearray(data)
+        mutated[i] ^= 0x5A
+        try:
+            decode_png(bytes(mutated))
+        except (ValueError, zlib.error):
+            pass  # the documented, guarded surface
+    for n in range(len(data)):
+        try:
+            decode_png(bytes(data[:n]))
+        except (ValueError, zlib.error):
+            pass
