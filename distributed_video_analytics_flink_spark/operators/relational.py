@@ -2528,7 +2528,16 @@ def join_interval_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     hottest task at hot_key/16 while keeping replication negligible. The
     same rewrite serves any fact-to-interval-dimension enrichment (IP ->
     CIDR block, ts -> calendar period, reading -> validity window) where
-    a handful of intervals dominate the matches."""
+    a handful of intervals dominate the matches.
+
+    Honest boundary: the SESSIONIZATION that builds the interval side
+    here still windows by bare user_id (the hot user's timeline sorts on
+    one task) — that step is this demo's fixture generator, not the
+    operator under test; gap-sessionization inherently needs the full
+    per-user timeline, and at 100 TB the interval dimension arrives
+    precomputed (CIDR tables, validity windows, session stores). What
+    this query proves scale-safe is the JOIN: the only stage whose
+    volume is events x intervals."""
     ev = load_table(spark, sf_dir, "events").select(
         F.when(F.col("user_id") % 2 == 0, F.lit(0))
         .otherwise(F.col("user_id"))

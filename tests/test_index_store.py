@@ -247,3 +247,50 @@ def test_quarantine_unpublishes_but_preserves(tmp_path, store):
     preserved = store.quarantine(serving)
     assert store.resolve(serving) is None  # retracted from serving
     assert os.path.exists(os.path.join(preserved, "data.parquet"))  # kept
+
+
+def test_stream_append_through_manifest_store(spark, tmp_path):
+    """The always-on streaming append leg also works through the
+    rename-less store: micro-batches land inside the pointer-resolved
+    version prefix and are visible through the seam-aware serve view —
+    the last lifecycle leg not covered by the parameterized tests above."""
+    import json
+
+    from distributed_video_analytics_flink_spark.operators.similarity import (
+        stream_append_ivf_pq_index,
+    )
+
+    store = ManifestPointerStore()
+    serving = _published_index(spark, tmp_path, store, name="sidx")
+    src_rows = (
+        load_table(spark, SF, "embeddings")
+        .filter(F.col("vec_id").between(1, 3))
+        .collect()
+    )
+    data_dir = tmp_path / "incoming"
+    data_dir.mkdir()
+    for i, r in enumerate(src_rows):
+        (data_dir / f"vecs-{i}.json").write_text(
+            json.dumps(
+                {
+                    "vec_id": r["vec_id"] + 3_000_000,
+                    "embedding": [float(x) for x in r["embedding"]],
+                }
+            )
+        )
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).json(str(data_dir))
+    q = stream_append_ivf_pq_index(
+        stream, serving, str(tmp_path / "ck"), store=store
+    )
+    q.processAllAvailable()
+    q.stop()
+    served = read_ivf_pq_index(spark, serving, store=store)
+    assert served.filter(F.col("vec_id") >= 3_000_000).count() == 3
+    # appended rows live INSIDE the resolved version prefix (the pointer
+    # target), never at the logical serving name
+    assert not os.path.isdir(serving)
+    live = store.resolve(serving)
+    files = served.inputFiles()
+    assert files and all(live in f for f in files)  # URI scheme varies
