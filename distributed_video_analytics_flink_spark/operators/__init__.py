@@ -5,6 +5,7 @@ pulls in every operator family so ``registry.QUERIES`` is fully populated.
 """
 
 from distributed_video_analytics_flink_spark.operators import (  # noqa: F401
+    audio,
     curation,
     dedup,
     relational,

@@ -58,6 +58,48 @@ def test_wav_rejects_non_pcm():
         parse_wav_header(bytes(b))
 
 
+def test_audio_queries_registered_and_oracled():
+    """r11 VERDICT #1: the audio leg must be driver-checked — both queries
+    registered WITH oracles (the parity sweep in test_oracle_parity.py
+    hash-checks them; this pins that they can't silently lose the oracle)."""
+    from distributed_video_analytics_flink_spark.operators import QUERIES
+
+    for name in ("multimodal_audio_features", "multimodal_audio_enrich"):
+        assert name in QUERIES and QUERIES[name].oracle
+
+
+def test_audio_enrich_broadcasts_features(spark):
+    """The enrichment join must broadcast the (bounded, 3-row) feature dim
+    onto the events fact — a shuffled join of a 5-row side would be the
+    wrong plan at any scale."""
+    from distributed_video_analytics_flink_spark.operators import QUERIES
+    from distributed_video_analytics_flink_spark.plans import join_strategies
+
+    df = QUERIES["multimodal_audio_enrich"].fn(spark, "/root/testdata/sf0.001")
+    joins = join_strategies(df)
+    assert joins and all(j == "BroadcastHashJoin" for j in joins), joins
+
+
+def test_audio_features_query_golden(spark):
+    """The registered query's rows equal the closed-form fixture features
+    (the same literals the DuckDB oracle pins), including the PERMISSIVE
+    error-class rows for mp3/junk."""
+    from distributed_video_analytics_flink_spark.operators import QUERIES
+
+    rows = {r["clipId"]: r for r in QUERIES["multimodal_audio_features"].fn(spark, "unused").collect()}
+    assert set(rows) == {"sq", "stereo", "silence", "song", "junk"}
+    sq = rows["sq"]
+    assert (sq["energy_q"], sq["zero_crossings"], sq["peak"]) == (1_152_000_000_000, 799, 12000)
+    assert (sq["n_frames"], sq["duration_ms"], sq["sample_rate"]) == (8000, 1000, 8000)
+    st = rows["stereo"]
+    assert (st["n_channels"], st["energy_q"], st["zero_crossings"], st["peak"]) == (2, 100_000_000_000, 0, 5000)
+    assert rows["silence"]["energy_q"] == 0 and rows["silence"]["duration_ms"] == 250
+    assert rows["song"]["err_class"] == "NotImplementedError"
+    assert rows["junk"]["err_class"] == "WavError"
+    for clip in ("sq", "stereo", "silence"):
+        assert rows[clip]["err_class"] is None
+
+
 def test_audio_source_mixed_directory(spark, tmp_path):
     from distributed_video_analytics_flink_spark.sources.audio_files import (
         read_audio_features,
