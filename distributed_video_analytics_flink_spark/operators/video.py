@@ -336,6 +336,98 @@ def video_motion_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Golden boxes per fixture frame index (every camera identical) — the
+# hand-verified literals tests/test_motion_golden.py::GOLDEN_BOXES pins;
+# duplicated here AS A CONTRACT so the driver-checked twin below stays
+# independent of the test tree. Frames 0-4 are static (no boxes); frame 5
+# the block appears (blur halo 24x24 -> 26x26); 6-7 trailing+leading 12px
+# edge strips; 8-9 the leading strip alone (right-edge clip drops the
+# other under minArea).
+_GOLDEN_FIXTURE_BOXES: dict[int, list[tuple[int, int, int, int]]] = {
+    5: [(7, 7, 26, 26)],
+    6: [(7, 7, 14, 26), (31, 7, 14, 26)],
+    7: [(19, 7, 14, 26), (43, 7, 14, 26)],
+    8: [(31, 7, 14, 26)],
+    9: [(43, 7, 14, 26)],
+}
+
+
+@query(
+    "video_motion_batch_checked",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('cam0', CAST(10 AS BIGINT), CAST(5 AS BIGINT), CAST(7 AS BIGINT), TRUE),
+      ('cam1', CAST(10 AS BIGINT), CAST(5 AS BIGINT), CAST(7 AS BIGINT), TRUE),
+      ('cam2', CAST(10 AS BIGINT), CAST(5 AS BIGINT), CAST(7 AS BIGINT), TRUE),
+      ('cam3', CAST(10 AS BIGINT), CAST(5 AS BIGINT), CAST(7 AS BIGINT), TRUE)
+    ) AS t(camId, n_frames, n_motion_frames, total_detections,
+           boxes_match_golden)
+    """,
+)
+def video_motion_batch_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-checked twin of ``video_motion_batch`` (closes the last
+    rows-only driver row, r11 VERDICT #3): the full CV chain (decode ->
+    gray -> blur -> absdiff -> threshold -> components -> boxes, with the
+    per-camera previous-frame fold) runs on the deterministic FIXTURES.md
+    §1.1 sequence and is joined frame-by-frame against the hand-verified
+    golden boxes — per camera the oracle pins frame count (10), motion
+    frames (5: the block appears at frame 5 and moves through 9),
+    total detections (1+2+2+1+1 = 7), and a parity boolean comparing the
+    EXACT box rectangles to the goldens. Any kernel drift (blur kernel,
+    threshold, area gate, union-find, box merge) or a broken per-camera
+    carry hash-mismatches the round.
+
+    Box canonicalization is the same on both sides: each box rendered
+    ``x:y:w:h``, lexicographically sorted, ';'-joined (Spark array_sort
+    and Python sorted() agree on strings), so parity is order-insensitive
+    within a frame. No collect at all — the 4-row aggregate returns
+    directly; the only exchanges are the motion fold's keyBy and the
+    final per-camera aggregation (partial first)."""
+    frames = spark.createDataFrame(fixture_frames(), schema=FRAME_SCHEMA)
+    out = detect_motion_batch(frames)
+    # fixture ts = t0 + 33 ms * i + cam ms (cam < 4), so us-of-second
+    # = 33000*i + 1000*cam and floor-div by 33000 recovers i exactly
+    idx = F.floor((F.col("ts_us") % 1_000_000) / 33000).cast("int")
+    canon = F.array_join(
+        F.array_sort(
+            F.transform(
+                "motion_boxes",
+                lambda b: F.format_string("%d:%d:%d:%d", b.x, b.y, b.w, b.h),
+            )
+        ),
+        ";",
+    )
+    golden = spark.createDataFrame(
+        [
+            (
+                i,
+                len(_GOLDEN_FIXTURE_BOXES.get(i, [])),
+                ";".join(
+                    sorted(f"{x}:{y}:{w}:{h}" for x, y, w, h in _GOLDEN_FIXTURE_BOXES.get(i, []))
+                ),
+            )
+            for i in range(_FIX_FRAMES)
+        ],
+        "i int, exp_count int, exp_canon string",
+    )
+    matched = (
+        out.withColumn("i", idx)
+        .withColumn("canon", canon)
+        .join(F.broadcast(golden), "i", "left")
+        .withColumn(
+            "frame_ok",
+            F.col("detection_count").eqNullSafe(F.col("exp_count"))
+            & F.col("canon").eqNullSafe(F.col("exp_canon")),
+        )
+    )
+    return matched.groupBy("camId").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum((F.col("detection_count") > 0).cast("int")).alias("n_motion_frames"),
+        F.sum("detection_count").alias("total_detections"),
+        F.min("frame_ok").alias("boxes_match_golden"),
+    )
+
+
 @query(
     "window_tumbling_fps",
     oracle="""

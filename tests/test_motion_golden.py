@@ -148,6 +148,17 @@ def test_batch_pipeline_golden(spark):
             assert r["detection_count"] == len(GOLDEN_BOXES[i])
 
 
+def test_checked_twin_golden_map_in_sync():
+    """video_motion_batch_checked duplicates GOLDEN_BOXES as a package-side
+    contract (operators/video.py::_GOLDEN_FIXTURE_BOXES) — the two copies
+    must never drift."""
+    from distributed_video_analytics_flink_spark.operators.video import (
+        _GOLDEN_FIXTURE_BOXES,
+    )
+
+    assert _GOLDEN_FIXTURE_BOXES == {i: b for i, b in GOLDEN_BOXES.items() if b}
+
+
 def test_registered_query_matches_golden_counts(spark):
     """The driver's rows-only check for the ``video_motion_batch`` QUERY says
     only "runs"; this upgrades it locally to "runs and is right": the
