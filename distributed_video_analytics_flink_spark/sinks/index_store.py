@@ -34,6 +34,17 @@ from __future__ import annotations
 import os
 import shutil
 import threading
+import time
+
+
+def _expired(path: str, grace_s: float, now: float) -> bool:
+    """True when ``path``'s mtime is older than the grace window. A path
+    that cannot be stat'ed (concurrently removed) is NOT expired — the
+    caller skips it rather than racing a second deleter."""
+    try:
+        return (now - os.stat(path).st_mtime) > grace_s
+    except OSError:
+        return False
 
 
 class PublishConflict(Exception):
@@ -103,6 +114,46 @@ class PosixRenameStore:
 
     def discard_staged(self, staged: str) -> None:
         shutil.rmtree(staged, ignore_errors=True)
+
+    def gc(self, serving: str, keep_versions: int = 2, grace_s: float = 86400.0) -> list[str]:
+        """Bounded retention for the leftovers this store accumulates
+        (r11 VERDICT #4): quarantine roots (``{base}.quarantine-*`` — the
+        preserved bytes of failed fences) and crash-orphaned staging dirs
+        (``{base}.build-*``) older than ``grace_s``. The LIVE serving
+        directory is never a candidate (distinct name). The grace window
+        is the reader fence: a reader that resolved before GC holds a
+        path whose mtime is at most its resolve-age old, so sizing
+        grace_s above the longest scan (the Iceberg expire-snapshots /
+        S3 lifecycle posture) means GC never deletes under a scan. The
+        newest ``keep_versions`` quarantine roots survive regardless of
+        age (post-mortem material). Returns the removed paths."""
+        now = time.time()
+        parent = os.path.dirname(serving) or "."
+        base = os.path.basename(serving)
+        try:
+            entries = os.listdir(parent)
+        except OSError:
+            return []
+        quarantines = sorted(
+            (
+                os.path.join(parent, e)
+                for e in entries
+                if e.startswith(base + ".quarantine-")
+            ),
+            key=lambda p: -(os.stat(p).st_mtime if os.path.exists(p) else 0),
+        )
+        removed = []
+        for q in quarantines[keep_versions:]:
+            if _expired(q, grace_s, now):
+                shutil.rmtree(q, ignore_errors=True)
+                removed.append(q)
+        for e in entries:
+            if e.startswith(base + ".build-"):
+                stale = os.path.join(parent, e)
+                if _expired(stale, grace_s, now):
+                    shutil.rmtree(stale, ignore_errors=True)
+                    removed.append(stale)
+        return removed
 
 
 class ManifestPointerStore:
@@ -182,6 +233,68 @@ class ManifestPointerStore:
 
     def discard_staged(self, staged: str) -> None:
         shutil.rmtree(staged, ignore_errors=True)
+
+    def gc(self, serving: str, keep_versions: int = 2, grace_s: float = 86400.0) -> list[str]:
+        """Bounded retention for the version prefixes this store
+        accumulates forever by design (immutable prefixes under
+        ``{serving}.versions/`` — superseded, quarantined, race-loser,
+        and crash-orphaned builds) plus crash-orphaned pointer scratch
+        objects (``{serving}.ptr.put-*``), r11 VERDICT #4.
+
+        Deletion fences, all three required:
+        - the prefix the pointer CURRENTLY resolves to is never removed,
+          however old (resolve() is re-read here, not cached);
+        - the newest ``keep_versions`` non-live prefixes survive
+          regardless of age (Iceberg's retain-last posture: rollback and
+          post-mortem material);
+        - everything else must also be older than ``grace_s``. The grace
+          window is the concurrent-reader fence: a reader resolves the
+          pointer and then scans the prefix; any prefix it can have
+          resolved was either live at that moment (protected by the
+          first fence until a later publish supersedes it, after which
+          its mtime clock must ALSO outlive the grace before deletion)
+          or within keep_versions. Sizing grace_s above the longest scan
+          bounds the race exactly the way S3 lifecycle rules and Iceberg
+          expire_snapshots do — there is no rename-free store primitive
+          that can do better without a reader registry.
+
+        Returns the removed paths."""
+        now = time.time()
+        removed = []
+        live = self.resolve(serving)
+        root = f"{serving}.versions"
+        try:
+            entries = [os.path.join(root, e) for e in os.listdir(root)]
+        except OSError:
+            entries = []
+        candidates = sorted(
+            (
+                p
+                for p in entries
+                if os.path.abspath(p) != (os.path.abspath(live) if live else None)
+            ),
+            key=lambda p: -(os.stat(p).st_mtime if os.path.exists(p) else 0),
+        )
+        for p in candidates[keep_versions:]:
+            if _expired(p, grace_s, now):
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(p)
+        parent = os.path.dirname(serving) or "."
+        scratch_prefix = os.path.basename(self._pointer(serving)) + ".put-"
+        try:
+            siblings = os.listdir(parent)
+        except OSError:
+            siblings = []
+        for e in siblings:
+            if e.startswith(scratch_prefix):
+                stale = os.path.join(parent, e)
+                if _expired(stale, grace_s, now):
+                    try:
+                        os.unlink(stale)
+                        removed.append(stale)
+                    except OSError:
+                        pass  # concurrently removed: fine
+        return removed
 
 
 # The default store for every lifecycle entry point: local disk and HDFS

@@ -249,6 +249,142 @@ def test_quarantine_unpublishes_but_preserves(tmp_path, store):
     assert os.path.exists(os.path.join(preserved, "data.parquet"))  # kept
 
 
+# ---------------------------------------------------------------------------
+# 5. Bounded retention (gc): superseded versions / quarantine leftovers
+#    expire, the live version and the reader grace window never do
+# ---------------------------------------------------------------------------
+
+
+def _backdate(path: str, age_s: float = 7 * 86400) -> None:
+    old = os.stat(path).st_mtime - age_s
+    os.utime(path, (old, old))
+
+
+def _publish_tiny(store, serving: str, marker: str) -> str:
+    staged = store.stage(serving)
+    os.makedirs(staged, exist_ok=True)
+    open(os.path.join(staged, "data.parquet"), "w").write(marker)
+    store.publish(staged, serving)
+    return store.resolve(serving)
+
+
+@pytest.mark.parametrize("store", STORES, ids=STORE_IDS)
+def test_gc_never_removes_live_version(tmp_path, store):
+    """The live version survives GC at ANY age, with the harshest knobs
+    (keep_versions=0, grace_s=0) — liveness is re-resolved inside gc()."""
+    serving = str(tmp_path / "idx")
+    live = _publish_tiny(store, serving, "live")
+    _backdate(live)
+    removed = store.gc(serving, keep_versions=0, grace_s=0)
+    assert store.resolve(serving) == live
+    assert os.path.exists(os.path.join(live, "data.parquet"))
+    assert live not in removed
+
+
+def test_gc_superseded_manifest_version_expires_after_grace(tmp_path):
+    """A superseded prefix (quarantined then replaced) survives while a
+    concurrent reader could still be scanning it (grace window), then
+    expires; the live replacement is untouched. This IS the
+    reader-resolved-pre-GC fence: grace > resolve-age keeps the bytes."""
+    store = ManifestPointerStore()
+    serving = str(tmp_path / "idx")
+    old_prefix = _publish_tiny(store, serving, "v1")
+    store.quarantine(serving)  # pointer retracted, prefix preserved
+    live = _publish_tiny(store, serving, "v2")
+    reader_path = old_prefix  # a reader resolved v1 just before the swap
+
+    # within grace: nothing to collect, the reader's bytes are intact
+    assert store.gc(serving, keep_versions=0, grace_s=3600) == []
+    assert open(os.path.join(reader_path, "data.parquet")).read() == "v1"
+
+    # past grace: the superseded prefix expires, live never does
+    _backdate(old_prefix)
+    removed = store.gc(serving, keep_versions=0, grace_s=3600)
+    assert removed == [old_prefix]
+    assert not os.path.exists(old_prefix)
+    assert store.resolve(serving) == live
+    assert open(os.path.join(live, "data.parquet")).read() == "v2"
+
+
+def test_gc_keeps_last_n_versions_regardless_of_age(tmp_path):
+    """Iceberg's retain-last posture: the newest keep_versions non-live
+    prefixes survive even when ancient; older ones expire."""
+    store = ManifestPointerStore()
+    serving = str(tmp_path / "idx")
+    prefixes = []
+    for i in range(4):
+        p = _publish_tiny(store, serving, f"v{i}")
+        store.quarantine(serving)
+        prefixes.append(p)
+        _backdate(p, age_s=(10 - i) * 86400)  # older index = older mtime
+    live = _publish_tiny(store, serving, "live")
+    removed = store.gc(serving, keep_versions=2, grace_s=0)
+    assert sorted(removed) == sorted(prefixes[:2])  # the two oldest
+    for kept in prefixes[2:] + [live]:
+        assert os.path.exists(kept)
+
+
+@pytest.mark.parametrize("store", STORES, ids=STORE_IDS)
+def test_gc_sweeps_crash_orphaned_staging(tmp_path, store):
+    """A writer that crashed mid-build leaves a staged artifact (posix:
+    .build-* dir; manifest: an unpublished version prefix + a .ptr.put-*
+    scratch object). GC sweeps them after the grace window, not before."""
+    serving = str(tmp_path / "idx")
+    _publish_tiny(store, serving, "live")
+    staged = store.stage(serving)
+    os.makedirs(staged, exist_ok=True)
+    open(os.path.join(staged, "part-0.parquet"), "w").write("orphan")
+    scratch = None
+    if isinstance(store, ManifestPointerStore):
+        scratch = f"{serving}.ptr.put-99999-1"
+        open(scratch, "w").write(os.path.abspath(staged))
+
+    assert store.gc(serving, keep_versions=0, grace_s=3600) == []  # fresh: kept
+    assert os.path.exists(staged)
+
+    _backdate(staged)
+    if scratch:
+        _backdate(scratch)
+    removed = store.gc(serving, keep_versions=0, grace_s=3600)
+    assert staged in removed and not os.path.exists(staged)
+    if scratch:
+        assert scratch in removed and not os.path.exists(scratch)
+    assert store.resolve(serving) is not None  # live untouched
+
+
+def test_gc_posix_quarantine_ttl(tmp_path):
+    """POSIX quarantine roots (failed-fence post-mortems) expire after the
+    TTL; the newest keep_versions stay for inspection."""
+    store = PosixRenameStore()
+    serving = str(tmp_path / "idx")
+    qroots = []
+    for i in range(3):
+        _publish_tiny(store, serving, f"v{i}")
+        q = store.quarantine(serving)
+        qroot = os.path.dirname(q)
+        qroots.append(qroot)
+        _backdate(qroot, age_s=(10 - i) * 86400)
+        _backdate(q, age_s=(10 - i) * 86400)
+    removed = store.gc(serving, keep_versions=1, grace_s=3600)
+    assert sorted(removed) == sorted(qroots[:2])
+    assert os.path.exists(qroots[2])
+
+
+@pytest.mark.parametrize("store", STORES, ids=STORE_IDS)
+def test_lifecycle_still_green_after_gc(spark, tmp_path, store):
+    """GC mid-lifecycle must be invisible to the index: after an append
+    and the harshest GC, the served rows and a subsequent compaction are
+    unaffected (the sim_ivf_pq_delete_checked path keeps working)."""
+    serving = _published_index(spark, tmp_path, store)
+    append_ivf_pq_index(_copy_vectors(spark, n=2), serving, store=store)
+    n_before = read_ivf_pq_index(spark, serving, store=store).count()
+    store.gc(serving, keep_versions=0, grace_s=0)
+    assert read_ivf_pq_index(spark, serving, store=store).count() == n_before
+    dst = str(tmp_path / "v2")
+    compact_ivf_pq_index(spark, serving, dst, store=store)
+    assert read_ivf_pq_index(spark, dst, store=store).count() == n_before
+
+
 def test_stream_append_through_manifest_store(spark, tmp_path):
     """The always-on streaming append leg also works through the
     rename-less store: micro-batches land inside the pointer-resolved
