@@ -150,6 +150,13 @@ HEADLINE = [
     # round 11: the skew-proof salted interval join (hot user owning
     # ~50% of sessions, spread over 16 salts)
     "join_interval_salted",
+    # round 12: the audio leg (decode contract + broadcast enrichment
+    # join), the hash-checked batch-motion twin, and the IVF+PQ
+    # recall-vs-nprobe contract
+    "multimodal_audio_features",
+    "multimodal_audio_enrich",
+    "video_motion_batch_checked",
+    "sim_ivf_pq_multiprobe_recall_checked",
 ]
 
 MOTION_FRAMES_PER_CAM = 32
@@ -172,7 +179,14 @@ MOTION_CAMS = 32
 # 360-510 fps in both orderings, proving the 193 was one noisy first run,
 # not a regression and not MJPEG-bench aftermath). Now at least
 # MOTION_MIN_RUNS timed runs are taken before the calm-window escape can
-# fire, so the reported number is a min-of-3, never a first-sample lottery.
+# fire, so the reported number is never a first-sample lottery.
+#
+# r12 refinement (VERDICT r11 #5): the reported number is the MEDIAN of
+# those runs, not the min — r11's motion_stream runs [2.84, 2.54, 6.81]
+# needed a prose footnote to explain the spike the min was hiding; the
+# median needs none and is robust to one bad run in either direction. The
+# payload's run_policy field plus the raw per-run arrays make the
+# selection machine-readable.
 MOTION_TARGET_FPS = 150.0  # 1.25x the 120 fps envelope = unambiguous pass
 MOTION_MIN_RUNS = 3
 MOTION_MAX_RUNS = 6
@@ -193,10 +207,10 @@ def _over_budget() -> bool:
 
 
 # Full per-run times per motion leg (VERDICT r8 #5): the two same-day r8
-# runs differed ~30% on the motion legs and only the min survived into the
-# record, hiding the distribution. Every _min_of_runs call now appends its
-# raw run times here and emit() writes them into the detail sidecar, so
-# variance is visible without re-running the bench.
+# runs differed ~30% on the motion legs and only one number survived into
+# the record, hiding the distribution. Every _median_of_runs call appends
+# its raw run times here and emit() writes them into the detail sidecar,
+# so variance is visible without re-running the bench.
 _RUN_TIMES: dict[str, list[float]] = {}
 
 # Per-run, per-micro-batch trigger durations for the streaming legs
@@ -221,23 +235,39 @@ def _record_stream_progress(leg: str, tag: str, query) -> None:
         pass  # diagnostics must never fail the bench
 
 
-def _min_of_runs(run_once, n_frames: int, leg: str | None = None) -> float:
-    """min over up to MOTION_MAX_RUNS timed runs, early-stopping once a run
-    demonstrates >= MOTION_TARGET_FPS AND at least MOTION_MIN_RUNS runs were
-    taken (noise-window escape needs a stable sample, see above), or the
-    bench budget is spent (after at least 2 runs)."""
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def _median_of_runs(run_once, n_frames: int, leg: str | None = None) -> float:
+    """MEDIAN over up to MOTION_MAX_RUNS timed runs (r11 VERDICT #5: the
+    headline must name which run it reports — the min hid 2.7x single-run
+    host-noise spikes behind prose footnotes every round; the median of
+    the same 3+ runs is noise-robust in BOTH directions and needs no
+    explanation). The raw per-run times still land in _RUN_TIMES ->
+    motion_run_times in the detail sidecar, and the payload carries an
+    explicit run_policy marker so round-over-round diffs are
+    self-describing. Early-stop logic is unchanged and still keyed on the
+    BEST run (the >= MOTION_TARGET_FPS gate asks "can the pipeline do
+    it", which one calm-window run proves; at least MOTION_MIN_RUNS runs
+    are always taken so the median has a real sample), or the bench
+    budget is spent (after at least 2 runs)."""
     best = float("inf")
     runs = _RUN_TIMES.setdefault(leg, []) if leg else []
+    taken: list[float] = []
     max_runs = MOTION_MAX_RUNS if not _over_budget() else 2
     for i in range(max_runs):
         t = run_once()
         runs.append(round(t, 3))
+        taken.append(t)
         best = min(best, t)
         if i + 1 >= MOTION_MIN_RUNS and n_frames / best >= MOTION_TARGET_FPS:
             break
         if i >= 1 and _over_budget():
             break
-    return best
+    return _median(taken)
 
 
 def _force(df) -> int:
@@ -298,7 +328,7 @@ def bench_motion_fps(spark) -> tuple[float, int]:
         _force(out)
         return time.time() - t0
 
-    return _min_of_runs(once, n, leg="motion_pipeline_640x480"), n
+    return _median_of_runs(once, n, leg="motion_pipeline_640x480"), n
 
 
 def bench_motion_mjpeg_fps(spark) -> tuple[float, int]:
@@ -357,7 +387,7 @@ def bench_motion_mjpeg_fps(spark) -> tuple[float, int]:
             _force(out)
             return time.time() - t0
 
-        return _min_of_runs(once, n, leg="motion_mjpeg_640x480"), n
+        return _median_of_runs(once, n, leg="motion_mjpeg_640x480"), n
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -445,7 +475,7 @@ def bench_motion_stream_fps(spark) -> tuple[float, int]:
 
     _run("warmup")
     runs = iter(range(MOTION_MAX_RUNS))
-    sec = _min_of_runs(
+    sec = _median_of_runs(
         lambda: _run(f"t{next(runs)}"), n, leg="motion_stream_640x480"
     )
     shutil.rmtree(root, ignore_errors=True)
@@ -502,9 +532,21 @@ def bench_corpus_stream_docs(spark) -> tuple[float, int]:
         ck = os.path.join(root, f"ck_{tag}")
         out = os.path.join(root, f"out_{tag}")
         t0 = time.time()
+        # maxFilesPerTrigger=10 (r12, VERDICT r11 #6): the per-batch cost
+        # split from StreamingQueryProgress showed corpus ingest is NOT
+        # trigger-floor — addBatch is ~95% of triggerExecution and the
+        # dominant term inside it is the state store's per-batch commit
+        # (summed commitTimeMs ~70 s across 32 partitions x 5 batches at
+        # 4 files/trigger vs ~22 s at one big batch; measured 2026-08-15,
+        # SCALE.md "corpus ingest" note). Sizing micro-batches to
+        # amortize state commits is the standard production knob; 10
+        # files/trigger keeps TWO data batches so the watermark dedup
+        # still proves its cross-batch drop path, and lifts throughput
+        # ~4.0k -> ~5.2k docs/s. 20 files/trigger (one batch) would do
+        # ~8.2k but stop exercising cross-batch state.
         stream = (
             spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "4")
+            .option("maxFilesPerTrigger", "10")
             .json(data_dir)
         )
         q = stream_curated_corpus(stream, out, ck, dedup_within="1 hour")
@@ -517,11 +559,12 @@ def bench_corpus_stream_docs(spark) -> tuple[float, int]:
         return sec
 
     _run("warmup")
-    sec = _run("t1")
+    runs = [_run("t1")]
     if not _over_budget():
-        sec = min(sec, _run("t2"), _run("t3"))
+        runs += [_run("t2"), _run("t3")]
+    _RUN_TIMES.setdefault("corpus_stream_ingest", []).extend(round(t, 3) for t in runs)
     shutil.rmtree(root, ignore_errors=True)
-    return sec, n
+    return _median(runs), n
 
 
 def main() -> None:
@@ -630,8 +673,13 @@ def main() -> None:
         "motion_mjpeg_fps_640x480": motion_mjpeg_fps,
         "motion_stream_fps_640x480": motion_stream_fps,
         "corpus_stream_docs_per_sec": corpus_docs_per_sec,
-        # per-run distributions (VERDICT r8 #5): the min is the headline,
-        # the spread is the context — same-day runs swing ~30% on this host
+        # which run feeds each headline (VERDICT r11 #5): motion/stream/
+        # corpus legs report the MEDIAN of their runs; relational queries
+        # keep min-of-2 (cheap, and their noise is small vs the plan cost)
+        "run_policy": {"media_and_stream_legs": "median", "queries": "min-of-2"},
+        # per-run distributions (VERDICT r8 #5): the headline is the
+        # median, the spread is the context — same-day runs swing ~30%
+        # (occasionally 2.7x) on this host
         "motion_run_times": dict(_RUN_TIMES),
         # per-micro-batch trigger durations for streaming runs (r9 #5);
         # stripped from the compact stdout line, sidecar-only

@@ -74,29 +74,44 @@ def test_compact_payload_is_valid_single_json_line():
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_queries_total_time"
 
-def test_min_of_runs_takes_at_least_min_runs_before_calm_escape():
+def test_median_of_runs_takes_at_least_min_runs_before_calm_escape():
     """r6->r7 the motion_stream figure halved because the calm-window escape
     accepted the FIRST run >= target — one sample from a 2x-wide noise
     distribution (A/B-measured in scripts/ab_r8_stream_order.py). The escape
-    now requires MOTION_MIN_RUNS samples first, so the reported number is a
-    stable min-of-3."""
+    requires MOTION_MIN_RUNS samples first, and (r12, VERDICT r11 #5) the
+    reported figure is the MEDIAN of the taken runs — robust to one noisy
+    run in either direction, no prose footnote needed."""
     calls = []
 
     def run_once():
         calls.append(1)
         return [5.0, 2.0, 4.0, 3.0][len(calls) - 1]  # all runs beat target
 
-    best = bench._min_of_runs(run_once, n_frames=1024)  # 1024/5 = 205 fps
+    sec = bench._median_of_runs(run_once, n_frames=1024)  # 1024/5 = 205 fps
     assert len(calls) == bench.MOTION_MIN_RUNS
-    assert best == 2.0  # min over the first three, not the first sample
+    assert sec == 4.0  # median over the first three, not the min, not run 1
 
 
-def test_min_of_runs_keeps_polishing_below_target():
+def test_median_of_runs_is_outlier_robust():
+    """The exact r11 case: runs [2.84, 2.54, 6.81] must report 2.84 (the
+    median), not be distorted by the 2.7x host-noise spike."""
+    calls = []
+
+    def run_once():
+        calls.append(1)
+        return [2.84, 2.54, 6.81, 2.9, 2.9, 2.9][len(calls) - 1]
+
+    sec = bench._median_of_runs(run_once, n_frames=1024)  # 1024/2.54=403 fps
+    assert len(calls) == bench.MOTION_MIN_RUNS
+    assert sec == 2.84
+
+
+def test_median_of_runs_keeps_polishing_below_target():
     calls = []
 
     def run_once():
         calls.append(1)
         return 100.0  # 10 fps: never calm, no early escape
 
-    bench._min_of_runs(run_once, n_frames=1024)
+    bench._median_of_runs(run_once, n_frames=1024)
     assert len(calls) == bench.MOTION_MAX_RUNS
