@@ -30,11 +30,59 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
+AUDIO_FEATURES_DDL = (
+    "clipId string, sample_rate int, n_channels int, n_frames bigint, "
+    "duration_ms bigint, energy_q bigint, zero_crossings bigint, "
+    "peak int, error string"
+)
+
+
 def _decode_stub(fmt: str) -> None:
     raise NotImplementedError(
         f"compressed audio ({fmt}) needs a codec library; this container has "
         "none (same posture as compressed video, COVERAGE.md S4)"
     )
+
+
+def audio_feature_row(path: str, raw: bytes) -> dict:
+    """ONE clip -> ONE typed feature row (never raises): content-magic
+    dispatch, REAL decode for PCM-16 WAV, honest stubs for compressed
+    codecs, error rows for everything else. The single implementation
+    shared by the binaryFile scan below and the ``wavaudio`` Data Source
+    (sources/audio_datasource.py), so the two ingest paths cannot drift
+    on which clips decode, stub, or error."""
+    import os
+
+    from distributed_video_analytics_flink_spark.sources.wav import (
+        WavError,
+        wav_features,
+    )
+
+    base = {
+        "clipId": os.path.splitext(os.path.basename(path))[0],
+        "sample_rate": None,
+        "n_channels": None,
+        "n_frames": None,
+        "duration_ms": None,
+        "energy_q": None,
+        "zero_crossings": None,
+        "peak": None,
+        "error": None,
+    }
+    try:
+        if raw[:4] == b"RIFF":
+            base.update(wav_features(raw))
+        elif raw[:3] == b"ID3" or raw[:2] in (b"\xff\xfb", b"\xff\xf3"):
+            _decode_stub("mp3")
+        elif raw[:4] == b"OggS":
+            _decode_stub("ogg")
+        elif raw[:4] == b"fLaC":
+            _decode_stub("flac")
+        else:
+            raise WavError("unrecognized audio container")
+    except (WavError, NotImplementedError) as exc:
+        base["error"] = f"{type(exc).__name__}: {exc}"[:200]
+    return base
 
 
 def read_audio_features(
@@ -51,43 +99,11 @@ def read_audio_features(
     )
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import os
-
-        from distributed_video_analytics_flink_spark.sources.wav import (
-            WavError,
-            wav_features,
-        )
-
         for pdf in batches:
-            rows = []
-            for p, content in zip(pdf["path"], pdf["content"]):
-                clip = os.path.splitext(os.path.basename(p))[0]
-                raw = bytes(content)
-                base = {
-                    "clipId": clip,
-                    "sample_rate": None,
-                    "n_channels": None,
-                    "n_frames": None,
-                    "duration_ms": None,
-                    "energy_q": None,
-                    "zero_crossings": None,
-                    "peak": None,
-                    "error": None,
-                }
-                try:
-                    if raw[:4] == b"RIFF":
-                        base.update(wav_features(raw))
-                    elif raw[:3] == b"ID3" or raw[:2] in (b"\xff\xfb", b"\xff\xf3"):
-                        _decode_stub("mp3")
-                    elif raw[:4] == b"OggS":
-                        _decode_stub("ogg")
-                    elif raw[:4] == b"fLaC":
-                        _decode_stub("flac")
-                    else:
-                        raise WavError("unrecognized audio container")
-                except (WavError, NotImplementedError) as exc:
-                    base["error"] = f"{type(exc).__name__}: {exc}"[:200]
-                rows.append(base)
+            rows = [
+                audio_feature_row(p, bytes(content))
+                for p, content in zip(pdf["path"], pdf["content"])
+            ]
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA])
 
     return files.mapInPandas(_extract, AUDIO_FEATURES_SCHEMA)

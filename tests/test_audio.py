@@ -100,6 +100,74 @@ def test_audio_features_query_golden(spark):
         assert rows[clip]["err_class"] is None
 
 
+def test_wavaudio_datasource_batch_matches_binaryfile_path(spark, tmp_path):
+    """format('wavaudio') and the binaryFile scan must emit identical
+    feature rows for the same .wav files (one shared audio_feature_row) —
+    including the PERMISSIVE error row for a corrupt clip."""
+    from distributed_video_analytics_flink_spark.sources.audio_datasource import (
+        register_wavaudio_source,
+    )
+    from distributed_video_analytics_flink_spark.sources.audio_files import (
+        read_audio_features,
+    )
+
+    (tmp_path / "a440.wav").write_bytes(encode_wav(_sine(), 8000))
+    (tmp_path / "quiet.wav").write_bytes(encode_wav(np.zeros(4000, np.int16), 8000))
+    (tmp_path / "junk.wav").write_bytes(b"not audio at all")
+
+    register_wavaudio_source(spark)
+    ds_rows = sorted(
+        tuple(r) for r in spark.read.format("wavaudio").load(str(tmp_path)).collect()
+    )
+    bf_rows = sorted(
+        tuple(r)
+        for r in read_audio_features(spark, str(tmp_path), glob="*.wav").collect()
+    )
+    assert ds_rows == bf_rows and len(ds_rows) == 3
+    by_clip = {r[0]: r for r in ds_rows}
+    assert by_clip["a440"][7] == 10000  # peak
+    assert by_clip["junk"][8] and "WavError" in by_clip["junk"][8]
+
+
+def test_wavaudio_datasource_streaming_append(spark, tmp_path):
+    """spark.readStream.format('wavaudio'): an empty directory is a legal
+    stream start; clips appended later arrive as feature rows in later
+    micro-batches, byte-identical to the batch reader's rows."""
+    from distributed_video_analytics_flink_spark.sources.audio_datasource import (
+        register_wavaudio_source,
+    )
+
+    register_wavaudio_source(spark)
+    data_dir = tmp_path / "clips"
+    data_dir.mkdir()
+    (data_dir / "c0.wav").write_bytes(encode_wav(_sine(), 8000))
+
+    stream = spark.readStream.format("wavaudio").load(str(data_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("audio_stream_test")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) FROM audio_stream_test").collect()[0][0] == 1
+        # append two more clips: a silent one and a corrupt one
+        (data_dir / "c1.wav").write_bytes(encode_wav(np.zeros(2000, np.int16), 8000))
+        (data_dir / "c2.wav").write_bytes(b"garbage")
+        q.processAllAvailable()
+        rows = {
+            r["clipId"]: r
+            for r in spark.sql("SELECT * FROM audio_stream_test").collect()
+        }
+    finally:
+        q.stop()
+    assert set(rows) == {"c0", "c1", "c2"}
+    assert rows["c0"]["peak"] == 10000 and rows["c0"]["error"] is None
+    assert rows["c1"]["energy_q"] == 0 and rows["c1"]["duration_ms"] == 250
+    assert rows["c2"]["error"] and "WavError" in rows["c2"]["error"]
+
+
 def test_audio_source_mixed_directory(spark, tmp_path):
     from distributed_video_analytics_flink_spark.sources.audio_files import (
         read_audio_features,
