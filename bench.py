@@ -157,6 +157,8 @@ HEADLINE = [
     "multimodal_audio_enrich",
     "video_motion_batch_checked",
     "sim_ivf_pq_multiprobe_recall_checked",
+    # round 12: the retention contract through the rename-less store
+    "sim_ivf_pq_gc_checked",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

@@ -2879,6 +2879,99 @@ def sim_ivf_pq_multiprobe_recall_checked(spark: SparkSession, sf_dir: str) -> Da
     )
 
 
+@query(
+    "sim_ivf_pq_gc_checked",
+    oracle="""
+    SELECT TRUE AS live_intact,
+           TRUE AS reader_grace_respected,
+           TRUE AS superseded_removed,
+           CAST(1 AS BIGINT) AS n_removed,
+           TRUE AS served_rows_unchanged
+    """,
+)
+def sim_ivf_pq_gc_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r12 retention contract (sinks/index_store.py::gc) as a
+    driver-checked row: through the rename-less manifest-pointer store,
+    a superseded index version (published, quarantined, replaced) must
+
+    - SURVIVE gc while inside the reader grace window (a reader that
+      resolved it pre-GC is still scanning — reader_grace_respected),
+    - be REMOVED once it outlives the grace (superseded_removed, exactly
+      1 prefix collected — n_removed),
+
+    while the pointer-resolved LIVE version is untouched at any age
+    (live_intact) and the rows served through the seam-aware view are
+    identical before and after collection (served_rows_unchanged). The
+    oracle pins all five as literals — a GC that deletes under the live
+    pointer, ignores the grace fence, or leaks the superseded prefix
+    hash-mismatches the round. The fence matrix in
+    tests/test_index_store.py §5 proves the same properties over BOTH
+    stores plus keep-last-N; this query keeps the manifest-store leg
+    under the driver's eye.
+
+    Scale: GC cost is one pointer read + one LIST of the versions root —
+    independent of index size; the grace window is the only reader fence
+    a rename-free store can offer (SCALE.md, index store retention)."""
+    import os
+    import shutil
+    import tempfile
+
+    from distributed_video_analytics_flink_spark.sinks.index_store import (
+        ManifestPointerStore,
+    )
+
+    store = ManifestPointerStore()
+    root = tempfile.mkdtemp(prefix="dvafs-gc-")
+    try:
+        base = write_ivf_pq_index(spark, sf_dir)  # shared memoized build
+        serving = os.path.join(root, "idx")
+
+        def publish_copy() -> str:
+            staged = store.stage(serving)
+            shutil.copytree(base, staged)
+            # copytree copies the SOURCE's mtime onto the prefix, and the
+            # shared memoized build can be hours old (cross-session cache)
+            # — but gc's clock is publish-time, so stamp "now" the way a
+            # real build's parquet write would
+            os.utime(staged, None)
+            store.publish(staged, serving)
+            return store.resolve(serving)
+
+        v1 = publish_copy()
+        store.quarantine(serving)  # supersede: pointer retracted, bytes kept
+        v2 = publish_copy()
+        n_before = read_ivf_pq_index(spark, serving, store=store).count()
+
+        # inside the grace window nothing is collectable, harshest keep
+        grace_kept = (
+            store.gc(serving, keep_versions=0, grace_s=3600) == []
+            and os.path.isdir(v1)
+        )
+        # age the superseded prefix past the grace; the live one stays young
+        old = os.stat(v1).st_mtime - 7 * 86400
+        os.utime(v1, (old, old))
+        removed = store.gc(serving, keep_versions=0, grace_s=3600)
+        superseded_removed = removed == [v1] and not os.path.exists(v1)
+        live_intact = store.resolve(serving) == v2 and os.path.isdir(v2)
+        n_after = read_ivf_pq_index(spark, serving, store=store).count()
+        return spark.createDataFrame(
+            [
+                (
+                    bool(live_intact),
+                    bool(grace_kept),
+                    bool(superseded_removed),
+                    len(removed),
+                    bool(n_before == n_after and n_before > 0),
+                )
+            ],
+            "live_intact boolean, reader_grace_respected boolean, "
+            "superseded_removed boolean, n_removed bigint, "
+            "served_rows_unchanged boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 _IVF_PQ_INDEX_BUILT: set = set()
 _IVF_PQ_BUILD_LOCK = threading.Lock()  # intra-process: one build at a time
 
