@@ -16,6 +16,7 @@ import json
 import os
 import sys
 import time
+from statistics import median as _median
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -235,12 +236,6 @@ def _record_stream_progress(leg: str, tag: str, query) -> None:
         ]
     except Exception:
         pass  # diagnostics must never fail the bench
-
-
-def _median(xs: list[float]) -> float:
-    s = sorted(xs)
-    n = len(s)
-    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def _median_of_runs(run_once, n_frames: int, leg: str | None = None) -> float:

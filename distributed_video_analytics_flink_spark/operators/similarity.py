@@ -2947,8 +2947,15 @@ def sim_ivf_pq_gc_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             store.gc(serving, keep_versions=0, grace_s=3600) == []
             and os.path.isdir(v1)
         )
-        # age the superseded prefix past the grace; the live one stays young
-        old = os.stat(v1).st_mtime - 7 * 86400
+        # age the superseded prefix's WHOLE tree past the grace (gc keys
+        # on the newest mtime anywhere under the prefix — supersede stamp
+        # and in-progress task files both refresh it); live stays young
+        import time as _time
+
+        old = _time.time() - 7 * 86400
+        for r, ds, fs in os.walk(v1):
+            for nm in ds + fs:
+                os.utime(os.path.join(r, nm), (old, old))
         os.utime(v1, (old, old))
         removed = store.gc(serving, keep_versions=0, grace_s=3600)
         superseded_removed = removed == [v1] and not os.path.exists(v1)

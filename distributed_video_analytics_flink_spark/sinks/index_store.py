@@ -37,14 +37,56 @@ import threading
 import time
 
 
-def _expired(path: str, grace_s: float, now: float) -> bool:
-    """True when ``path``'s mtime is older than the grace window. A path
-    that cannot be stat'ed (concurrently removed) is NOT expired — the
-    caller skips it rather than racing a second deleter."""
+def _mtime_or_zero(path: str) -> float:
+    """Sort key that tolerates a concurrent deleter: a path vanishing
+    between listing and stat sorts oldest instead of crashing the
+    sweep."""
     try:
-        return (now - os.stat(path).st_mtime) > grace_s
+        return os.stat(path).st_mtime
     except OSError:
-        return False
+        return 0.0
+
+
+def _newest_mtime(path: str) -> float | None:
+    """Newest mtime anywhere in the tree, or None if the root is gone.
+    The top directory's mtime alone is NOT the artifact's clock: an
+    in-progress Spark build lands task files under ``_temporary/``
+    subdirectories without touching the staging root, and a version's
+    serving life is stamped on the root at supersede time — the grace
+    fence needs the max of both."""
+    try:
+        newest = os.stat(path).st_mtime
+    except OSError:
+        return None
+    for root, dirs, files in os.walk(path):
+        for name in dirs + files:
+            try:
+                t = os.stat(os.path.join(root, name)).st_mtime
+            except OSError:
+                continue  # concurrently removed entry: skip
+            if t > newest:
+                newest = t
+    return newest
+
+
+def _expired(path: str, grace_s: float, now: float) -> bool:
+    """True when EVERY mtime in ``path``'s tree is older than the grace
+    window — so an in-progress build (fresh task files under a stale
+    root) and a just-superseded version (root stamped at retraction) are
+    both protected. A path that cannot be stat'ed (concurrently removed)
+    is NOT expired — the caller skips it rather than racing a second
+    deleter."""
+    newest = _newest_mtime(path)
+    return newest is not None and (now - newest) > grace_s
+
+
+def _remove_tree(path: str, removed: list[str]) -> None:
+    """Best-effort rmtree that only REPORTS paths that are actually gone
+    (a read-only straggler must not be double-counted as reclaimed by
+    every subsequent sweep)."""
+    shutil.rmtree(path, ignore_errors=True)
+    if not os.path.exists(path):
+        removed.append(path)
 
 
 class PublishConflict(Exception):
@@ -140,19 +182,17 @@ class PosixRenameStore:
                 for e in entries
                 if e.startswith(base + ".quarantine-")
             ),
-            key=lambda p: -(os.stat(p).st_mtime if os.path.exists(p) else 0),
+            key=lambda p: -_mtime_or_zero(p),
         )
-        removed = []
+        removed: list[str] = []
         for q in quarantines[keep_versions:]:
             if _expired(q, grace_s, now):
-                shutil.rmtree(q, ignore_errors=True)
-                removed.append(q)
+                _remove_tree(q, removed)
         for e in entries:
             if e.startswith(base + ".build-"):
                 stale = os.path.join(parent, e)
                 if _expired(stale, grace_s, now):
-                    shutil.rmtree(stale, ignore_errors=True)
-                    removed.append(stale)
+                    _remove_tree(stale, removed)
         return removed
 
 
@@ -223,12 +263,22 @@ class ManifestPointerStore:
         """Unpublish by deleting the POINTER (one small-object DELETE —
         atomic everywhere); the version prefix is untouched, so a reader
         mid-scan and the operator's post-mortem both keep the bytes.
-        Returns the preserved prefix."""
+        The prefix root is STAMPED with the retraction time: gc()'s
+        reader grace window must run from when the version STOPPED
+        serving, not from when it was built — a version that served for
+        days would otherwise be collectable the instant it is superseded,
+        exactly while its last readers are still scanning. Returns the
+        preserved prefix."""
         live = self.resolve(serving)
         try:
             os.unlink(self._pointer(serving))
         except OSError:
             return serving  # pointer already gone / undeletable
+        if live is not None:
+            try:
+                os.utime(live, None)  # supersede stamp (gc grace clock)
+            except OSError:
+                pass  # prefix raced away: nothing left to protect
         return live if live is not None else serving
 
     def discard_staged(self, staged: str) -> None:
@@ -247,16 +297,20 @@ class ManifestPointerStore:
         - the newest ``keep_versions`` non-live prefixes survive
           regardless of age (Iceberg's retain-last posture: rollback and
           post-mortem material);
-        - everything else must also be older than ``grace_s``. The grace
-          window is the concurrent-reader fence: a reader resolves the
-          pointer and then scans the prefix; any prefix it can have
-          resolved was either live at that moment (protected by the
-          first fence until a later publish supersedes it, after which
-          its mtime clock must ALSO outlive the grace before deletion)
-          or within keep_versions. Sizing grace_s above the longest scan
-          bounds the race exactly the way S3 lifecycle rules and Iceberg
-          expire_snapshots do — there is no rename-free store primitive
-          that can do better without a reader registry.
+        - everything else must also be younger-silent for ``grace_s``:
+          a prefix expires only when its NEWEST tree mtime is older than
+          the window. Two clocks feed that maximum — quarantine() stamps
+          the prefix root at RETRACTION time (the grace runs from when a
+          version stopped serving, never from when it was built), and an
+          in-progress build's task files keep refreshing their own
+          mtimes (so a long build staged under ``.versions/`` cannot be
+          swept mid-write). A reader resolves the pointer then scans;
+          any prefix it can have resolved was live at that moment, and
+          after the supersede its stamp keeps it for grace_s more.
+          Sizing grace_s above the longest scan bounds the race exactly
+          the way S3 lifecycle rules and Iceberg expire_snapshots do —
+          there is no rename-free store primitive that can do better
+          without a reader registry.
 
         Returns the removed paths."""
         now = time.time()
@@ -273,12 +327,11 @@ class ManifestPointerStore:
                 for p in entries
                 if os.path.abspath(p) != (os.path.abspath(live) if live else None)
             ),
-            key=lambda p: -(os.stat(p).st_mtime if os.path.exists(p) else 0),
+            key=lambda p: -_mtime_or_zero(p),
         )
         for p in candidates[keep_versions:]:
             if _expired(p, grace_s, now):
-                shutil.rmtree(p, ignore_errors=True)
-                removed.append(p)
+                _remove_tree(p, removed)
         parent = os.path.dirname(serving) or "."
         scratch_prefix = os.path.basename(self._pointer(serving)) + ".put-"
         try:

@@ -23,6 +23,9 @@ engine's LLM-training-data extension (SURVEY.md §2 multimodal family)."""
 
 from __future__ import annotations
 
+import glob as _glob
+import os
+
 from pyspark.sql.datasource import DataSource, DataSourceReader
 
 from distributed_video_analytics_flink_spark.sources.audio_files import (
@@ -31,8 +34,35 @@ from distributed_video_analytics_flink_spark.sources.audio_files import (
 from distributed_video_analytics_flink_spark.sources.frame_datasource import (
     FilePartition,
     FrameStreamReader,
-    file_partitions,
 )
+
+# The same container set read_audio_features globs: the format must list
+# every clip the binaryFile path would, INCLUDING the compressed formats
+# whose honest stub rows are part of the contract — listing only *.wav
+# would silently drop an mp3 the other path reports (r12 review).
+AUDIO_EXTS = ("wav", "mp3", "ogg", "flac")
+
+
+def _audio_listing(path: str | None, allow_empty: bool) -> list[str]:
+    """Sorted listing of every audio clip under ``path``. Batch keeps
+    the house planning-time loudness on an empty match (a typo'd
+    directory must not read as an empty DataFrame); a stream may start
+    on an empty directory (clips arrive later)."""
+    if not path:
+        raise ValueError("wavaudio source requires a path: .load('/dir/or/file')")
+    if os.path.isdir(path):
+        files = sorted(
+            p
+            for ext in AUDIO_EXTS
+            for p in _glob.glob(os.path.join(path, f"*.{ext}"))
+        )
+        if not files and not allow_empty:
+            exts = ",".join(AUDIO_EXTS)
+            raise ValueError(f"no audio files (*.{{{exts}}}) under directory {path!r}")
+        return files
+    if not os.path.isfile(path):
+        raise ValueError(f"wavaudio source path does not exist: {path!r}")
+    return [path]
 
 
 def _feature_rows(path: str):
@@ -62,19 +92,24 @@ class WavAudioReader(DataSourceReader):
         self._path = options.get("path")
 
     def partitions(self):
-        return file_partitions(self._path, "wav")
+        return [FilePartition(p) for p in _audio_listing(self._path, allow_empty=False)]
 
     def read(self, partition: FilePartition):
         yield from _feature_rows(partition.path)
 
 
 class AudioStreamReader(FrameStreamReader):
-    """Streaming leg: the video sources' per-file offset model with
-    feature rows instead of wire frames (read() is the only override —
-    the listing/offset/commit contract is the single shared copy)."""
+    """Streaming leg: the video sources' per-file offset model
+    (``{"n": files consumed}`` against the sorted append-only listing)
+    with feature rows instead of wire frames and the multi-extension
+    audio listing — read() and _listing() are the only overrides; the
+    offset/commit contract is the single shared copy."""
 
     def __init__(self, options: dict):
         super().__init__(options, "wav", decode=None)
+
+    def _listing(self) -> list[str]:
+        return _audio_listing(self._path, allow_empty=True)
 
     def read(self, partition: FilePartition):
         yield from _feature_rows(partition.path)

@@ -114,19 +114,23 @@ def test_wavaudio_datasource_batch_matches_binaryfile_path(spark, tmp_path):
     (tmp_path / "a440.wav").write_bytes(encode_wav(_sine(), 8000))
     (tmp_path / "quiet.wav").write_bytes(encode_wav(np.zeros(4000, np.int16), 8000))
     (tmp_path / "junk.wav").write_bytes(b"not audio at all")
+    # compressed clips are part of the contract: BOTH paths must report
+    # their honest stub rows (a format listing only *.wav would silently
+    # drop the mp3 the binaryFile path reports)
+    (tmp_path / "song.mp3").write_bytes(b"ID3\x03\x00" + b"\x00" * 64)
 
     register_wavaudio_source(spark)
     ds_rows = sorted(
         tuple(r) for r in spark.read.format("wavaudio").load(str(tmp_path)).collect()
     )
     bf_rows = sorted(
-        tuple(r)
-        for r in read_audio_features(spark, str(tmp_path), glob="*.wav").collect()
+        tuple(r) for r in read_audio_features(spark, str(tmp_path)).collect()
     )
-    assert ds_rows == bf_rows and len(ds_rows) == 3
+    assert ds_rows == bf_rows and len(ds_rows) == 4
     by_clip = {r[0]: r for r in ds_rows}
     assert by_clip["a440"][7] == 10000  # peak
     assert by_clip["junk"][8] and "WavError" in by_clip["junk"][8]
+    assert by_clip["song"][8] and "NotImplementedError" in by_clip["song"][8]
 
 
 def test_wavaudio_datasource_streaming_append(spark, tmp_path):

@@ -256,8 +256,19 @@ def test_quarantine_unpublishes_but_preserves(tmp_path, store):
 
 
 def _backdate(path: str, age_s: float = 7 * 86400) -> None:
-    old = os.stat(path).st_mtime - age_s
-    os.utime(path, (old, old))
+    """Age the ENTIRE tree: gc's grace fence keys on the newest mtime
+    anywhere under the artifact (in-progress builds refresh file mtimes;
+    supersede stamps the root), so aging only the top directory would
+    prove nothing."""
+    import time
+
+    old = time.time() - age_s
+    targets = [path]
+    if os.path.isdir(path):
+        for root, dirs, files in os.walk(path):
+            targets.extend(os.path.join(root, n) for n in dirs + files)
+    for p in targets:
+        os.utime(p, (old, old))
 
 
 def _publish_tiny(store, serving: str, marker: str) -> str:
@@ -285,15 +296,22 @@ def test_gc_superseded_manifest_version_expires_after_grace(tmp_path):
     """A superseded prefix (quarantined then replaced) survives while a
     concurrent reader could still be scanning it (grace window), then
     expires; the live replacement is untouched. This IS the
-    reader-resolved-pre-GC fence: grace > resolve-age keeps the bytes."""
+    reader-resolved-pre-GC fence: grace > resolve-age keeps the bytes.
+
+    Crucially the grace clock runs from SUPERSEDE time, not build time
+    (the prefix here is aged to a week old BEFORE retraction — a version
+    that served for days must still get a full grace window after it
+    stops serving, because its last readers resolved it seconds ago)."""
     store = ManifestPointerStore()
     serving = str(tmp_path / "idx")
     old_prefix = _publish_tiny(store, serving, "v1")
-    store.quarantine(serving)  # pointer retracted, prefix preserved
+    _backdate(old_prefix)  # v1 served for a "week" before being replaced
+    store.quarantine(serving)  # retraction stamps the supersede time
     live = _publish_tiny(store, serving, "v2")
     reader_path = old_prefix  # a reader resolved v1 just before the swap
 
-    # within grace: nothing to collect, the reader's bytes are intact
+    # within grace-from-supersede: nothing to collect despite the old
+    # build date; the reader's bytes are intact
     assert store.gc(serving, keep_versions=0, grace_s=3600) == []
     assert open(os.path.join(reader_path, "data.parquet")).read() == "v1"
 
@@ -340,6 +358,14 @@ def test_gc_sweeps_crash_orphaned_staging(tmp_path, store):
         open(scratch, "w").write(os.path.abspath(staged))
 
     assert store.gc(serving, keep_versions=0, grace_s=3600) == []  # fresh: kept
+    assert os.path.exists(staged)
+
+    # an IN-PROGRESS build looks exactly like a crash orphan from the
+    # root (stale top dir) but its task files keep landing — the grace
+    # fence keys on the newest mtime in the tree, so it must survive
+    _backdate(staged)
+    open(os.path.join(staged, "part-1.parquet"), "w").write("mid-build")
+    assert store.gc(serving, keep_versions=0, grace_s=3600) == []
     assert os.path.exists(staged)
 
     _backdate(staged)
