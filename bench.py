@@ -591,14 +591,21 @@ def main() -> None:
     # memo-served — round-over-round diff tooling must compare the family
     # SUM, not individual rows. memo_cached[name] = True means the
     # recorded (min) time had a warm memo; False means it paid the build.
+    from distributed_video_analytics_flink_spark.operators.audio import (
+        _AUDIO_MEMO_STATS,
+    )
     from distributed_video_analytics_flink_spark.operators.similarity import (
         _KNN_MEMO_STATS,
     )
 
+    # every session-scoped memo a timed query can ride (r12 adds the audio
+    # fixture-decode memo shared by the two multimodal_audio_* queries)
+    _MEMOS = (_KNN_MEMO_STATS, _AUDIO_MEMO_STATS)
+
     memo_cached: dict[str, bool] = {}
     for name in HEADLINE:
         best = float("inf")
-        stats0 = dict(_KNN_MEMO_STATS)
+        stats0 = [dict(m) for m in _MEMOS]
         try:
             fn = ops.QUERIES[name].fn  # inside the fence: a renamed entry must not kill the run
             for _ in range(1 if _over_budget() else 2):
@@ -609,9 +616,9 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — harness must survive any query
             timings[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-        hits = _KNN_MEMO_STATS["hits"] - stats0["hits"]
-        misses = _KNN_MEMO_STATS["misses"] - stats0["misses"]
-        if hits or misses:  # this query consumed the shared k-NN frame
+        hits = sum(m["hits"] - s["hits"] for m, s in zip(_MEMOS, stats0))
+        misses = sum(m["misses"] - s["misses"] for m, s in zip(_MEMOS, stats0))
+        if hits or misses:  # this query consumed a session memo
             # with min-of-2, run 1 may build (miss) and run 2 ride the
             # memo (hit) — the min is then the cached run, so hits>0 is
             # the honest marker for the recorded number

@@ -70,6 +70,9 @@ _AUDIO_ROW_SCHEMA = (
 
 _AUDIO_ROWS_MEMO: list[tuple] | None = None
 _AUDIO_ROWS_LOCK = threading.Lock()
+# bench attribution (the similarity._KNN_MEMO_STATS pattern, VERDICT r10
+# #4): which timed queries rode the shared fixture decode vs paid it
+_AUDIO_MEMO_STATS = {"hits": 0, "misses": 0}
 
 
 def _fixture_audio_rows(spark: SparkSession) -> list[tuple]:
@@ -86,7 +89,9 @@ def _fixture_audio_rows(spark: SparkSession) -> list[tuple]:
     global _AUDIO_ROWS_MEMO
     with _AUDIO_ROWS_LOCK:
         if _AUDIO_ROWS_MEMO is not None:
+            _AUDIO_MEMO_STATS["hits"] += 1
             return list(_AUDIO_ROWS_MEMO)
+        _AUDIO_MEMO_STATS["misses"] += 1
         _AUDIO_ROWS_MEMO = _scan_fixture_audio_rows(spark)
         return list(_AUDIO_ROWS_MEMO)
 

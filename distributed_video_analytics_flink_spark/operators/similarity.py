@@ -3378,6 +3378,13 @@ def compact_ivf_pq_index(
     publish. Only delete ``src_path`` after the flip AND after
     repointing every appender.
 
+    RETIREMENT (r12): the safe way to delete the source is the store's
+    own retention path — ``store.quarantine(src_path)`` retracts it and
+    stamps its supersede time, then ``store.gc(src_path, keep_versions,
+    grace_s)`` removes it once no reader can still be scanning (the
+    grace fence; sinks/index_store.py). Never rmtree the source
+    directly: a reader that resolved it pre-flip may be mid-scan.
+
     STORE SEAM: the two primitives this function needs from storage —
     PUBLISH (atomically expose the fully-written dst version) and LIST
     (the file-set snapshot behind both fences) — go through
