@@ -158,8 +158,10 @@ HEADLINE = [
     "multimodal_audio_enrich",
     "video_motion_batch_checked",
     "sim_ivf_pq_multiprobe_recall_checked",
-    # round 12: the retention contract through the rename-less store
+    # round 12: the retention contract through the rename-less store,
+    # and the audio quality gates (the audio twin of text_quality_score)
     "sim_ivf_pq_gc_checked",
+    "multimodal_audio_quality",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

@@ -169,6 +169,120 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_quality",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('clipped', CAST(1000 AS BIGINT), CAST(1000 AS BIGINT),
+       CAST(0 AS BIGINT), CAST(10000 AS BIGINT), CAST(0 AS BIGINT), FALSE),
+      ('quiet', CAST(4000 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(4000 AS BIGINT), CAST(0 AS BIGINT), CAST(10000 AS BIGINT), FALSE),
+      ('mixed', CAST(2000 AS BIGINT), CAST(500 AS BIGINT),
+       CAST(1500 AS BIGINT), CAST(2500 AS BIGINT), CAST(7500 AS BIGINT), FALSE),
+      ('clean', CAST(8000 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE)
+    ) AS t(clipId, n_frames, n_clipped, n_silent, clipping_bp, silence_bp,
+           quality_ok)
+    """,
+)
+def multimodal_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio quality gating, driver-checked — the audio twin of
+    text_quality_score (a training-data pipeline drops clips exactly the
+    way it drops low-quality documents): per clip the distributed
+    extractor counts clipped samples (int16 rails — recording overdrive)
+    and silent samples (|s| <= 327, ~1% full scale — dead air), with
+    integer basis-point ratios and a composite gate
+    (``quality_ok`` = clipping < 1% AND silence < 50%). Every fixture
+    value is closed-form and oracle-pinned: a rail-comparison off-by-one
+    or a threshold drift hash-mismatches the round.
+
+    Fixtures: 'clipped' alternates the two rails (100% clipping),
+    'quiet' sits at amplitude 100 (100% silence), 'mixed' is 25% rail +
+    75% zero, 'clean' is the sq.wav square wave (amp 12000: loud but
+    unclipped, never silent). Scale: same mapInPandas shape as the
+    feature scan — clips never move, five integers per clip do."""
+    from pyspark.sql import types as T
+
+    from distributed_video_analytics_flink_spark.sources.wav import encode_wav
+
+    def _quality_clips() -> dict[str, bytes]:
+        rails = np.empty(1000, np.int16)
+        rails[0::2], rails[1::2] = 32767, -32768
+        quiet = np.full(4000, 100, np.int16)
+        mixed = np.concatenate(
+            [np.full(500, 32767, np.int16), np.zeros(1500, np.int16)]
+        )
+        t = np.arange(8000)
+        clean = np.where((t // 10) % 2 == 0, 12000, -12000).astype(np.int16)
+        return {
+            "clipped.wav": encode_wav(rails, 8000),
+            "quiet.wav": encode_wav(quiet, 8000),
+            "mixed.wav": encode_wav(mixed, 8000),
+            "clean.wav": encode_wav(clean, 8000),
+        }
+
+    schema = T.StructType(
+        [
+            T.StructField("clipId", T.StringType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("n_clipped", T.LongType()),
+            T.StructField("n_silent", T.LongType()),
+            T.StructField("clipping_bp", T.LongType()),
+            T.StructField("silence_bp", T.LongType()),
+        ]
+    )
+
+    def _extract(batches):
+        import os
+
+        import pandas as pd
+
+        from distributed_video_analytics_flink_spark.sources.wav import wav_quality
+
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                q = wav_quality(bytes(content))
+                rows.append(
+                    {
+                        "clipId": os.path.splitext(os.path.basename(p))[0],
+                        "n_frames": q["n_frames"],
+                        "n_clipped": q["n_clipped"],
+                        "n_silent": q["n_silent"],
+                        "clipping_bp": q["clipping_bp"],
+                        "silence_bp": q["silence_bp"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    import os
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="dvafs-audioq-")
+    try:
+        for name, raw in _quality_clips().items():
+            with open(os.path.join(root, name), "wb") as fh:
+                fh.write(raw)
+        files = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.wav")
+            .load(root)
+            .select("path", "content")
+        )
+        rows = [tuple(r) for r in files.mapInPandas(_extract, schema).collect()]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out = spark.createDataFrame(
+        rows,
+        "clipId string, n_frames bigint, n_clipped bigint, n_silent bigint, "
+        "clipping_bp bigint, silence_bp bigint",
+    )
+    return out.withColumn(
+        "quality_ok", (F.col("clipping_bp") < 100) & (F.col("silence_bp") < 5000)
+    )
+
+
+@query(
     "multimodal_audio_enrich",
     oracle="""
     WITH feats(clip_key, clipId, duration_ms, energy_q, peak) AS (VALUES

@@ -87,6 +87,36 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     return hdr + body
 
 
+# Quality-gate thresholds (exact-integer contract, see wav_quality):
+# a sample is SILENT when |s| <= ~1% of int16 full scale, CLIPPED when it
+# sits on either rail. Both are defined on raw sample values so the
+# counts are engine- and partitioning-independent.
+SILENCE_ABS = 327
+CLIP_HI, CLIP_LO = 32767, -32768
+
+
+def wav_quality(data: bytes) -> dict:
+    """Exact-integer clip-level quality signals of the first channel —
+    the audio twin of the text quality gates (operators/text_analysis):
+    clipped-sample count (samples on the int16 rails: recording chain
+    overdrive), silent-sample count (|s| <= SILENCE_ABS: dead air), and
+    their basis-point ratios (integer floor division — no floats, so the
+    oracle can pin them as literals). A training-data pipeline drops or
+    down-weights clips by exactly these gates."""
+    hdr, pcm = decode_wav(data)
+    ch0 = pcm[:, 0].astype(np.int64)
+    n = int(ch0.size)
+    n_clipped = int(((ch0 >= CLIP_HI) | (ch0 <= CLIP_LO)).sum())
+    n_silent = int((np.abs(ch0) <= SILENCE_ABS).sum())
+    return {
+        "n_frames": n,
+        "n_clipped": n_clipped,
+        "n_silent": n_silent,
+        "clipping_bp": (n_clipped * 10_000) // n if n else 0,
+        "silence_bp": (n_silent * 10_000) // n if n else 0,
+    }
+
+
 def wav_features(data: bytes) -> dict:
     """Exact-integer waveform features of the first channel: frame count,
     duration, energy (sum of squared samples), zero-crossing count, peak

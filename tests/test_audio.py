@@ -49,6 +49,27 @@ def test_wav_stereo_and_truncation():
     )["zero_crossings"]
 
 
+def test_wav_quality_golden():
+    """Exact-integer quality gates: rail samples count as clipped, |s| <=
+    327 counts as silent, basis points floor-divide — all closed-form."""
+    from distributed_video_analytics_flink_spark.sources.wav import wav_quality
+
+    rails = np.empty(10, np.int16)
+    rails[0::2], rails[1::2] = 32767, -32768
+    q = wav_quality(encode_wav(rails, 8000))
+    assert (q["n_clipped"], q["n_silent"], q["clipping_bp"]) == (10, 0, 10000)
+
+    edge = np.array([327, -327, 328, -328, 32766], np.int16)  # threshold edges
+    q = wav_quality(encode_wav(edge, 8000))
+    assert q["n_silent"] == 2 and q["n_clipped"] == 0  # 328 loud, 32766 unclipped
+    assert q["silence_bp"] == (2 * 10000) // 5
+
+    # stereo: quality reads channel 0 only, like wav_features
+    stereo = np.stack([np.zeros(100, np.int16), np.full(100, 32767, np.int16)], axis=1)
+    q = wav_quality(encode_wav(stereo, 8000))
+    assert q["n_silent"] == 100 and q["n_clipped"] == 0
+
+
 def test_wav_rejects_non_pcm():
     with pytest.raises(WavError):
         parse_wav_header(b"garbage" * 10)
