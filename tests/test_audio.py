@@ -70,6 +70,65 @@ def test_wav_quality_golden():
     assert q["n_silent"] == 100 and q["n_clipped"] == 0
 
 
+def test_audio_feature_row_never_raises_on_fuzz():
+    """The PERMISSIVE contract under fire: arbitrary bytes — including
+    truncated RIFF headers and valid-magic garbage — must produce an
+    error ROW, never an exception (one poisoned clip in a 100 TB scan
+    must not kill a task)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from distributed_video_analytics_flink_spark.sources.audio_files import (
+        audio_feature_row,
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.binary(max_size=256))
+    def _fuzz(raw):
+        for prefix in (b"", b"RIFF", b"ID3\x03", b"OggS", b"fLaC", b"\xff\xfb"):
+            row = audio_feature_row("/x/clip.wav", prefix + raw)
+            assert row["clipId"] == "clip"
+            # decoded XOR errored, never both/neither ambiguous
+            assert (row["error"] is None) == (row["n_frames"] is not None)
+
+    _fuzz()
+
+
+def test_wav_features_roundtrip_property():
+    """encode_wav -> wav_features equals direct numpy computation on the
+    same samples, for random lengths/rates/channel counts (the exactness
+    claim the oracle literals rely on)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from distributed_video_analytics_flink_spark.sources.wav import wav_quality
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.integers(-32768, 32767), min_size=1, max_size=400),
+        st.sampled_from([8000, 16000, 44100]),
+        st.integers(1, 2),
+    )
+    def _prop(samples, rate, n_ch):
+        ch0 = np.array(samples, np.int64)
+        s = np.array(samples, np.int16)
+        if n_ch == 2:  # channel 1 is noise the extractor must ignore
+            s = np.stack([s, ((ch0 * 31 + 7) % 65536 - 32768).astype(np.int16)], axis=1)
+        raw = encode_wav(s, rate)
+        f = wav_features(raw)
+        assert f["n_frames"] == len(samples) and f["sample_rate"] == rate
+        assert f["energy_q"] == int((ch0 * ch0).sum())
+        assert f["peak"] == int(np.abs(ch0).max())
+        nz = np.sign(ch0)[np.sign(ch0) != 0]
+        assert f["zero_crossings"] == (int((nz[1:] != nz[:-1]).sum()) if nz.size > 1 else 0)
+        q = wav_quality(raw)
+        assert q["n_clipped"] == int(((ch0 >= 32767) | (ch0 <= -32768)).sum())
+        assert q["n_silent"] == int((np.abs(ch0) <= 327).sum())
+        assert q["clipping_bp"] == q["n_clipped"] * 10000 // len(samples)
+
+    _prop()
+
+
 def test_wav_rejects_non_pcm():
     with pytest.raises(WavError):
         parse_wav_header(b"garbage" * 10)
