@@ -218,6 +218,12 @@ def _over_budget() -> bool:
 # so variance is visible without re-running the bench.
 _RUN_TIMES: dict[str, list[float]] = {}
 
+# Frame count per leg, recorded by _median_of_runs from the SAME n_frames
+# the bench function times against (ADVICE r12: fps_best previously
+# re-derived the count from duplicated constants, which would silently
+# drift if a bench resized its fixture).
+_RUN_FRAMES: dict[str, int] = {}
+
 # Per-run, per-micro-batch trigger durations for the streaming legs
 # (VERDICT r9 #5): r9's motion_stream run array [2.97, 6.79, 3.76] hid
 # WHERE the 2.3x outlier spent its time. StreamingQueryProgress's
@@ -255,6 +261,8 @@ def _median_of_runs(run_once, n_frames: int, leg: str | None = None) -> float:
     budget is spent (after at least 2 runs)."""
     best = float("inf")
     runs = _RUN_TIMES.setdefault(leg, []) if leg else []
+    if leg:
+        _RUN_FRAMES[leg] = n_frames
     taken: list[float] = []
     max_runs = MOTION_MAX_RUNS if not _over_budget() else 2
     for i in range(max_runs):
@@ -688,13 +696,14 @@ def main() -> None:
         # would otherwise read as a pipeline regression — the best run is
         # the capability bound the >=120 fps gate actually needs
         "fps_best": {
-            leg: round(n / min(runs), 1)
-            for leg, runs, n in (
-                ("motion_pipeline_640x480", _RUN_TIMES.get("motion_pipeline_640x480"), MOTION_CAMS * MOTION_FRAMES_PER_CAM),
-                ("motion_mjpeg_640x480", _RUN_TIMES.get("motion_mjpeg_640x480"), 32 * 32),
-                ("motion_stream_640x480", _RUN_TIMES.get("motion_stream_640x480"), 32 * 32),
+            leg: round(_RUN_FRAMES[leg] / min(runs), 1)
+            for leg in (
+                "motion_pipeline_640x480",
+                "motion_mjpeg_640x480",
+                "motion_stream_640x480",
             )
-            if runs
+            for runs in (_RUN_TIMES.get(leg),)
+            if runs and leg in _RUN_FRAMES
         },
         # per-run distributions (VERDICT r8 #5): the headline is the
         # median, the spread is the context — same-day runs swing ~30%

@@ -236,12 +236,23 @@ def multimodal_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import pandas as pd
 
-        from distributed_video_analytics_flink_spark.sources.wav import wav_quality
+        from distributed_video_analytics_flink_spark.sources.wav import (
+            WavError,
+            wav_quality,
+        )
 
         for pdf in batches:
             rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
-                q = wav_quality(bytes(content))
+                # PERMISSIVE (ADVICE r12): a corrupt/truncated WAV in the
+                # scanned directory must yield a null row, not kill the
+                # task — same posture as the shared audio_feature_row.
+                try:
+                    q = wav_quality(bytes(content))
+                except (WavError, NotImplementedError):
+                    q = dict.fromkeys(
+                        ("n_frames", "n_clipped", "n_silent", "clipping_bp", "silence_bp")
+                    )
                 rows.append(
                     {
                         "clipId": os.path.splitext(os.path.basename(p))[0],

@@ -2909,9 +2909,13 @@ def sim_ivf_pq_gc_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     stores plus keep-last-N; this query keeps the manifest-store leg
     under the driver's eye.
 
-    Scale: GC cost is one pointer read + one LIST of the versions root —
-    independent of index size; the grace window is the only reader fence
-    a rename-free store can offer (SCALE.md, index store retention)."""
+    Scale: GC reads the pointer once and LISTs the versions root to find
+    candidates; each non-live candidate then pays a freshness walk that
+    SHORT-CIRCUITS at the first in-grace mtime (index_store._expired), so
+    steady-state cost is O(candidates), and only a prefix that is
+    actually collectable pays its one full O(files) scan on the sweep
+    that removes it. The grace window is the only reader fence a
+    rename-free store can offer (SCALE.md, index store retention)."""
     import os
     import shutil
     import tempfile

@@ -47,37 +47,68 @@ def _mtime_or_zero(path: str) -> float:
         return 0.0
 
 
-def _newest_mtime(path: str) -> float | None:
-    """Newest mtime anywhere in the tree, or None if the root is gone.
-    The top directory's mtime alone is NOT the artifact's clock: an
-    in-progress Spark build lands task files under ``_temporary/``
-    subdirectories without touching the staging root, and a version's
-    serving life is stamped on the root at supersede time — the grace
-    fence needs the max of both."""
+def _expired(path: str, grace_s: float, now: float) -> bool:
+    """True when EVERY mtime in ``path``'s tree is older than the grace
+    window — so an in-progress build (fresh task files under a stale
+    root) and a just-superseded version (root stamped at retraction) are
+    both protected. The top directory's mtime alone is NOT the
+    artifact's clock: an in-progress Spark build lands task files under
+    ``_temporary/`` subdirectories without touching the staging root,
+    and a version's serving life is stamped on the root at supersede
+    time. A path that cannot be stat'ed (concurrently removed) is NOT
+    expired — the caller skips it rather than racing a second deleter.
+
+    Cost: the walk short-circuits at the FIRST fresh mtime (the common
+    case — live-ish candidates prove freshness on their root or first
+    task file), so only candidates that are actually collectable pay a
+    full O(files) scan, exactly once, on the sweep that removes them."""
     try:
-        newest = os.stat(path).st_mtime
+        if (now - os.stat(path).st_mtime) <= grace_s:
+            return False
     except OSError:
-        return None
+        return False
     for root, dirs, files in os.walk(path):
         for name in dirs + files:
             try:
                 t = os.stat(os.path.join(root, name)).st_mtime
             except OSError:
                 continue  # concurrently removed entry: skip
-            if t > newest:
-                newest = t
-    return newest
+            if (now - t) <= grace_s:
+                return False
+    return True
 
 
-def _expired(path: str, grace_s: float, now: float) -> bool:
-    """True when EVERY mtime in ``path``'s tree is older than the grace
-    window — so an in-progress build (fresh task files under a stale
-    root) and a just-superseded version (root stamped at retraction) are
-    both protected. A path that cannot be stat'ed (concurrently removed)
-    is NOT expired — the caller skips it rather than racing a second
-    deleter."""
-    newest = _newest_mtime(path)
-    return newest is not None and (now - newest) > grace_s
+def _writer_pid(name: str, prefix: str) -> int | None:
+    """Writer pid embedded in a staged-artifact name by ``stage()``
+    (``{base}.build-{pid}-{tid}`` / ``v-{pid}-{tid}-{hex}``), or None
+    when the name doesn't parse (foreign file: fall back to the grace
+    fence alone)."""
+    tail = name[len(prefix):]
+    head = tail.split("-", 1)[0]
+    return int(head) if head.isdigit() else None
+
+
+def _foreign_writer_alive(pid: int | None) -> bool:
+    """Best-effort live-writer fence for SAME-HOST, OTHER-PROCESS staged
+    artifacts: a builder that is alive but write-silent (a long compute
+    phase between task files) must not lose its staging dir to a
+    concurrent gc() in another process. Own-pid candidates return False
+    — within one process the name cannot distinguish a live quiescent
+    thread from a crash-orphan of a previous run with a recycled name,
+    so same-process (and, on object stores, cross-host) writers are
+    protected only by sizing ``grace_s`` above the longest write-silent
+    build phase (documented on both gc() methods). Pid recycling makes
+    this fence conservative: a candidate whose pid was reused by an
+    unrelated process is retained until that process exits."""
+    if pid is None or pid == os.getpid():
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except OSError:
+        return True  # EPERM: exists but not ours — conservative: alive
+    return True
 
 
 def _remove_tree(path: str, removed: list[str]) -> None:
@@ -168,7 +199,17 @@ class PosixRenameStore:
         grace_s above the longest scan (the Iceberg expire-snapshots /
         S3 lifecycle posture) means GC never deletes under a scan. The
         newest ``keep_versions`` quarantine roots survive regardless of
-        age (post-mortem material). Returns the removed paths."""
+        age (post-mortem material).
+
+        Writer fence: the grace window is ALSO the writer fence — a
+        live builder that writes no files for longer than ``grace_s``
+        (a long compute phase) looks exactly like a crash orphan, so
+        grace_s must exceed the longest write-silent build phase. As a
+        best-effort extra fence, ``.build-{pid}-*`` candidates whose
+        embedded pid belongs to a live OTHER process on this host are
+        skipped outright (same-process writers can't be told apart from
+        recycled names and rely on grace_s alone). Returns the removed
+        paths."""
         now = time.time()
         parent = os.path.dirname(serving) or "."
         base = os.path.basename(serving)
@@ -190,6 +231,8 @@ class PosixRenameStore:
                 _remove_tree(q, removed)
         for e in entries:
             if e.startswith(base + ".build-"):
+                if _foreign_writer_alive(_writer_pid(e, base + ".build-")):
+                    continue  # live other-process builder, just quiescent
                 stale = os.path.join(parent, e)
                 if _expired(stale, grace_s, now):
                     _remove_tree(stale, removed)
@@ -226,6 +269,16 @@ class ManifestPointerStore:
         race) and a reader can never see a partial pointer."""
         import errno
 
+        # Publish sentinel: marks the prefix as having left the writer's
+        # hands, so gc()'s live-writer pid fence (which protects
+        # in-progress builds) stops applying and retention of superseded
+        # versions stays bounded even under a long-lived publisher
+        # process. Underscore-prefixed => invisible to Spark's scans.
+        try:
+            with open(os.path.join(staged, "_PUBLISHED"), "w") as fh:
+                fh.write("1")
+        except OSError:
+            pass  # fence degrades to grace-only for this prefix
         ptr = self._pointer(serving)
         tmp = f"{ptr}.put-{os.getpid()}-{threading.get_ident()}"
         with open(tmp, "w") as fh:
@@ -312,6 +365,17 @@ class ManifestPointerStore:
           there is no rename-free store primitive that can do better
           without a reader registry.
 
+        The grace window is ALSO the writer fence: grace_s must exceed
+        the longest write-silent build phase, or a live-but-quiescent
+        builder's unpublished prefix is collectable. Locally,
+        NEVER-PUBLISHED ``v-{pid}-*`` prefixes (no ``_PUBLISHED``
+        sentinel — publish() stamps one) whose pid is a live OTHER
+        process are skipped as an extra fence; published-then-superseded
+        prefixes are past the writer's hands, so only the reader grace
+        applies to them (retention stays bounded under a long-lived
+        publisher). On a real object store pids are meaningless across
+        hosts, so grace_s sizing is the only writer protection there.
+
         Returns the removed paths."""
         now = time.time()
         removed = []
@@ -330,6 +394,10 @@ class ManifestPointerStore:
             key=lambda p: -_mtime_or_zero(p),
         )
         for p in candidates[keep_versions:]:
+            if not os.path.exists(
+                os.path.join(p, "_PUBLISHED")
+            ) and _foreign_writer_alive(_writer_pid(os.path.basename(p), "v-")):
+                continue  # live other-process builder, just quiescent
             if _expired(p, grace_s, now):
                 _remove_tree(p, removed)
         parent = os.path.dirname(serving) or "."
