@@ -162,6 +162,10 @@ HEADLINE = [
     # and the audio quality gates (the audio twin of text_quality_score)
     "sim_ivf_pq_gc_checked",
     "multimodal_audio_quality",
+    # round 13: line-level boilerplate dedup and BPE-exact token budgets
+    "text_line_dedup",
+    "text_bpe_token_count",
+    "curation_pack_sequences_bpe",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

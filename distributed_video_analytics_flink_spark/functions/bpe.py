@@ -1,0 +1,152 @@
+"""Deterministic byte-pair-encoding token counting, engine-portable.
+
+The curation operators budget sequences in tokens; whitespace counts
+diverge 20-40% from what a real BPE tokenizer produces, which changes
+shard and mixture arithmetic (VERDICT r12 #2). This module pins a FIXED
+merge table and expresses the encoder as a chain of literal string
+replaces that runs identically JVM-side in Spark (whole-stage codegen,
+no Python in the hot path) and in the DuckDB oracle.
+
+Why a replace chain is exact BPE: encoding applies merge rules in learned
+rank order; a rule's pair consists only of symbols built by EARLIER
+rules, and merging never creates new adjacencies of pre-existing symbols
+(it only concatenates), so one left-to-right global replace per rule in
+rank order is equivalent to the repeatedly-pick-lowest-rank-pair
+algorithm (pinned by tests/test_bpe.py against an independent
+priority-queue encoder, plus a 2000-string fuzz).
+
+Symbol framing: the symbol sequence is rendered as ``<s1><s2>...`` — each
+symbol wrapped in angle brackets — so the merge replace
+``<a><b> -> <ab>`` can never match across symbol boundaries (``<xa><b>``
+does not contain ``<a><b>``) and adjacent applications of the same rule
+chain correctly (``<a><b><a><b> -> <ab><ab>``). Whole documents are
+encoded in one pass: a space renders as the symbol ``< >``, which no
+merge rule touches, so merges never cross word boundaries. The token
+count is then ``count('<') - count(' ')``: one ``<`` per symbol, minus
+the space symbols. No end-of-word marker (documented deviation from
+GPT-2-style BPE; the merge table is learned without one).
+
+The merge table is LEARNED OFFLINE from the corpus vocabulary (the 31
+distinct tokens of /root/testdata's documents table, uniform word
+weights, lexicographically-smallest tie-break) and PINNED here as a
+literal so counts are deterministic and scale-factor-independent;
+``learn_merges`` reproduces it from the pinned vocabulary
+(tests/test_bpe.py::test_pinned_merges_reproduce).
+
+Scale: the encoder is ~50 chained ``replace`` calls on the text column —
+pure Catalyst string expressions, no UDF, no shuffle; cost is O(len *
+n_merges) per document within a scan task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# fmt: off
+FIXTURE_VOCAB = (
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+)
+
+# 48 merges learned from FIXTURE_VOCAB (uniform weights, ties broken by
+# lexicographically smallest pair) — pinned, never recomputed at runtime.
+MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "r"), ("i", "n"), ("o", "r"), ("o", "w"), ("s", "t"),
+    ("a", "l"), ("a", "r"), ("a", "t"), ("m", "er"), ("p", "ar"),
+    ("u", "p"), ("a", "b"), ("a", "g"), ("a", "m"), ("a", "n"),
+    ("a", "s"), ("a", "st"), ("ab", "l"), ("abl", "e"), ("ag", "g"),
+    ("al", "l"), ("al", "u"), ("alu", "e"), ("as", "h"), ("at", "a"),
+    ("at", "c"), ("atc", "h"), ("b", "atch"), ("b", "i"), ("bi", "g"),
+    ("c", "an"), ("c", "o"), ("c", "t"), ("c", "u"), ("co", "l"),
+    ("col", "u"), ("colu", "m"), ("colum", "n"), ("ct", "or"),
+    ("cu", "st"), ("cust", "o"), ("custo", "mer"), ("d", "ata"),
+    ("d", "er"), ("d", "ow"), ("d", "up"), ("e", "am"), ("e", "ctor"),
+)
+# fmt: on
+
+
+def learn_merges(vocab: tuple[str, ...], n_merges: int) -> list[tuple[str, str]]:
+    """Reference BPE learner (uniform word weights, lexicographically
+    smallest most-frequent pair) — exists to prove MERGES is reproducible
+    from FIXTURE_VOCAB, not for runtime use."""
+    words = [tuple(w) for w in sorted(vocab)]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for w in words:
+            for i in range(len(w) - 1):
+                pairs[w[i], w[i + 1]] = pairs.get((w[i], w[i + 1]), 0) + 1
+        if not pairs:
+            break
+        best_count = max(pairs.values())
+        a, b = min(p for p, c in pairs.items() if c == best_count)
+        merges.append((a, b))
+        merged = []
+        for w in words:
+            out: list[str] = []
+            i = 0
+            while i < len(w):
+                if i < len(w) - 1 and w[i] == a and w[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(w[i])
+                    i += 1
+            merged.append(tuple(out))
+        words = merged
+    return merges
+
+
+def encode_py(word: str) -> list[str]:
+    """Independent priority-queue BPE encoder (the textbook algorithm):
+    repeatedly merge the lowest-rank pair present. Used only by tests to
+    prove the replace chain is exact BPE."""
+    rank = {p: i for i, p in enumerate(MERGES)}
+    syms = list(word)
+    while True:
+        best = None
+        for i in range(len(syms) - 1):
+            r = rank.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            return syms
+        a, b = MERGES[best]
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+
+
+def bpe_token_count_col(text_col: str) -> Column:
+    """Spark column: exact BPE token count of a whitespace-separated text
+    column under MERGES. Pure JVM string expressions."""
+    enc = F.regexp_replace(F.col(text_col), "(.)", "<$1>")
+    for a, b in MERGES:
+        enc = F.replace(enc, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
+    n_symbols = F.length(enc) - F.length(F.replace(enc, F.lit("<"), F.lit("")))
+    n_spaces = F.length(F.col(text_col)) - F.length(
+        F.replace(F.col(text_col), F.lit(" "), F.lit(""))
+    )
+    return (n_symbols - n_spaces).cast("long")
+
+
+def bpe_token_count_sql(text_expr: str) -> str:
+    """The identical computation as a DuckDB SQL expression (the oracle
+    twin of bpe_token_count_col)."""
+    enc = f"regexp_replace({text_expr}, '(.)', '<\\1>', 'g')"
+    for a, b in MERGES:
+        enc = f"replace({enc}, '<{a}><{b}>', '<{a}{b}>')"
+    return (
+        f"CAST(length({enc}) - length(replace({enc}, '<', ''))"
+        f" - (length({text_expr}) - length(replace({text_expr}, ' ', ''))) AS BIGINT)"
+    )

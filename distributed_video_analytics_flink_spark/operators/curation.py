@@ -970,3 +970,60 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _pack_bpe_oracle() -> str:
+    from distributed_video_analytics_flink_spark.functions.bpe import (
+        bpe_token_count_sql,
+    )
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {bpe_token_count_sql('text')} AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tok,
+             CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tok
+      FROM toks
+    )
+    SELECT doc_id, lang, n_tok,
+           CAST(FLOOR((cum_tok - n_tok) / 512) AS BIGINT) AS bin_id
+    FROM packed
+    """
+
+
+@query("curation_pack_sequences_bpe", oracle=_pack_bpe_oracle())
+def curation_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curation_pack_sequences RE-KEYED on tokenizer-exact BPE counts
+    (VERDICT r12 #2): identical contiguous per-language packing, but the
+    512-token bin budget is measured in the pinned functions/bpe.py
+    tokenization instead of whitespace tokens — the arithmetic a real
+    training run shards by. Whitespace undercounts sub-word-heavy text,
+    so documents land in different bins than curation_pack_sequences
+    assigns; diffing the two queries IS the measurement of how wrong
+    whitespace budgeting is.
+
+    Plan shape unchanged: the BPE count is a pure Catalyst replace chain
+    computed inside the scan task, then one window pass partitioned by
+    lang — no extra shuffle versus the whitespace variant."""
+    from distributed_video_analytics_flink_spark.functions.bpe import (
+        bpe_token_count_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", bpe_token_count_col("text").alias("n_tok"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return packed.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.floor((F.col("cum_tok") - F.col("n_tok")) / 512).alias("bin_id"),
+    )

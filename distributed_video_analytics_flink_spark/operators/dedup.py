@@ -1320,3 +1320,98 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "hamming", lev.cast("int").alias("lev_dist"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- line-level corpus dedup (C4/RefinedWeb-style boilerplate removal) ---
+#
+# Production text pipelines drop LINES duplicated across the corpus
+# (navigation text, headers, cookie banners) before any document-level
+# dedup — C4 removed any 3-sentence span occurring more than once;
+# RefinedWeb drops exact duplicate lines corpus-wide. The testdata corpus
+# carries no newlines, so the "line" unit here is a fixed 5-token tumbling
+# segment (the segmentation is a parameter of the operator, not of its
+# semantics: corpus-wide duplicate-segment counting + per-document
+# removal accounting are identical whatever splits the lines).
+_LINE_TOKENS = 5
+_LINE_DUP_K = 3  # a segment occurring >= K times corpus-wide is boilerplate
+
+
+@query(
+    "text_line_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    seg AS (
+      SELECT doc_id,
+             md5(array_to_string(w[i*{_LINE_TOKENS}+1 : i*{_LINE_TOKENS}+{_LINE_TOKENS}], ' ')) AS fp,
+             length(array_to_string(w[i*{_LINE_TOKENS}+1 : i*{_LINE_TOKENS}+{_LINE_TOKENS}], ' ')) AS line_chars
+      FROM (SELECT doc_id, w,
+                   unnest(range(CAST(ceil(len(w) / {_LINE_TOKENS}.0) AS BIGINT))) AS i
+            FROM t)
+    ),
+    cnt AS (SELECT fp, COUNT(*) AS c FROM seg GROUP BY fp),
+    marked AS (
+      SELECT s.doc_id, s.line_chars, (c.c >= {_LINE_DUP_K}) AS is_boiler
+      FROM seg s JOIN cnt c ON s.fp = c.fp
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_lines,
+           CAST(COUNT(*) FILTER (WHERE NOT is_boiler) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE is_boiler) AS BIGINT) AS n_removed,
+           CAST(COALESCE(SUM(line_chars) FILTER (WHERE is_boiler), 0) AS BIGINT)
+             AS chars_removed
+    FROM marked GROUP BY doc_id
+    """,
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level corpus dedup (C4/RefinedWeb boilerplate removal,
+    VERDICT r12 #1): segment every document into 5-token "lines", count
+    each distinct line CORPUS-WIDE, and mark lines occurring >= 3 times
+    as boilerplate; emit per-document accounting (lines kept/removed,
+    characters removed) so the downstream pipeline can rewrite documents
+    or gate on removal ratio.
+
+    Plan shape: segmentation is pure Catalyst (transform/sequence/slice
+    on the pre-projected token array — no UDF, no shuffle); one explode;
+    then exactly the `curation_keep_best_dup` posture — only
+    (doc_id, 16-byte md5 fingerprint, line length) cross the shuffles,
+    document bodies never do. Two aggregations (corpus line counts,
+    per-doc rollup) plus one fingerprint equi-join.
+
+    Skew at 100 TB: boilerplate fingerprints ARE the hot keys (an empty
+    or cookie-banner line can occur 10^9 times). The count side carries
+    ONE row per fingerprint, so the join never multiplies rows — a hot
+    key only inflates a single shuffle partition's input, which AQE's
+    skew-join splitting re-balances (session default; the
+    dedup_containment df-cap is unnecessary here precisely because no
+    inverted-index pair explosion exists — candidates are never paired,
+    only counted). The boiler set (count >= k) is NOT assumed
+    broadcastable: at corpus scale it can be billions of rows, so the
+    join stays a shuffle join and relies on fingerprint-hash balance."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = F.expr(
+        f"transform(sequence(0, cast(ceil(size(w) / {_LINE_TOKENS}.0) as int) - 1),"
+        f" i -> array_join(slice(w, i*{_LINE_TOKENS}+1, {_LINE_TOKENS}), ' '))"
+    )
+    seg = (
+        docs.withColumn("w", F.split("text", " "))
+        .select("doc_id", F.explode(lines).alias("line"))
+        .select(
+            "doc_id",
+            F.md5("line").alias("fp"),
+            F.length("line").alias("line_chars"),
+        )
+    )
+    counts = seg.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+    boiler = counts.filter(F.col("c") >= _LINE_DUP_K).select(
+        "fp", F.lit(True).alias("is_boiler")
+    )
+    marked = seg.join(boiler, "fp", "left")
+    is_boiler = F.coalesce(F.col("is_boiler"), F.lit(False))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(~is_boiler, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(is_boiler, 1).otherwise(0)).alias("n_removed"),
+        F.sum(F.when(is_boiler, F.col("line_chars")).otherwise(0)).alias(
+            "chars_removed"
+        ),
+    )

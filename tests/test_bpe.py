@@ -1,0 +1,109 @@
+"""Pins for the deterministic BPE tokenizer (functions/bpe.py) and the
+line-level corpus dedup operator (operators/dedup.py::text_line_dedup).
+
+The load-bearing claim is that the engine-portable REPLACE CHAIN is exact
+BPE: these tests check it against an independent priority-queue encoder
+(the textbook algorithm) on the whole pinned vocabulary and under fuzz,
+prove the pinned merge table reproduces from the pinned vocab, and pin
+the Spark column against the pure-Python counts on constructed text.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_video_analytics_flink_spark.functions.bpe import (
+    FIXTURE_VOCAB,
+    MERGES,
+    bpe_token_count_col,
+    encode_py,
+    learn_merges,
+)
+
+
+def _chain_count(text: str) -> int:
+    """Pure-Python replica of the replace chain over a full document."""
+    s = "".join(f"<{c}>" for c in text)
+    for a, b in MERGES:
+        s = s.replace(f"<{a}><{b}>", f"<{a}{b}>")
+    return s.count("<") - text.count(" ")
+
+
+def test_pinned_merges_reproduce():
+    assert learn_merges(FIXTURE_VOCAB, len(MERGES)) == list(MERGES)
+
+
+def test_chain_equals_priority_queue_on_vocab():
+    for w in FIXTURE_VOCAB:
+        assert _chain_count(w) == len(encode_py(w)), w
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_chain_equals_priority_queue_fuzz(seed):
+    rng = random.Random(seed)
+    for _ in range(1000):
+        w = "".join(
+            rng.choice("abcdefghijklmnopqrstuvwxyz")
+            for _ in range(rng.randint(1, 14))
+        )
+        assert _chain_count(w) == len(encode_py(w)), w
+
+
+def test_known_counts():
+    # closed-form: merges fully collapse frequent vocab, split rare ones
+    assert len(encode_py("customer")) == 1
+    assert len(encode_py("filter")) == 5
+    assert len(encode_py("table")) == 2
+    # multi-word text: merges never cross the space symbol
+    assert _chain_count("customer filter") == 6
+
+
+def test_spark_column_matches_python(spark):
+    texts = [
+        "customer query the spark window",
+        "a",
+        "filter filter filter",
+        "zzz unknown tokens stay char split",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        r["text"]: r["n"]
+        for r in df.select("text", bpe_token_count_col("text").alias("n")).collect()
+    }
+    for t in texts:
+        expected = sum(len(encode_py(w)) for w in t.split(" "))
+        assert got[t] == expected, t
+
+
+def test_line_dedup_closed_form(spark, tmp_path):
+    """Constructed corpus with known boilerplate: one 5-token line shared
+    by 3 docs (>= k: removed everywhere), another shared by only 2 docs
+    (kept). Accounting is exact per document."""
+    boiler = "b1 b2 b3 b4 b5"
+    rare = "r1 r2 r3 r4 r5"
+    uniq = ["u{0} v{0} w{0} x{0} y{0}".format(i) for i in range(4)]
+    docs = [
+        (0, f"{boiler} {uniq[0]}", "en", "s", 0),
+        (1, f"{boiler} {rare}", "en", "s", 0),
+        (2, f"{boiler} {uniq[1]}", "en", "s", 0),
+        (3, f"{rare} {uniq[2]}", "en", "s", 0),
+        (4, uniq[3], "en", "s", 0),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    from distributed_video_analytics_flink_spark.operators.dedup import text_line_dedup
+
+    out = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["n_removed"], r["chars_removed"])
+        for r in text_line_dedup(spark, sf).collect()
+    }
+    assert out[0] == (2, 1, 1, len(boiler))
+    assert out[1] == (2, 1, 1, len(boiler))
+    assert out[2] == (2, 1, 1, len(boiler))
+    assert out[3] == (2, 2, 0, 0)  # rare line occurs only twice: kept
+    assert out[4] == (1, 1, 0, 0)
