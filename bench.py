@@ -162,10 +162,14 @@ HEADLINE = [
     # and the audio quality gates (the audio twin of text_quality_score)
     "sim_ivf_pq_gc_checked",
     "multimodal_audio_quality",
-    # round 13: line-level boilerplate dedup and BPE-exact token budgets
+    # round 13: line-level boilerplate dedup and BPE-exact token budgets,
+    # recall-after-append staleness contract, audio two-path + replay parity
     "text_line_dedup",
     "text_bpe_token_count",
     "curation_pack_sequences_bpe",
+    "sim_ivf_pq_append_recall_checked",
+    "multimodal_audio_source_parity",
+    "multimodal_audio_replay_parity",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

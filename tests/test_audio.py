@@ -268,3 +268,80 @@ def test_audio_source_mixed_directory(spark, tmp_path):
     assert rows["quiet"]["energy_q"] == 0 and rows["quiet"]["duration_ms"] == 500
     assert rows["song"]["error"] and "NotImplementedError" in rows["song"]["error"]
     assert rows["junk"]["error"] and "WavError" in rows["junk"]["error"]
+
+
+def test_audio_stream_through_results_sink_equals_batch(spark, tmp_path):
+    """The full streaming audio leg (readStream.format('wavaudio') ->
+    feature projection -> err_class-partitioned parquet results table)
+    must land EXACTLY the rows the batch read produces, over randomized
+    clip contents — the detect_motion_stream equivalence pattern for the
+    audio modality (driver twin: multimodal_audio_replay_parity)."""
+    import numpy as np
+
+    from distributed_video_analytics_flink_spark.sources.audio_datasource import (
+        register_wavaudio_source,
+    )
+    from distributed_video_analytics_flink_spark.sources.wav import encode_wav
+
+    rng = np.random.default_rng(7)
+    data_dir = tmp_path / "clips"
+    data_dir.mkdir()
+    for i in range(6):
+        n = int(rng.integers(100, 3000))
+        samples = rng.integers(-30000, 30000, n).astype(np.int16)
+        (data_dir / f"c{i}.wav").write_bytes(encode_wav(samples, 8000))
+    (data_dir / "bad.wav").write_bytes(b"RIFFgarbage")
+    (data_dir / "m.mp3").write_bytes(b"ID3\x03\x00" + b"\x00" * 16)
+
+    register_wavaudio_source(spark)
+
+    def _norm(df):
+        from pyspark.sql import functions as F
+
+        return df.select(
+            "clipId",
+            "sample_rate",
+            "n_channels",
+            "n_frames",
+            "duration_ms",
+            "energy_q",
+            "zero_crossings",
+            "peak",
+            F.coalesce(F.substring_index("error", ":", 1), F.lit("ok")).alias(
+                "err_class"
+            ),
+        )
+
+    results = str(tmp_path / "results")
+    q = (
+        _norm(spark.readStream.format("wavaudio").load(str(data_dir)))
+        .writeStream.format("parquet")
+        .partitionBy("err_class")
+        .option("path", results)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cols = [
+        "clipId",
+        "sample_rate",
+        "n_channels",
+        "n_frames",
+        "duration_ms",
+        "energy_q",
+        "zero_crossings",
+        "peak",
+        "err_class",
+    ]
+    streamed = sorted(
+        tuple(r[c] for c in cols) for r in spark.read.parquet(results).collect()
+    )
+    batch = sorted(
+        tuple(r[c] for c in cols)
+        for r in _norm(spark.read.format("wavaudio").load(str(data_dir))).collect()
+    )
+    assert streamed == batch and len(streamed) == 8
