@@ -456,3 +456,88 @@ def test_stream_append_through_manifest_store(spark, tmp_path):
     live = store.resolve(serving)
     files = served.inputFiles()
     assert files and all(live in f for f in files)  # URI scheme varies
+
+
+# ---------------------------------------------------------------------------
+# 6. Live-writer pid fence + publish sentinel (r13, ADVICE r12 #4)
+# ---------------------------------------------------------------------------
+
+
+def test_gc_skips_staging_of_live_foreign_writer(tmp_path):
+    """A staged .build-* dir whose embedded pid belongs to a LIVE other
+    process must survive GC even past the grace window — a quiescent
+    builder (long compute phase, no file writes) is not a crash orphan.
+    pid 1 is always alive (init); os.kill(1, 0) raises EPERM, which the
+    fence must treat as 'exists'."""
+    store = PosixRenameStore()
+    serving = str(tmp_path / "idx")
+    _publish_tiny(store, serving, "live")
+    staged = f"{serving}.build-1-12345"  # foreign live pid (init)
+    os.makedirs(staged)
+    open(os.path.join(staged, "part-0.parquet"), "w").write("quiescent")
+    _backdate(staged)
+    assert store.gc(serving, keep_versions=0, grace_s=3600) == []
+    assert os.path.exists(staged)
+
+
+def test_gc_own_pid_staging_still_collected(tmp_path):
+    """Own-pid staged dirs rely on the grace fence alone (within one
+    process the name cannot distinguish a live quiescent thread from a
+    recycled-name orphan) — so an aged own-pid orphan IS collected, which
+    is also what keeps the existing crash-orphan semantics unchanged."""
+    store = PosixRenameStore()
+    serving = str(tmp_path / "idx")
+    _publish_tiny(store, serving, "live")
+    staged = store.stage(serving)  # embeds os.getpid()
+    os.makedirs(staged)
+    open(os.path.join(staged, "part-0.parquet"), "w").write("orphan")
+    _backdate(staged)
+    removed = store.gc(serving, keep_versions=0, grace_s=3600)
+    assert staged in removed and not os.path.exists(staged)
+
+
+def test_manifest_gc_pid_fence_only_for_unpublished(tmp_path):
+    """Manifest store: the pid fence protects NEVER-PUBLISHED prefixes of
+    live foreign writers, but a published-then-superseded prefix (carries
+    the _PUBLISHED sentinel publish() stamps) ages out under the reader
+    grace alone — retention stays bounded under a long-lived publisher."""
+    store = ManifestPointerStore()
+    serving = str(tmp_path / "idx")
+
+    # two published versions from a "foreign live" writer (pid 1): v1 is
+    # superseded by v2; a third prefix is staged but never published
+    def _staged_as_pid1() -> str:
+        root = f"{serving}.versions"
+        os.makedirs(root, exist_ok=True)
+        import os as _os
+
+        p = os.path.join(root, f"v-1-999-{_os.urandom(3).hex()}")
+        os.makedirs(p)
+        open(os.path.join(p, "data.parquet"), "w").write("x")
+        return p
+
+    v1 = _staged_as_pid1()
+    store.publish(v1, serving)
+    store.quarantine(serving)  # unpublish: v1 is now superseded
+    v2 = _staged_as_pid1()
+    store.publish(v2, serving)
+    unpublished = _staged_as_pid1()
+
+    _backdate(v1)
+    _backdate(unpublished)
+    removed = store.gc(serving, keep_versions=0, grace_s=3600)
+    assert v1 in removed and not os.path.exists(v1)  # sentinel: grace only
+    assert unpublished not in removed and os.path.exists(unpublished)
+    assert store.resolve(serving) == v2  # live untouched
+
+
+def test_publish_sentinel_invisible_to_serving_scan(spark, tmp_path):
+    """The _PUBLISHED sentinel must not change what the index serves:
+    rows through the manifest store are identical before/after a publish
+    that stamps it (underscore prefix = invisible to Spark scans)."""
+    store = ManifestPointerStore()
+    serving = _published_index(spark, tmp_path, store)
+    live = store.resolve(serving)
+    assert os.path.exists(os.path.join(live, "_PUBLISHED"))
+    n = read_ivf_pq_index(spark, serving, store=store).count()
+    assert n > 0
