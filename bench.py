@@ -170,6 +170,13 @@ HEADLINE = [
     "sim_ivf_pq_append_recall_checked",
     "multimodal_audio_source_parity",
     "multimodal_audio_replay_parity",
+    # round 13: exact substring-span dedup (sliding-window marks merged
+    # to maximal per-doc intervals — the Lee et al. 2021 granularity),
+    # the hashed-feature quality classifier (zero-shuffle projection) and
+    # its perceptron batch train step (training as aggregation)
+    "dedup_substring_spans",
+    "text_quality_classifier",
+    "text_classifier_train_step",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

@@ -566,3 +566,156 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bpe_tok").alias("bpe_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear classifier (the fasttext-shaped quality filter every
+# production corpus pipeline runs: CCNet/LLaMA-style "does this look like
+# reference text" gating). Features are the HASHING TRICK — unigrams and
+# word-bigrams hashed into a fixed bucket space, so the model is a dense
+# weight vector of _CLS_BUCKETS integers regardless of vocabulary size, and
+# scoring is an embarrassingly-parallel projection (NO shuffle at all).
+# Weights here are formula-derived micro-unit integers (bucket * Knuth mod
+# 2^20, centered) — deterministic across engines; a TRAINED table drops in
+# by replacing _cls_weight_sql since scoring never assumes anything about
+# the values. Training itself is text_classifier_train_step below.
+_CLS_BUCKETS = 256
+_CLS_MUL = 2654435761  # Knuth multiplicative constant (public domain)
+_CLS_MODW = 1 << 20
+_CLS_HALF = 1 << 19
+
+
+def _cls_weight_sql(tok_expr: str, engine: str) -> str:
+    """Micro-unit weight of one token expression's hash bucket; identical
+    signed-64 arithmetic in both engines ((b%B)*MUL < 2^40, no overflow).
+    ``engine`` picks the hex-fold dialect (Spark conv vs DuckDB 0x-cast,
+    the module-header contract in operators/dedup.py)."""
+    if engine == "spark":
+        b = f"cast(conv(substring(md5({tok_expr}), 1, 4), 16, 10) as bigint)"
+    else:
+        b = f"('0x' || substring(md5({tok_expr}), 1, 4))::BIGINT"
+    return f"((({b} % {_CLS_BUCKETS}) * {_CLS_MUL}) % {_CLS_MODW} - {_CLS_HALF})"
+
+
+def _cls_score_sql(engine: str) -> str:
+    """Per-document classifier score (micro-units): unigram + bigram hashed
+    weights summed. Expects a pre-projected lowercase token array ``w``
+    (Spark) / computes it inline (DuckDB). Single-token docs have no
+    bigrams; Spark's sequence(1, 0) DESCENDS, so the bigram leg must be
+    if()-guarded (the _SPARK_SHINGLES lesson in operators/dedup.py)."""
+    if engine == "spark":
+        uni = _cls_weight_sql("t", "spark")
+        big = _cls_weight_sql("concat(element_at(w, i), '_', element_at(w, i + 1))", "spark")
+        return (
+            f"aggregate(transform(w, t -> {uni}), cast(0 as bigint), (a, x) -> a + x)"
+            f" + if(size(w) < 2, cast(0 as bigint),"
+            f" aggregate(transform(sequence(1, size(w) - 1), i -> {big}),"
+            f" cast(0 as bigint), (a, x) -> a + x))"
+        )
+    uni = _cls_weight_sql("t", "duck")
+    big = _cls_weight_sql("(w[i] || '_' || w[i + 1])", "duck")
+    return (
+        f"CAST(list_sum(list_transform(w, t -> {uni})) AS BIGINT)"
+        f" + CAST(COALESCE(list_sum(list_transform("
+        f"generate_series(1, len(w) - 1), i -> {big})), 0) AS BIGINT)"
+    )
+
+
+@query(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           {_cls_score_sql('duck')} AS score_micro,
+           ({_cls_score_sql('duck')} > 0) AS keep
+    FROM t
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier: per-document score =
+    sum of micro-unit integer weights of the unigram and word-bigram
+    hash buckets (the fasttext hashing trick — fixed model size, any
+    vocabulary), keep = score > 0.
+
+    Plan shape at 100 TB: a pure projection — transform/aggregate over
+    the pre-split token array inside whole-stage codegen, ZERO shuffles,
+    zero explodes; throughput is scan-bound and scales with executors
+    linearly. The weight table is formula-derived here (deterministic
+    cross-engine contract); swapping in trained weights keeps the exact
+    same plan because scoring is weight-value-agnostic."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "w", F.split(F.lower("text"), " ")
+    )
+    score = F.expr(_cls_score_sql("spark"))
+    return docs.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        score.alias("score_micro"),
+        (score > 0).alias("keep"),
+    )
+
+
+@query(
+    "text_classifier_train_step",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+               FROM documents),
+    scored AS (
+      SELECT doc_id, w,
+             (CASE WHEN lang = 'en' THEN 1 ELSE -1 END) AS y,
+             (CASE WHEN {_cls_score_sql('duck')} > 0 THEN 1 ELSE -1 END) AS p
+      FROM t
+    ),
+    hits AS (
+      SELECT (('0x' || substring(md5(tok), 1, 4))::BIGINT % {_CLS_BUCKETS})
+               AS bucket,
+             (y - p) AS e
+      FROM (SELECT w, y, p, unnest(w) AS tok FROM scored WHERE y != p)
+    )
+    SELECT bucket,
+           CAST(SUM(e) AS BIGINT) AS grad,
+           CAST(COUNT(*) AS BIGINT) AS n_updates
+    FROM hits GROUP BY bucket
+    """,
+)
+def text_classifier_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One batch perceptron update for the hashed classifier —
+    DISTRIBUTED TRAINING AS AGGREGATION: per document compute the
+    integer error e = y - sign(score) in {{-2, 0, 2}} (labels derived
+    from the lang column: en vs rest), then every (token, e) occurrence
+    contributes e to its unigram bucket's gradient. The new weight
+    table is w' = w + lr * grad — a {bq}-row broadcast, closing the
+    train/score loop without any driver-side model state.
+
+    Plan shape at 100 TB: the score is the zero-shuffle projection of
+    text_quality_classifier; only MISCLASSIFIED documents survive to the
+    explode (e = 0 rows are filtered pre-explode — as the model
+    converges, per-step work shrinks toward zero instead of staying
+    O(corpus tokens)); the gradient is then one groupBy on {bq} buckets
+    — partial aggregation (map-side combine) collapses each task's
+    contribution to <= {bq} rows before the shuffle, so the wire cost
+    is O(tasks * buckets), independent of corpus size. Exact integer
+    semantics end-to-end (no float gradient nondeterminism across
+    engines).""".format(bq=_CLS_BUCKETS)
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "w", F.split(F.lower("text"), " ")
+    )
+    score = F.expr(_cls_score_sql("spark"))
+    y = F.when(F.col("lang") == "en", 1).otherwise(-1)
+    p = F.when(score > 0, 1).otherwise(-1)
+    scored = docs.select("w", (y - p).alias("e")).filter(F.col("e") != 0)
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
+        % _CLS_BUCKETS
+    )
+    return (
+        scored.select("e", F.explode("w").alias("tok"))
+        .select(bucket.alias("bucket"), "e")
+        .groupBy("bucket")
+        .agg(
+            F.sum("e").alias("grad"),
+            F.count(F.lit(1)).alias("n_updates"),
+        )
+    )
