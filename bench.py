@@ -177,6 +177,9 @@ HEADLINE = [
     "dedup_substring_spans",
     "text_quality_classifier",
     "text_classifier_train_step",
+    # round 13: the full epoch loop (scan-once hits table re-joined per
+    # epoch against the 256-row broadcast model)
+    "text_classifier_train_epochs",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

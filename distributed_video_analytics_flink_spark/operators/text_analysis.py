@@ -719,3 +719,128 @@ def text_classifier_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_updates"),
         )
     )
+
+
+# Multi-epoch training loop: batch perceptron iterated a fixed number of
+# epochs (the graph_pagerank_converged pattern applied to model fitting).
+# The trained model is the UNIGRAM weight table (256 integers); epochs,
+# learning rate, and the init formula are part of the operator's
+# deterministic cross-engine contract.
+_CLS_EPOCHS = 3
+_CLS_LR = 4096
+
+
+def _train_epochs_oracle() -> str:
+    """Nested-CTE replay of the epoch loop: w0 is the formula init, each
+    epoch scores via a bucket join, keeps misclassified docs, aggregates
+    the integer gradient, and folds it into the next weight table."""
+    ctes = [
+        f"w0 AS (SELECT b AS bucket, CAST((b * {_CLS_MUL}) % {_CLS_MODW}"
+        f" - {_CLS_HALF} AS BIGINT) AS wt FROM range({_CLS_BUCKETS}) t(b))",
+        f"""hits AS (
+      SELECT doc_id, (CASE WHEN lang = 'en' THEN 1 ELSE -1 END) AS y,
+             (('0x' || substring(md5(tok), 1, 4))::BIGINT % {_CLS_BUCKETS})
+               AS bucket
+      FROM (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents))""",
+    ]
+    mets = []
+    for k in range(1, _CLS_EPOCHS + 1):
+        p = k - 1
+        ctes.append(
+            f"score{k} AS (SELECT doc_id, y, SUM(wt) AS s FROM hits"
+            f" JOIN w{p} USING (bucket) GROUP BY doc_id, y)"
+        )
+        ctes.append(
+            f"err{k} AS (SELECT doc_id,"
+            f" y - (CASE WHEN s > 0 THEN 1 ELSE -1 END) AS e FROM score{k}"
+            f" WHERE y != (CASE WHEN s > 0 THEN 1 ELSE -1 END))"
+        )
+        ctes.append(
+            f"grad{k} AS (SELECT bucket, CAST(SUM(e) AS BIGINT) AS g"
+            f" FROM hits JOIN err{k} USING (doc_id) GROUP BY bucket)"
+        )
+        ctes.append(
+            f"w{k} AS (SELECT bucket, wt + {_CLS_LR} * COALESCE(g, 0) AS wt"
+            f" FROM w{p} LEFT JOIN grad{k} USING (bucket))"
+        )
+        mets.append(
+            f"SELECT CAST({k} AS BIGINT) AS epoch,"
+            f" (SELECT CAST(COUNT(*) AS BIGINT) FROM err{k})"
+            f" AS n_misclassified,"
+            f" (SELECT CAST(COALESCE(SUM(ABS(g)), 0) AS BIGINT) FROM grad{k})"
+            f" AS grad_l1"
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + " UNION ALL ".join(mets)
+
+
+@query("text_classifier_train_epochs", oracle=_train_epochs_oracle())
+def text_classifier_train_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-perceptron training iterated {e} epochs over the hashed
+    unigram model: per epoch, score every document against the CURRENT
+    weight table (256-row broadcast join), keep the misclassified docs,
+    aggregate the integer gradient, and fold it into the next table.
+    Emits the per-epoch learning trajectory (misclassification count +
+    gradient L1) — hash-checked against a DuckDB nested-CTE replay of
+    the identical loop, so a drift in scoring, error selection, gradient
+    aggregation, or the weight fold in EITHER engine mismatches.
+
+    On the synthetic corpus the trajectory oscillates (every lang shares
+    one vocabulary, so the hashed features carry no class signal — no
+    linear model can beat majority class); convergence-to-zero on a
+    separable corpus is pinned by tests/test_hashed_classifier.py.
+
+    Plan shape at 100 TB: the token->bucket table is materialized ONCE
+    (localCheckpoint here; an explicit parquet stage on a cluster) and
+    re-joined per epoch — the corpus is scanned once, not once per
+    epoch. Model state is 256 integers held on the driver BY DESIGN
+    (the model is the broadcast side; collecting it is O(buckets), not
+    O(corpus)). Per epoch: one broadcast join + one doc-keyed agg for
+    scores, a bounded localCheckpoint of the misclassified set (row
+    count <= corpus docs, shrinking as the model fits), and one
+    bucket-keyed agg whose map-side combine bounds the shuffle at
+    O(tasks x {b}).""".format(e=_CLS_EPOCHS, b=_CLS_BUCKETS)
+    docs = load_table(spark, sf_dir, "documents")
+    y = F.when(F.col("lang") == "en", 1).otherwise(-1)
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
+        % _CLS_BUCKETS
+    )
+    hits = (
+        docs.select("doc_id", y.alias("y"), F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .select("doc_id", "y", bucket.alias("bucket"))
+        .localCheckpoint()  # corpus scanned once, reused every epoch
+    )
+    weights = {
+        b: (b * _CLS_MUL) % _CLS_MODW - _CLS_HALF for b in range(_CLS_BUCKETS)
+    }
+    metrics = []
+    for epoch in range(1, _CLS_EPOCHS + 1):
+        wdf = spark.createDataFrame(
+            [(b, w) for b, w in weights.items()], "bucket long, wt long"
+        )
+        scored = (
+            hits.join(F.broadcast(wdf), "bucket")
+            .groupBy("doc_id", "y")
+            .agg(F.sum("wt").alias("s"))
+        )
+        p = F.when(F.col("s") > 0, 1).otherwise(-1)
+        errs = (
+            scored.filter(F.col("y") != p)
+            .select("doc_id", (F.col("y") - p).alias("e"))
+            .localCheckpoint()  # bounded by misclassified-doc count
+        )
+        n_mis = errs.count()
+        grad = {
+            r["bucket"]: r["g"]
+            for r in hits.join(errs, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum("e").alias("g"))
+            .collect()  # bounded: <= _CLS_BUCKETS rows by construction
+        }
+        metrics.append((epoch, n_mis, sum(abs(g) for g in grad.values())))
+        for b, g in grad.items():
+            weights[b] += _CLS_LR * g
+    return spark.createDataFrame(
+        metrics, "epoch long, n_misclassified long, grad_l1 long"
+    )

@@ -18,6 +18,7 @@ from distributed_video_analytics_flink_spark.operators.text_analysis import (
     _CLS_HALF,
     _CLS_MODW,
     _CLS_MUL,
+    text_classifier_train_epochs,
     text_classifier_train_step,
     text_quality_classifier,
 )
@@ -116,3 +117,23 @@ def test_applied_update_fixes_the_mistake(spark, tmp_path):
     new_uni = sum(_weight(t) + lr * grads.get(_bucket(t), 0) for t in w)
     old_uni = sum(_weight(t) for t in w)
     assert new_uni > old_uni  # moved toward y = +1
+
+
+def test_epochs_converge_on_separable_corpus(spark, tmp_path):
+    """The training-works pin: on a linearly separable corpus (each class
+    speaks a disjoint vocabulary), the epoch loop drives misclassification
+    to ZERO and keeps it there — and once converged, grad_l1 is 0 too.
+    (On the shared-vocabulary synthetic testdata the trajectory
+    oscillates; separability is what makes convergence provable.)"""
+    en = [" ".join(f"etok{j}" for j in range(5))] * 6
+    fr = [" ".join(f"ftok{j}" for j in range(5))] * 6
+    rows = [(t, "en") for t in en] + [(t, "fr") for t in fr]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {
+        r["epoch"]: (r["n_misclassified"], r["grad_l1"])
+        for r in text_classifier_train_epochs(spark, sf).collect()
+    }
+    assert len(out) == 3
+    assert out[1][0] > 0  # the init formula misclassifies something
+    assert out[2] == (0, 0)  # one update separates the vocabularies
+    assert out[3] == (0, 0)  # and stays converged
