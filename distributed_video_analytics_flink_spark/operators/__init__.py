@@ -11,6 +11,7 @@ from distributed_video_analytics_flink_spark.operators import (  # noqa: F401
     relational,
     scalars,
     similarity,
+    sketches,
     sql_surface,
     text_analysis,
     video,

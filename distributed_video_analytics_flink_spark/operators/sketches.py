@@ -1,0 +1,224 @@
+"""Frequency-sketch operators: exact heavy hitters via a two-phase
+Misra-Gries pass, and a relational Count-Min sketch with a pinned
+never-underestimates contract.
+
+Neither exists in the reference (dvaf is a fixed video topology with no
+query surface), but both are table stakes for a 100 TB training-data
+pipeline: "which hosts/users/boilerplate lines dominate the corpus"
+cannot be answered by a full groupBy when the key cardinality is
+billions — the sketch passes bound the shuffle to the sketch size.
+
+Cross-engine hashing follows the repo convention (md5 hex prefix ->
+integer; see curation._spark_bucket / dedup._duck_minhash_cte) so the
+DuckDB oracles replay the exact same arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from distributed_video_analytics_flink_spark.operators.registry import query
+from distributed_video_analytics_flink_spark.sources.tables import load_table
+
+# heavy hitter = key with frequency > n / HH_K (phi = 1/128). At sf0.01
+# (10k events, 150 users, max per-user freq ~86) the threshold is 78 ->
+# a handful of top users; at sf0.001 every user clears it; at larger SF
+# the synthetic per-user counts stay ~66 so the result thins to empty —
+# the PLAN is what scales, membership is data-dependent by definition.
+HH_K = 128
+
+
+def misra_gries_batches(batches, column: str, k: int = HH_K):
+    """Weighted Misra-Gries over an iterator of pandas batches (ONE
+    partition's worth): maintain at most ``k`` counters; inserting into a
+    full table subtracts the post-insert minimum from every counter and
+    drops zeros. Guarantee (classic MG proof): each decrement round of
+    ``d`` removes >= (k+1)*d total weight, so total decrement per key is
+    <= n_p/(k+1) — every key with partition frequency > n_p/(k+1)
+    finishes with a positive counter. Returns the surviving keys.
+
+    Per batch the heavy lifting is a vectorized ``value_counts``; the
+    Python loop touches at most one entry per DISTINCT value per batch
+    and the counter table is capped at k entries.
+    """
+    counters: dict = {}
+    for pdf in batches:
+        for item, c in pdf[column].value_counts().items():
+            if item in counters:
+                counters[item] += int(c)
+            else:
+                counters[item] = int(c)
+                if len(counters) > k:
+                    d = min(counters.values())
+                    counters = {i: v - d for i, v in counters.items() if v > d}
+    return list(counters)
+
+
+@query(
+    "agg_heavy_hitters_checked",
+    oracle=f"""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) * {HH_K} > (SELECT COUNT(*) FROM events)
+    ORDER BY freq DESC, user_id ASC
+    """,
+)
+def agg_heavy_hitters_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (frequency > n/128) without ever shuffling the
+    raw key stream — the two-phase Misra-Gries pattern:
+
+    Phase 1 (map-only): per-partition MG sketch with k=HH_K=128 counters
+    (``mapInPandas``; imperative per-partition state Spark's aggregates
+    can't express, but vectorized ``value_counts`` per Arrow batch keeps
+    the Python loop off the hot path). Pigeonhole: a key with GLOBAL
+    frequency > n/k must exceed n_p/k > n_p/(k+1) in at least one
+    partition (if freq_p <= n_p/k everywhere, summing gives freq <= n/k),
+    so the union of per-partition survivors is a SUPERSET of the true
+    heavy hitters — at most k keys per partition leave the scan.
+
+    Phase 2 (candidates only): broadcast the candidate set back over the
+    table; the groupBy shuffles only rows whose key is a candidate (with
+    map-side partial aggregation, that's <= |candidates| rows per task),
+    and the n/k threshold test cross-multiplies in integers
+    (freq * k > n) — no float at the membership boundary.
+
+    At 100 TB with billions of distinct keys a direct
+    groupBy-then-HAVING shuffles every (key, partial-count) pair; this
+    plan's shuffle is bounded by k * n_partitions candidates regardless
+    of key cardinality. Result is EXACT (phase 2 recounts), so the
+    oracle is the plain SQL the sketch replaces.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def _mg(batches):
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": pd.Series(misra_gries_batches(batches, "user_id"), dtype="int64")}
+        )
+
+    cands = (
+        ev.select("user_id")
+        .mapInPandas(_mg, T.StructType([T.StructField("user_id", T.LongType())]))
+        .distinct()
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("n"))
+    freqs = (
+        ev.join(F.broadcast(cands), "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        freqs.crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * HH_K > F.col("n"))
+        .select("user_id", "freq")
+        .orderBy(F.desc("freq"), F.asc("user_id"))
+    )
+
+
+# Count-Min geometry: d rows of w counters. Overestimate bound per probe
+# is ~ e*n/w per row, min over d rows; with fixed data + fixed hashes the
+# whole sketch (and thus every estimate) is deterministic, so the oracle
+# replays it bit-for-bit.
+CM_DEPTH = 4
+CM_WIDTH = 512
+_PROBE_MOD = 17  # probe keys: user_id % 17 == 0 (deterministic split)
+
+
+def _cm_bucket_spark(col: F.Column, depth: F.Column) -> F.Column:
+    h = F.md5(F.concat(col.cast("string"), F.lit(":"), depth.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CM_WIDTH
+
+
+def _cm_bucket_duck(expr: str, depth: str) -> str:
+    return (
+        f"CAST(('0x' || substring(md5(CAST({expr} AS VARCHAR) || ':' || "
+        f"CAST({depth} AS VARCHAR)), 1, 8)) AS BIGINT) % {CM_WIDTH}"
+    )
+
+
+def _cm_oracle() -> str:
+    depths = ", ".join(str(i) for i in range(CM_DEPTH))
+    return f"""
+    WITH depths AS (SELECT unnest([{depths}]) AS d),
+    sk AS (
+      SELECT d, {_cm_bucket_duck("user_id", "d")} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events CROSS JOIN depths
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % {_PROBE_MOD} = 0
+    ),
+    est AS (
+      SELECT p.user_id, MIN(sk.c) AS cm_estimate
+      FROM probes p CROSS JOIN depths dd
+      JOIN sk ON sk.d = dd.d
+             AND sk.bucket = {_cm_bucket_duck("p.user_id", "dd.d")}
+      GROUP BY p.user_id
+    ),
+    exact AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_freq
+      FROM events WHERE user_id % {_PROBE_MOD} = 0 GROUP BY user_id
+    )
+    SELECT e.user_id, e.exact_freq, est.cm_estimate,
+           est.cm_estimate >= e.exact_freq AS never_underestimates
+    FROM exact e JOIN est ON e.user_id = est.user_id
+    ORDER BY e.user_id
+    """
+
+
+@query("agg_count_min_checked", oracle=_cm_oracle())
+def agg_count_min_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch as a RELATION: d=4 hash rows x w=512 counters,
+    built with one partial-aggregable groupBy over (depth, bucket) — the
+    mergeable-sketch pattern (build per day/partition, SUM-merge the
+    (d, bucket, c) relations, never rescan), same posture as
+    agg_hll_union_checked. Estimates probe the broadcast sketch (at most
+    d*w rows regardless of data size) and take MIN over depths.
+
+    The driver-checked contract is the CM structural guarantee —
+    ``never_underestimates`` (counter sums can only overcount collisions)
+    — plus the exact frequencies and the estimates themselves, which are
+    deterministic given the fixed md5-derived bucket functions, so the
+    oracle replays the identical sketch in DuckDB and the value hash
+    pins every estimate, not just the boolean.
+
+    Everything is JVM-side Catalyst (md5/conv/explode/groupBy/min); the
+    probe side joins against the broadcast sketch so probing N keys
+    costs a map-side lookup, not a shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    depth = F.explode(F.array(*[F.lit(i) for i in range(CM_DEPTH)])).alias("d")
+    sk = (
+        ev.select("user_id")
+        .select("user_id", depth)
+        .select("d", _cm_bucket_spark(F.col("user_id"), F.col("d")).alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probed = ev.filter(F.col("user_id") % _PROBE_MOD == 0)
+    probes = probed.select("user_id").distinct()
+    est = (
+        probes.select("user_id", depth)
+        .withColumn("bucket", _cm_bucket_spark(F.col("user_id"), F.col("d")))
+        .join(F.broadcast(sk), ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    exact = probed.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_freq"))
+    return (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_freq",
+            "cm_estimate",
+            (F.col("cm_estimate") >= F.col("exact_freq")).alias(
+                "never_underestimates"
+            ),
+        )
+        .orderBy("user_id")
+    )

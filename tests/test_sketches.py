@@ -1,0 +1,101 @@
+"""Pins for operators/sketches.py: the Misra-Gries superset guarantee
+(the load-bearing claim behind agg_heavy_hitters_checked's two-phase
+plan) and the Count-Min never-underestimates contract, both on
+adversarially skewed synthetic data the sf tables don't exhibit."""
+
+import collections
+import random
+
+import pandas as pd
+import pytest
+
+from distributed_video_analytics_flink_spark.operators.sketches import (
+    CM_DEPTH,
+    CM_WIDTH,
+    HH_K,
+    misra_gries_batches,
+)
+
+
+def _zipf_stream(rng, n, n_keys, exponent=1.3):
+    weights = [1.0 / (i + 1) ** exponent for i in range(n_keys)]
+    return rng.choices(range(n_keys), weights=weights, k=n)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("k", [4, 16, 64])
+def test_misra_gries_candidates_are_a_superset_of_heavy_hitters(seed, k):
+    """Any key with frequency > n/(k+1) in the processed stream must
+    survive the k-counter sketch — the classic MG guarantee the
+    two-phase plan's phase 1 relies on (per partition; pigeonhole lifts
+    it to the global n/k threshold across partitions)."""
+    rng = random.Random(seed)
+    stream = _zipf_stream(rng, n=5000, n_keys=500)
+    # feed as several pandas batches, like mapInPandas does
+    batches = [
+        pd.DataFrame({"v": pd.Series(stream[i : i + 700], dtype="int64")})
+        for i in range(0, len(stream), 700)
+    ]
+    survivors = set(misra_gries_batches(batches, "v", k=k))
+    assert len(survivors) <= k
+    freq = collections.Counter(stream)
+    n = len(stream)
+    heavy = {key for key, c in freq.items() if c * (k + 1) > n}
+    missing = heavy - survivors
+    assert not missing, f"MG dropped true heavy hitters: {missing}"
+
+
+def test_misra_gries_empty_and_single_batch_edges():
+    assert misra_gries_batches([], "v") == []
+    one = [pd.DataFrame({"v": pd.Series([7, 7, 7], dtype="int64")})]
+    assert misra_gries_batches(one, "v", k=2) == [7]
+
+
+def test_heavy_hitters_query_is_exact(spark):
+    """The registered query's output must equal the plain
+    groupBy-HAVING it replaces (phase 2 recounts candidates exactly, so
+    the sketch can only affect the PLAN, never the answer)."""
+    from pyspark.sql import functions as F
+
+    from distributed_video_analytics_flink_spark.operators.sketches import (
+        agg_heavy_hitters_checked,
+    )
+    from distributed_video_analytics_flink_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.user_id, r.freq)
+        for r in agg_heavy_hitters_checked(spark, sf).collect()  # bounded: <= distinct users
+    }
+    ev = load_table(spark, sf, "events")
+    n = ev.count()
+    want = {
+        (r.user_id, r.freq)
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") * HH_K > n)
+        .collect()  # bounded: <= distinct users
+    }
+    assert got == want
+
+
+def test_count_min_contract(spark):
+    """Every probe estimate >= its exact count, and no estimate exceeds
+    exact + n/CM_WIDTH * safety (the CM additive error is ~n/width per
+    collision row; depth-min keeps it near that at this skew)."""
+    from distributed_video_analytics_flink_spark.operators.sketches import (
+        agg_count_min_checked,
+    )
+    from distributed_video_analytics_flink_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = agg_count_min_checked(spark, sf).collect()  # bounded: <= distinct probed users
+    assert rows, "probe split produced no keys"
+    n = load_table(spark, sf, "events").count()
+    assert CM_DEPTH >= 2 and CM_WIDTH >= 64
+    for r in rows:
+        assert r.never_underestimates
+        assert r.cm_estimate >= r.exact_freq
+        assert r.cm_estimate <= r.exact_freq + max(1, (4 * n) // CM_WIDTH), (
+            f"estimate for {r.user_id} drifted far beyond the CM bound: {r}"
+        )
