@@ -1027,3 +1027,286 @@ def curation_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         F.floor((F.col("cum_tok") - F.col("n_tok")) / 512).alias("bin_id"),
     )
+
+
+# Bloom geometry for the bloom-gated decontamination pass: m bits, h
+# probes per shingle. False-positive rate ~ (1 - e^{-h*s/m})^h for s set
+# bits; candidates are exactly re-verified, so the parameters only trade
+# probe cost vs candidate volume, never correctness.
+_BLOOM_M = 65536
+_BLOOM_H = 3
+
+
+def _bloom_bit_spark(sh_col, j_col) -> F.Column:
+    h = F.md5(F.concat(sh_col, F.lit(":"), j_col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _BLOOM_M
+
+
+def _bloom_decon_oracle() -> str:
+    bit = (
+        "CAST(('0x' || substring(md5(sh || ':' || CAST(j AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {_BLOOM_M}"
+    )
+    js = ", ".join(str(j) for j in range(_BLOOM_H))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, n - 7),
+                    i -> md5(array_to_string(list_slice(t, i, i + 7), ' ')))) AS sh
+      FROM toks WHERE n >= 8
+    ),
+    eval_sh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+    hashes AS (SELECT unnest([{js}]) AS j),
+    bits AS (SELECT DISTINCT {bit} AS bit FROM eval_sh CROSS JOIN hashes),
+    corpus_sh AS (
+      SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id % 97 <> 0
+    ),
+    cand AS (
+      SELECT p.doc_id, p.sh
+      FROM (SELECT doc_id, sh, j, {bit} AS bit
+            FROM corpus_sh CROSS JOIN hashes) p
+      JOIN bits USING (bit)
+      GROUP BY p.doc_id, p.sh
+      HAVING COUNT(DISTINCT p.j) = {_BLOOM_H}
+    ),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_hit
+      FROM cand c JOIN eval_sh e USING (sh)
+      GROUP BY c.doc_id
+    ),
+    cands_per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_cand FROM cand GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(cp.n_cand, 0) AS BIGINT) AS n_bloom_candidates,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit_shingles,
+           CAST(COALESCE(cp.n_cand, 0) - COALESCE(h.n_hit, 0) AS BIGINT)
+               AS n_bloom_false_positives,
+           CASE WHEN COALESCE(h.n_hit, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+    FROM documents d
+    LEFT JOIN cands_per_doc cp ON d.doc_id = cp.doc_id
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 97 <> 0
+    """
+
+
+@query("curation_decontaminate_bloom", oracle=_bloom_decon_oracle())
+def curation_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated decontamination — same semantics as
+    curation_decontaminate (flag corpus docs sharing an 8-token shingle
+    with the doc_id%97==0 eval split) but the corpus side probes a BLOOM
+    FILTER of the eval shingles instead of joining their raw digests:
+    each shingle sets _BLOOM_H md5-derived bits in an m=_BLOOM_M-bit
+    space, realized relationally as a broadcast DISTINCT bit relation
+    (<= m rows of one long — ~0.5 MB here, FIXED SIZE no matter how
+    large the eval suite grows, where the exact variant's broadcast
+    grows linearly with eval shingle count: the reason production
+    decontamination gates with a bloom). A corpus shingle is a candidate
+    only when ALL h probe bits are set (countDistinct(j) == h after the
+    map-side bit join); candidates — a tiny bloom-FP-bounded subset —
+    are then exactly verified against the true eval shingle set, so
+    false positives are removed and the flag is EXACT. The oracle
+    replays the identical bloom arithmetic in DuckDB, pinning the
+    candidate and false-positive counts per doc, not just the final
+    verdict.
+
+    100 TB shape: corpus shingles never shuffle — the bit probe is a
+    map-side broadcast join; the only shuffles see bloom survivors
+    (groupBy (doc_id, sh), then the confirm join and per-doc counts).
+    At h=3, m=64Ki and s set bits the FP rate is (s/m * ...) ~ (1 -
+    e^{-3s/m})^3 — resize m with the eval suite to hold it; correctness
+    never depends on it."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 8
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 7),"
+                " i -> md5(concat_ws(' ', slice(t, i, 8))))"
+            )
+        ).alias("sh"),
+    )
+    is_eval = F.col("doc_id") % 97 == 0
+    eval_sh = sh.filter(is_eval).select("sh").distinct()
+    js = F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_H)])).alias("j")
+    bits = (
+        eval_sh.select("sh", js)
+        .select(_bloom_bit_spark(F.col("sh"), F.col("j")).alias("bit"))
+        .distinct()
+    )
+    probes = (
+        sh.filter(~is_eval)
+        .select("doc_id", "sh", js)
+        .withColumn("bit", _bloom_bit_spark(F.col("sh"), F.col("j")))
+    )
+    cand = (
+        probes.join(F.broadcast(bits), "bit")
+        .groupBy("doc_id", "sh")
+        .agg(F.countDistinct("j").alias("nj"))
+        .filter(F.col("nj") == _BLOOM_H)
+        .select("doc_id", "sh")
+    )
+    hits = cand.join(eval_sh, "sh", "left_semi").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    cands_per_doc = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_cand"))
+    return (
+        docs.filter(~is_eval)
+        .select("doc_id")
+        .join(cands_per_doc, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_cand", F.lit(0).cast("long")).alias("n_bloom_candidates"),
+            F.coalesce("n_hit", F.lit(0).cast("long")).alias("n_hit_shingles"),
+            (
+                F.coalesce("n_cand", F.lit(0).cast("long"))
+                - F.coalesce("n_hit", F.lit(0).cast("long"))
+            ).alias("n_bloom_false_positives"),
+            (F.coalesce("n_hit", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+# Temperature-mixing: weights ~ tokens^alpha with alpha=0.5, realized as
+# floor(sqrt(c)) so every weight is an exact integer (IEEE sqrt of an
+# exact int64 is correctly rounded, so floor agrees bit-for-bit on any
+# engine for c < 2^52). Budget T = total_tokens / _MIX_BUDGET_DIVISOR.
+_MIX_BUDGET_DIVISOR = 2
+_D38 = "decimal(38,0)"
+
+
+@query(
+    "curation_source_mix_temperature",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    src AS (
+      SELECT source, CAST(SUM(n_tok) AS BIGINT) AS c,
+             CAST(floor(sqrt(CAST(SUM(n_tok) AS BIGINT))) AS BIGINT) AS w
+      FROM toks GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS tc, CAST(SUM(w) AS BIGINT) AS sw
+      FROM src
+    ),
+    rates AS (
+      SELECT source, c, w,
+             LEAST(CAST(10000 AS HUGEINT),
+                   CAST(w AS HUGEINT) * tc * 10000
+                     // (CAST(sw AS HUGEINT) * c * {_MIX_BUDGET_DIVISOR}))
+                 AS rate_bp,
+             CAST(w AS HUGEINT) * tc AS keep_num,
+             CAST(sw AS HUGEINT) * c * {_MIX_BUDGET_DIVISOR} AS keep_den
+      FROM src CROSS JOIN tot
+    ),
+    kept AS (
+      SELECT t.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+             CAST(SUM(t.n_tok) AS BIGINT) AS tokens_kept
+      FROM toks t JOIN rates r ON t.source = r.source
+      WHERE CAST(CAST(('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 4))
+                      AS BIGINT) AS HUGEINT) * r.keep_den
+            < r.keep_num * 65536
+      GROUP BY t.source
+    )
+    SELECT r.source, r.c AS total_tokens, r.w AS weight,
+           CAST(r.rate_bp AS BIGINT) AS rate_bp,
+           CAST(COALESCE(k.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+           CAST(COALESCE(k.tokens_kept, 0) AS BIGINT) AS tokens_kept
+    FROM rates r LEFT JOIN kept k ON r.source = k.source
+    ORDER BY r.source
+    """,
+)
+def curation_source_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (the multilingual/multi-source
+    pre-training standard): per-source sampling rates proportional to
+    tokens^0.5, normalized to a global token budget of total/2 —
+    low-resource sources are UPweighted relative to their natural share,
+    capped at rate 1.0 (can't sample more than exists).
+    curation_source_mix enforces absolute per-source budgets; this is
+    the smoothed-relative variant real mixture schedules run.
+
+    No float crosses an engine boundary or a decision boundary: weights
+    are floor(sqrt(tokens)) (exact for int64 inputs under correctly-
+    rounded IEEE sqrt), their sum is an exact integer, the admission
+    test cross-multiplies in 128-bit integers (decimal(38,0) here,
+    HUGEINT in the oracle) — bucket16 * sw * c * 2 < w * tc * 65536 —
+    and the reported rate is integer basis points via integral division
+    (``div`` / ``//``). Admission uses the repo's deterministic doc_id
+    md5 bucket (16 bits for rate resolution), so both engines keep the
+    identical documents.
+
+    100 TB shape: one partial-aggregable groupBy builds per-source token
+    counts; the rate table is a tiny broadcast (one row per source);
+    admission is a SCAN PREDICATE — the corpus is never shuffled to be
+    sampled — and the final accounting is a second partial-aggregable
+    groupBy over kept rows only."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    src = toks.groupBy("source").agg(F.sum("n_tok").cast("long").alias("c"))
+    src = src.select(
+        "source", "c", F.floor(F.sqrt("c")).cast("long").alias("w")
+    )
+    tot = src.agg(
+        F.sum("c").cast("long").alias("tc"), F.sum("w").cast("long").alias("sw")
+    )
+    rates = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "c",
+        "w",
+        F.least(
+            F.lit(10000).cast("long"),
+            F.expr(
+                f"CAST(w AS {_D38}) * tc * 10000"
+                f" div (CAST(sw AS {_D38}) * c * {_MIX_BUDGET_DIVISOR})"
+            ),
+        ).alias("rate_bp"),
+        F.expr(f"CAST(w AS {_D38}) * tc").alias("keep_num"),
+        F.expr(
+            f"CAST(sw AS {_D38}) * c * {_MIX_BUDGET_DIVISOR}"
+        ).alias("keep_den"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        .cast(_D38)
+    )
+    kept = (
+        toks.join(
+            F.broadcast(rates.select("source", "keep_num", "keep_den")), "source"
+        )
+        .filter(bucket * F.col("keep_den") < F.col("keep_num") * 65536)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tok").cast("long").alias("tokens_kept"),
+        )
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("c").alias("total_tokens"),
+            F.col("w").alias("weight"),
+            F.col("rate_bp").cast("long").alias("rate_bp"),
+            F.coalesce("n_docs_kept", F.lit(0).cast("long")).alias("n_docs_kept"),
+            F.coalesce("tokens_kept", F.lit(0).cast("long")).alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,74 @@
+"""Pins for curation_decontaminate_bloom (exactness despite the lossy
+gate) and curation_source_mix_temperature (alpha-smoothing invariants)."""
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bloom_decontaminate_equals_exact_variant(spark):
+    """The bloom gate may only change the PLAN: after candidate
+    verification the (doc_id, n_hit_shingles, contaminated) triples must
+    equal the exact broadcast-join variant's, for every corpus doc."""
+    from distributed_video_analytics_flink_spark.operators.curation import (
+        curation_decontaminate,
+        curation_decontaminate_bloom,
+    )
+
+    # bounded collects: one row per corpus doc at sf0.001 (~50 docs)
+    bloom = {
+        r.doc_id: (r.n_hit_shingles, r.contaminated)
+        for r in curation_decontaminate_bloom(spark, SF).collect()
+    }
+    exact = {
+        r.doc_id: (r.n_hit_shingles, r.contaminated)
+        for r in curation_decontaminate(spark, SF).collect()
+    }
+    assert bloom == exact
+
+
+def test_bloom_candidate_accounting(spark):
+    """Candidates bound hits (the bloom has no false negatives, only
+    false positives, and the verify join removes exactly the FPs)."""
+    from distributed_video_analytics_flink_spark.operators.curation import (
+        curation_decontaminate_bloom,
+    )
+
+    rows = curation_decontaminate_bloom(spark, SF).collect()  # bounded: per-doc
+    assert rows
+    for r in rows:
+        assert r.n_hit_shingles <= r.n_bloom_candidates
+        assert r.n_bloom_false_positives == r.n_bloom_candidates - r.n_hit_shingles
+        assert r.contaminated == (1 if r.n_hit_shingles > 0 else 0)
+
+
+def test_temperature_mix_invariants(spark):
+    """alpha=0.5 smoothing: rate is monotone NON-INCREASING in source
+    size (low-resource sources upweighted), capped at 10000 bp, and
+    kept tokens never exceed the source's total."""
+    from distributed_video_analytics_flink_spark.operators.curation import (
+        curation_source_mix_temperature,
+    )
+
+    rows = curation_source_mix_temperature(spark, SF).collect()  # one row/source
+    assert rows
+    import math
+
+    tc = sum(r.total_tokens for r in rows)
+    sw = sum(r.weight for r in rows)
+    for r in rows:
+        # exact integer replay of the engine's rate arithmetic
+        expect_bp = min(10000, (r.weight * tc * 10000) // (sw * r.total_tokens * 2))
+        assert r.rate_bp == expect_bp
+        # and the quantized rate tracks the real-valued alpha=0.5 rate:
+        # isqrt loses < 1/w relative precision, sum quantization < n/sw
+        real = min(
+            1.0,
+            math.sqrt(r.total_tokens)
+            / sum(math.sqrt(x.total_tokens) for x in rows)
+            * (tc / 2)
+            / r.total_tokens,
+        )
+        assert abs(r.rate_bp / 10000 - real) < 1 / r.weight + len(rows) / sw
+        assert 0 <= r.rate_bp <= 10000
+        assert r.tokens_kept <= r.total_tokens
+        assert r.n_docs_kept >= 0
+        assert r.weight == math.isqrt(r.total_tokens)
