@@ -222,3 +222,90 @@ def agg_count_min_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "agg_heavy_hitters_stream_parity",
+    oracle=f"""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS freq,
+           TRUE AS stream_equals_batch
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) * {HH_K} > (SELECT COUNT(*) FROM events)
+    ORDER BY freq DESC, user_id ASC
+    """,
+)
+def agg_heavy_hitters_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The heavy-hitters sketch as an UNBOUNDED-STREAM operator, driven
+    end-to-end as driver evidence (the replay-parity pattern of
+    video_motion_replay_parity / multimodal_audio_replay_parity): the
+    events table is replayed as a multi-trigger file stream, a sharded
+    Misra-Gries table rides keyed stream state
+    (``applyInPandasWithState``; k entries per shard FOREVER — the state
+    store never scales with key cardinality, unlike a native streaming
+    count), per-trigger snapshots land in an append-mode parquet sink,
+    and the final tables feed the same exact candidate recount as the
+    batch operator. The result must equal the plain batch
+    groupBy-HAVING bit-for-bit — micro-batch boundaries, state
+    roundtrips through the store, and snapshot selection all sit inside
+    the checked surface, and the ``stream_equals_batch`` anchor is
+    computed by anti-joining the two results both ways (any drift
+    empties a column the oracle pins TRUE).
+
+    Scale: the stream shuffles each event once (shard groupBy); state is
+    n_shards * k longs; the recount joins a broadcast candidate set.
+    Bounded collect: none on the data path (the comparison is a 1-row
+    aggregate; results are <= distinct-heavy-user rows)."""
+    import os
+    import shutil
+    import tempfile
+
+    from distributed_video_analytics_flink_spark.streaming.heavy_hitters import (
+        heavy_hitter_candidates_stream,
+        latest_candidates,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    root = tempfile.mkdtemp(prefix="dvafs-hhstream-")
+    try:
+        chunks = os.path.join(root, "chunks")
+        # replay as 6 files / 2 per trigger -> 3 stateful triggers
+        ev.repartition(6).write.parquet(chunks)
+        snaps_path = os.path.join(root, "snapshots")
+        stream = (
+            spark.readStream.schema("user_id long")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(chunks)
+        )
+        q = (
+            heavy_hitter_candidates_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", snaps_path)
+            .option("checkpointLocation", os.path.join(root, "ck"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        cands = latest_candidates(spark.read.parquet(snaps_path))
+        total = ev.agg(F.count(F.lit(1)).alias("n"))
+        streamed = (
+            ev.join(F.broadcast(cands), "user_id")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("freq") * HH_K > F.col("n"))
+            .select("user_id", "freq")
+        )
+        batch = agg_heavy_hitters_checked(spark, sf_dir)
+        drift = streamed.join(batch, ["user_id", "freq"], "full_outer").filter(
+            F.col("user_id").isNull() | F.col("freq").isNull()
+        )
+        same = drift.count() == 0  # bounded: 1 scalar
+        rows = streamed.collect()  # bounded: heavy hitters only
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.user_id, r.freq, bool(same)) for r in rows],
+        "user_id long, freq long, stream_equals_batch boolean",
+    ).orderBy(F.desc("freq"), F.asc("user_id"))

@@ -99,3 +99,66 @@ def test_count_min_contract(spark):
         assert r.cm_estimate <= r.exact_freq + max(1, (4 * n) // CM_WIDTH), (
             f"estimate for {r.user_id} drifted far beyond the CM bound: {r}"
         )
+
+
+def test_streaming_mg_state_survives_triggers(spark, tmp_path):
+    """The sharded MG table must fold across micro-batches through the
+    state store: replay a skewed synthetic stream one file per trigger
+    and require the final candidate set to be a superset of the true
+    heavy keys (and the seq column to prove >1 stateful trigger ran)."""
+    import collections
+    import random
+
+    from pyspark.sql import functions as F
+
+    from distributed_video_analytics_flink_spark.streaming.heavy_hitters import (
+        heavy_hitter_candidates_stream,
+        latest_candidates,
+    )
+
+    rng = random.Random(7)
+    stream_vals = _zipf_stream(rng, n=6000, n_keys=400)
+    chunks = tmp_path / "chunks"
+    n_files = 4
+    per = len(stream_vals) // n_files
+    for i in range(n_files):
+        spark.createDataFrame(
+            [(int(v),) for v in stream_vals[i * per : (i + 1) * per]],
+            "user_id long",
+        ).coalesce(1).write.mode("append").parquet(str(chunks))
+
+    src = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunks))
+    )
+    out = tmp_path / "snaps"
+    q = (
+        heavy_hitter_candidates_stream(src, n_shards=4, k=32)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    snaps = spark.read.parquet(str(out))
+    assert snaps.agg(F.max("seq")).collect()[0][0] >= 2, (
+        "stream collapsed to a single trigger — state never roundtripped"
+    )
+    cands = {r.user_id for r in latest_candidates(snaps).collect()}  # <= shards*k
+    freq = collections.Counter(stream_vals)
+    n = len(stream_vals)
+    heavy = {key for key, c in freq.items() if c * 33 > n}  # k=32 -> n/(k+1)
+    assert heavy, "fixture produced no heavy keys; test is vacuous"
+    assert heavy <= cands, f"stream sketch dropped heavy keys: {heavy - cands}"
+    # bounded state: each shard's final table is <= k entries
+    per_shard = (
+        latest_candidates(snaps)
+        .withColumn("shard", F.col("user_id") % 4)
+        .groupBy("shard")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= 32 for r in per_shard)
