@@ -180,6 +180,22 @@ HEADLINE = [
     # round 13: the full epoch loop (scan-once hits table re-joined per
     # epoch against the 256-row broadcast model)
     "text_classifier_train_epochs",
+    # round 13: the frequency-sketch family (two-phase Misra-Gries exact
+    # heavy hitters + the mergeable Count-Min relation), bloom-gated
+    # decontamination and temperature mixing. The streaming leg
+    # (agg_heavy_hitters_stream_parity) stays out for the same reason as
+    # video_motion_replay_parity: it drives a multi-trigger streaming
+    # query whose wall-clock is state-commit overhead, already priced by
+    # the stream fps legs.
+    "agg_heavy_hitters_checked",
+    "agg_count_min_checked",
+    "curation_decontaminate_bloom",
+    "curation_source_mix_temperature",
+    # round 13: exact-quota stratified sampling via the hash-histogram
+    # order-statistics pattern (never a per-stratum sort), and the
+    # snapshot diff that makes the pipeline incremental
+    "curation_sample_exact_quota",
+    "curation_snapshot_delta",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

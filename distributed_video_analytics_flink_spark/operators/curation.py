@@ -1299,7 +1299,7 @@ def curation_source_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFra
         )
     )
     return (
-        rates.join(kept, "source", "left")
+        rates.join(F.broadcast(kept), "source", "left")
         .select(
             "source",
             F.col("c").alias("total_tokens"),
@@ -1309,4 +1309,153 @@ def curation_source_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFra
             F.coalesce("tokens_kept", F.lit(0).cast("long")).alias("tokens_kept"),
         )
         .orderBy("source")
+    )
+
+
+_QUOTA_PER_LANG = 50  # exact docs per language stratum
+
+
+@query(
+    "curation_sample_exact_quota",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) AS h16
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, h16,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h16, doc_id) AS rn
+      FROM h
+    )
+    SELECT doc_id, lang FROM ranked WHERE rn <= {_QUOTA_PER_LANG}
+    """,
+)
+def curation_sample_exact_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-k-per-stratum sampling without sorting the stratum — the
+    distributed order-statistics pattern. Bernoulli-style hash sampling
+    (curation_sample_stratified) only hits a quota in expectation; a
+    per-stratum ROW_NUMBER window (what the oracle runs) sorts every row
+    of the stratum — a total per-language sort that dies on the 100 TB
+    language. Instead:
+
+    1. histogram: one partial-aggregable groupBy over (lang, h16) where
+       h16 is the repo's deterministic 16-bit md5 bucket of doc_id — at
+       most 65,536 rows PER LANGUAGE no matter the corpus size;
+    2. cutoffs: a window over that tiny histogram finds, per language,
+       the last fully-admitted bucket and how many rows to take from the
+       boundary bucket (quota minus the cumulative count below it);
+    3. admission: the corpus joins the broadcast per-language cutoff row
+       — below-cutoff buckets pass as a SCAN PREDICATE; only the
+       boundary bucket's rows (a ~1/65536 sliver) enter a row_number
+       window, ordered by doc_id for a deterministic tie-break.
+
+    The selected set is bit-identical to the oracle's global
+    ORDER BY (h16, doc_id) top-k per language: full buckets below the
+    cutoff are exactly ranks 1..cum, and the boundary window replays the
+    oracle's tie-break inside the one bucket where it matters."""
+    docs = load_table(spark, sf_dir, "documents")
+    h16 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+    )
+    hd = docs.select("doc_id", "lang", h16.alias("h16"))
+    hist = hd.groupBy("lang", "h16").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h16")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    quota = F.lit(_QUOTA_PER_LANG)
+    cutoffs = cum.groupBy("lang").agg(
+        F.max(F.when(F.col("cum") <= quota, F.col("h16"))).alias("full_max"),
+        F.min(
+            F.when(
+                (F.col("cum") > quota) & (F.col("cum") - F.col("c") < quota),
+                F.col("h16"),
+            )
+        ).alias("boundary"),
+        F.min(
+            F.when(
+                (F.col("cum") > quota) & (F.col("cum") - F.col("c") < quota),
+                quota - (F.col("cum") - F.col("c")),
+            )
+        ).alias("boundary_take"),
+    )
+    joined = hd.join(F.broadcast(cutoffs), "lang")
+    full = joined.filter(F.col("h16") <= F.coalesce("full_max", F.lit(-1)))
+    bw = Window.partitionBy("lang").orderBy("doc_id")
+    boundary = (
+        joined.filter(F.col("h16") == F.col("boundary"))
+        .withColumn("rn", F.row_number().over(bw))
+        .filter(F.col("rn") <= F.col("boundary_take"))
+    )
+    return full.select("doc_id", "lang").unionByName(
+        boundary.select("doc_id", "lang")
+    )
+
+
+@query(
+    "curation_snapshot_delta",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, source,
+             md5(CASE WHEN doc_id % 10 = 3 THEN reverse(text) ELSE text END)
+                 AS digest
+      FROM documents WHERE doc_id % 10 <> 7
+    ),
+    new AS (
+      SELECT doc_id, source, md5(text) AS digest
+      FROM documents WHERE doc_id % 10 <> 4
+    )
+    SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+           COALESCE(n.source, o.source) AS source,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.digest <> n.digest THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    """,
+)
+def curation_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC) between two corpus versions — the operator
+    that turns a 100 TB pipeline INCREMENTAL: downstream stages (dedup
+    signatures, quality scores, embeddings) reprocess only
+    'added'+'changed' docs instead of the whole corpus per crawl. The
+    two snapshots are derived deterministically from the documents
+    table so both engines see the same fixture: the old snapshot lacks
+    the doc_id%10==7 docs (these diff as 'added'), the new snapshot
+    lacks %10==4 ('removed'), and %10==3 docs had different old content
+    (reversed text — digest mismatch, 'changed').
+
+    100 TB shape: each snapshot contributes (doc_id, source, digest) —
+    the full-outer join carries 48-byte rows, never bodies, and in a
+    real deployment both snapshots are written bucketed by doc_id so
+    the join is co-partitioned (zero shuffle; the bucketing tests pin
+    that pattern). Status classification is a projection; any
+    downstream per-status accounting partial-aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 7).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.when(F.col("doc_id") % 10 == 3, F.reverse("text")).otherwise(
+                F.col("text")
+            )
+        ).alias("digest"),
+    )
+    new = docs.filter(F.col("doc_id") % 10 != 4).select(
+        "doc_id", "source", F.md5("text").alias("digest")
+    )
+    o, n = old.alias("o"), new.alias("n")
+    return o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer").select(
+        F.coalesce(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_id"),
+        F.coalesce(F.col("n.source"), F.col("o.source")).alias("source"),
+        F.when(F.col("o.doc_id").isNull(), F.lit("added"))
+        .when(F.col("n.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("o.digest") != F.col("n.digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
     )

@@ -72,3 +72,53 @@ def test_temperature_mix_invariants(spark):
         assert r.tokens_kept <= r.total_tokens
         assert r.n_docs_kept >= 0
         assert r.weight == math.isqrt(r.total_tokens)
+
+
+def test_exact_quota_is_exact_and_deterministic(spark):
+    """Every stratum with >= quota docs yields EXACTLY quota rows (the
+    Bernoulli sampler can't promise this); smaller strata yield all
+    their docs; two runs pick the identical set."""
+    from pyspark.sql import functions as F
+
+    from distributed_video_analytics_flink_spark.operators.curation import (
+        _QUOTA_PER_LANG,
+        curation_sample_exact_quota,
+    )
+    from distributed_video_analytics_flink_spark.sources.tables import load_table
+
+    got = curation_sample_exact_quota(spark, SF)
+    sizes = {
+        r.lang: r.c
+        for r in load_table(spark, SF, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()  # bounded: one row per language
+    }
+    counts = {
+        r.lang: r.c
+        for r in got.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert counts == {
+        lang: min(_QUOTA_PER_LANG, n) for lang, n in sizes.items()
+    }
+    a = {(r.doc_id, r.lang) for r in got.collect()}  # bounded: quota * langs
+    b = {(r.doc_id, r.lang) for r in curation_sample_exact_quota(spark, SF).collect()}
+    assert a == b
+
+
+def test_snapshot_delta_statuses_partition_the_union(spark):
+    """Every doc in either snapshot appears exactly once, with the
+    status its %10 class dictates by construction."""
+    from distributed_video_analytics_flink_spark.operators.curation import (
+        curation_snapshot_delta,
+    )
+
+    rows = curation_snapshot_delta(spark, SF).collect()  # bounded: one row/doc
+    seen = {}
+    for r in rows:
+        assert r.doc_id not in seen, "doc emitted twice"
+        seen[r.doc_id] = r.status
+    for doc_id, status in seen.items():
+        m = doc_id % 10
+        expect = {7: "added", 4: "removed", 3: "changed"}.get(m, "unchanged")
+        assert status == expect, (doc_id, status, expect)
