@@ -196,6 +196,9 @@ HEADLINE = [
     # snapshot diff that makes the pipeline incremental
     "curation_sample_exact_quota",
     "curation_snapshot_delta",
+    # round 13: the delta's payoff — signatures recomputed for the crawl
+    # delta only, hash-equal to a full recompute
+    "curation_incremental_signatures",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

@@ -138,7 +138,13 @@ def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 dominates signature building, and cutting four seeded digests to
     one measured ~2x end-to-end on the LSH pair query at sf0.1. Min is
     over 64-bit integers (identical arithmetic in both engines)."""
-    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signature_df(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_signature_df(docs: DataFrame) -> DataFrame:
+    """The signature build over any (doc_id, text) DataFrame — the seam
+    incremental maintenance (curation_incremental_signatures) re-runs on
+    delta docs only."""
     shingled = docs.select("doc_id", F.split("text", " ").alias("w")).select(
         "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle")
     )

@@ -122,3 +122,44 @@ def test_snapshot_delta_statuses_partition_the_union(spark):
         m = doc_id % 10
         expect = {7: "added", 4: "removed", 3: "changed"}.get(m, "unchanged")
         assert status == expect, (doc_id, status, expect)
+
+
+def test_incremental_signatures_catch_a_missed_changed_doc(spark):
+    """The incremental contract's teeth: carried-forward signatures for
+    'changed' docs are genuinely STALE (old text differs), so a delta
+    predicate that misses them produces different rows — and the
+    registered query (which recomputes them) matches a full recompute."""
+    from pyspark.sql import functions as F
+
+    from distributed_video_analytics_flink_spark.operators.curation import (
+        curation_incremental_signatures,
+    )
+    from distributed_video_analytics_flink_spark.operators.dedup import (
+        minhash_signature_df,
+    )
+    from distributed_video_analytics_flink_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    got = curation_incremental_signatures(spark, SF)
+    full = minhash_signature_df(
+        docs.filter(F.col("doc_id") % 10 != 4).select("doc_id", "text")
+    )
+    a = {tuple(r) for r in got.drop("recomputed").collect()}  # bounded: 1/doc
+    b = {tuple(r) for r in full.collect()}
+    assert a == b, "incremental union drifted from full recompute"
+
+    # staleness is real: the old snapshot's signature for a 'changed'
+    # doc must differ from its fresh signature (otherwise this contract
+    # couldn't catch a missed-changed bug)
+    changed = docs.filter(F.col("doc_id") % 10 == 3)
+    stale = {
+        tuple(r)
+        for r in minhash_signature_df(
+            changed.select("doc_id", F.reverse("text").alias("text"))
+        ).collect()
+    }
+    fresh = {
+        tuple(r)
+        for r in minhash_signature_df(changed.select("doc_id", "text")).collect()
+    }
+    assert stale != fresh
