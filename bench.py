@@ -199,6 +199,8 @@ HEADLINE = [
     # round 13: the delta's payoff — signatures recomputed for the crawl
     # delta only, hash-equal to a full recompute
     "curation_incremental_signatures",
+    # round 13: per-doc n-gram novelty (the diversity dual of dedup)
+    "text_ngram_novelty",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

@@ -844,3 +844,77 @@ def text_classifier_train_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         metrics, "epoch long, n_misclassified long, grad_l1 long"
     )
+
+
+from distributed_video_analytics_flink_spark.operators.dedup import (  # noqa: E402
+    _SPARK_SHINGLES,
+)
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+               i -> array_to_string(
+                      list_slice(string_split(text, ' '), i, i + 2), ' ')))
+                 AS shingle
+      FROM documents
+    ),
+    per_doc AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    df AS (
+      SELECT shingle, COUNT(*) AS docfreq FROM per_doc GROUP BY shingle
+    ),
+    nov AS (
+      SELECT p.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN d.docfreq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_novel
+      FROM per_doc p JOIN df d ON p.shingle = d.shingle
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, n_shingles, n_novel,
+           CAST((n_novel * 10000) // n_shingles AS BIGINT) AS novelty_bp
+    FROM nov
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    word-3-gram shingles that appear in NO other document — the
+    diversity/boilerplate signal dual to dedup: novelty ~0 means the doc
+    is assembled from corpus-common phrasing (template/boilerplate,
+    near-dup debris the pair-level passes missed); high novelty plus low
+    quality score flags gibberish. Reported in exact basis points
+    (integral division — no float at the engine boundary).
+
+    100 TB shape: same skeleton as text_term_stats/tf-idf — shingles
+    shuffle once for the docfreq groupBy (partial-aggregable) and once
+    for the per-doc rollup; both carry (shingle-hash, counts), never
+    document bodies. The df side needs no cap here because it is
+    aggregated, not joined row-to-row (contrast dedup_containment's
+    df-capped inverted index, where pairs explode); the rejoin is
+    per-doc-shingle x its one docfreq row."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
+    per_doc = sh.distinct()
+    df = per_doc.groupBy("shingle").agg(F.count(F.lit(1)).alias("docfreq"))
+    nov = (
+        per_doc.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("docfreq") == 1).cast("long")).alias("n_novel"),
+        )
+    )
+    return nov.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.expr("CAST(n_novel * 10000 div n_shingles AS BIGINT)").alias(
+            "novelty_bp"
+        ),
+    )

@@ -163,3 +163,17 @@ def test_incremental_signatures_catch_a_missed_changed_doc(spark):
         for r in minhash_signature_df(changed.select("doc_id", "text")).collect()
     }
     assert stale != fresh
+
+
+def test_ngram_novelty_invariants(spark):
+    from distributed_video_analytics_flink_spark.operators.text_analysis import (
+        text_ngram_novelty,
+    )
+
+    rows = text_ngram_novelty(spark, SF).collect()  # bounded: one row/doc
+    assert rows
+    assert any(r.n_novel > 0 for r in rows), "no novel shingles anywhere?"
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_shingles
+        assert r.novelty_bp == (r.n_novel * 10000) // r.n_shingles
+        assert 0 <= r.novelty_bp <= 10000
