@@ -309,3 +309,112 @@ def agg_heavy_hitters_stream_parity(spark: SparkSession, sf_dir: str) -> DataFra
         [(r.user_id, r.freq, bool(same)) for r in rows],
         "user_id long, freq long, stream_equals_batch boolean",
     ).orderBy(F.desc("freq"), F.asc("user_id"))
+
+
+def _cm_stream_oracle() -> str:
+    base = _cm_oracle()
+    return base.replace(
+        "SELECT e.user_id, e.exact_freq, est.cm_estimate,",
+        "SELECT e.user_id, e.exact_freq, est.cm_estimate,\n"
+        "           TRUE AS stream_equals_batch,",
+    )
+
+
+@query("agg_count_min_stream_parity", oracle=_cm_stream_oracle())
+def agg_count_min_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min sketch maintained by NATIVE streaming aggregation —
+    the complement of the MG stream leg: where per-key streaming counts
+    need unbounded state (hence the MG sketch rides custom state), the
+    CM sketch's state is d*w counter rows BY CONSTRUCTION, so Spark's
+    own streaming groupBy in complete mode is the right tool — no
+    custom stateful operator, and the at-rest sketch is SUM-mergeable
+    with any batch-built sketch of other data (same mergeable relation
+    as the batch query).
+
+    The events table replays as a multi-trigger file stream; each
+    trigger folds its rows into the (d, bucket) counters through the
+    state store; the final sketch must equal the batch-built sketch
+    EXACTLY (count sums are associative across micro-batches), so the
+    probe estimates and the never-underestimates contract are checked
+    against the same oracle as the batch query, plus a two-way
+    anti-join parity anchor.
+
+    Scale: the streaming state is exactly d*w rows forever; one shuffle
+    per trigger (the groupBy), partial-aggregated map-side. Bounded
+    collect: the comparison scalar and <= |probes| result rows."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    root = tempfile.mkdtemp(prefix="dvafs-cmstream-")
+    table = "cm_stream_" + uuid.uuid4().hex[:8]
+    depth = F.explode(F.array(*[F.lit(i) for i in range(CM_DEPTH)])).alias("d")
+    try:
+        chunks = os.path.join(root, "chunks")
+        ev.repartition(6).write.parquet(chunks)
+        stream = (
+            spark.readStream.schema("user_id long")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(chunks)
+        )
+        sk_stream = (
+            stream.select("user_id", depth)
+            .select(
+                "d", _cm_bucket_spark(F.col("user_id"), F.col("d")).alias("bucket")
+            )
+            .groupBy("d", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        q = (
+            sk_stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", os.path.join(root, "ck"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        streamed_sk = spark.table(table).localCheckpoint()  # d*w rows, bounded
+
+        batch_sk = (
+            ev.select("user_id", depth)
+            .select(
+                "d", _cm_bucket_spark(F.col("user_id"), F.col("d")).alias("bucket")
+            )
+            .groupBy("d", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        drift = streamed_sk.join(batch_sk, ["d", "bucket", "c"], "full_outer").filter(
+            F.col("c").isNull()
+        )
+        same = drift.count() == 0  # bounded scalar
+
+        probed = ev.filter(F.col("user_id") % _PROBE_MOD == 0)
+        probes = probed.select("user_id").distinct()
+        est = (
+            probes.select("user_id", depth)
+            .withColumn("bucket", _cm_bucket_spark(F.col("user_id"), F.col("d")))
+            .join(F.broadcast(streamed_sk), ["d", "bucket"])
+            .groupBy("user_id")
+            .agg(F.min("c").alias("cm_estimate"))
+        )
+        exact = probed.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_freq"))
+        rows = (
+            exact.join(est, "user_id")
+            .select("user_id", "exact_freq", "cm_estimate")
+            .collect()  # bounded: <= distinct probed users
+        )
+    finally:
+        spark.catalog.dropTempView(table)
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r.user_id, r.exact_freq, r.cm_estimate, bool(same),
+             r.cm_estimate >= r.exact_freq)
+            for r in rows
+        ],
+        "user_id long, exact_freq long, cm_estimate long,"
+        " stream_equals_batch boolean, never_underestimates boolean",
+    ).orderBy("user_id")

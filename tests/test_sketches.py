@@ -162,3 +162,38 @@ def test_streaming_mg_state_survives_triggers(spark, tmp_path):
         .collect()
     )
     assert all(r["count"] <= 32 for r in per_shard)
+
+
+def test_count_min_relation_is_sum_mergeable(spark):
+    """The claim both the streaming leg and the build-per-day posture
+    rest on: CM sketches of disjoint slices, SUM-merged on (d, bucket),
+    equal the sketch built over the union."""
+    from pyspark.sql import functions as F
+
+    from distributed_video_analytics_flink_spark.operators.sketches import (
+        CM_DEPTH,
+        _cm_bucket_spark,
+    )
+    from distributed_video_analytics_flink_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select("user_id")
+    depth = F.explode(F.array(*[F.lit(i) for i in range(CM_DEPTH)])).alias("d")
+
+    def sketch(df):
+        return (
+            df.select("user_id", depth)
+            .select("d", _cm_bucket_spark(F.col("user_id"), F.col("d")).alias("bucket"))
+            .groupBy("d", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    half_a = sketch(ev.filter(F.col("user_id") % 2 == 0))
+    half_b = sketch(ev.filter(F.col("user_id") % 2 == 1))
+    merged = (
+        half_a.unionByName(half_b)
+        .groupBy("d", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    full = sketch(ev)
+    # d*w bounded collects
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in full.collect()}
