@@ -201,6 +201,10 @@ HEADLINE = [
     "curation_incremental_signatures",
     # round 13: per-doc n-gram novelty (the diversity dual of dedup)
     "text_ngram_novelty",
+    # round 13: the WARC front door (Common Crawl segment layout) and its
+    # composition into Catalyst-side text extraction
+    "corpus_warc_ingest",
+    "corpus_warc_text_stats",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

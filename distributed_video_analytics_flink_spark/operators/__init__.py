@@ -15,6 +15,7 @@ from distributed_video_analytics_flink_spark.operators import (  # noqa: F401
     sql_surface,
     text_analysis,
     video,
+    web,
 )
 from distributed_video_analytics_flink_spark.operators.registry import (  # noqa: F401
     QUERIES,
