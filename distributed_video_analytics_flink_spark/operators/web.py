@@ -105,9 +105,11 @@ def corpus_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: Common Crawl is ~100k segments x ~1 GB per crawl —
     the per-file partition model IS the layout's natural parallelism;
-    bodies never leave the scan task here (the projection drops
-    ``body``, so Arrow carries headers only — column pruning on a
-    Python Data Source output works like any other scan)."""
+    the projection drops ``body`` before any exchange, so page bytes
+    never move between executors (they do cross the one Python->JVM
+    Arrow hop — the Python Data Source API doesn't push projection into
+    the reader; see sources/warc_datasource.py for the honest
+    accounting)."""
     import os
     import shutil
     import tempfile

@@ -9,10 +9,16 @@ segments — the file is the natural work unit), records parsed inside
 the scheduled partition via the one shared :func:`warc_record_rows`
 (binaryFile path and this format cannot drift), PERMISSIVE per file: a
 truncated segment yields its readable prefix plus one error row, never
-a dead task. Downstream column pruning drops ``body`` when a query only
-counts or filters on metadata — the Arrow batches then carry headers
-only, which is the point of parsing at the source instead of shipping
-whole segments.
+a dead task.
+
+Column-pruning honesty: Spark's Python Data Source API does NOT push
+projection into the reader (plan-verified: the BatchScan lists every
+column; the Project sits above it), so ``body`` bytes DO cross the one
+Python->JVM Arrow hop even for metadata-only queries — but they are
+projected out before any exchange, so page bytes never move BETWEEN
+executors. Parsing at the source still beats shipping whole segments:
+the alternative (binaryFile + mapInPandas) pays the same Arrow hop on
+strictly more bytes (the raw segment).
 
 Streaming reuses the per-file offset model of the video/audio sources
 (FrameStreamReader: ``{"n": files consumed}`` over the append-only
