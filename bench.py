@@ -205,6 +205,10 @@ HEADLINE = [
     # composition into Catalyst-side text extraction
     "corpus_warc_ingest",
     "corpus_warc_text_stats",
+    # round 13: the Gopher rule gate (integer cross-multiplied
+    # thresholds) and matryoshka prefix-retrieve/full-rerank recall
+    "text_gopher_rules",
+    "sim_prefix_dim_recall_checked",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

@@ -4343,3 +4343,146 @@ def sim_ivf_pq_append_recall_checked(spark: SparkSession, sf_dir: str) -> DataFr
         "hits_at5 bigint, cand_hits_at5 bigint, n_new_in_exact_top5 bigint, "
         "n_new_in_adc_top5 bigint, adc_hits_within_cand boolean",
     )
+
+
+# Matryoshka (MRL) two-stage search geometry: retrieve by the PREFIX of
+# the embedding, rerank the shortlist with the full vector.
+_MRL_PREFIX_D = 16  # of the table's 64 dims
+_MRL_SHORTLIST = 30  # prefix-stage candidates reranked by full cosine
+
+
+@query(
+    "sim_prefix_dim_recall_checked",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qp AS (SELECT list_slice(qv, 1, {_MRL_PREFIX_D}) AS qpv FROM q),
+    scored AS (
+      SELECT e.vec_id,
+             {_duck_cos_q(
+                 _duck_dot_q("e.embedding", "q.qv"),
+                 _duck_dot_q("e.embedding", "e.embedding"),
+                 _duck_dot_q("q.qv", "q.qv"),
+             )} AS full_cos,
+             {_duck_cos_q(
+                 _duck_dot_q(
+                     f"list_slice(e.embedding, 1, {_MRL_PREFIX_D})", "qp.qpv"
+                 ),
+                 _duck_dot_q(
+                     f"list_slice(e.embedding, 1, {_MRL_PREFIX_D})",
+                     f"list_slice(e.embedding, 1, {_MRL_PREFIX_D})",
+                 ),
+                 _duck_dot_q("qp.qpv", "qp.qpv"),
+             )} AS prefix_cos
+      FROM embeddings e CROSS JOIN q CROSS JOIN qp WHERE e.vec_id <> 0
+    ),
+    truth AS (
+      SELECT vec_id FROM scored ORDER BY full_cos DESC, vec_id ASC LIMIT 10
+    ),
+    prefix10 AS (
+      SELECT vec_id FROM scored ORDER BY prefix_cos DESC, vec_id ASC LIMIT 10
+    ),
+    shortlist AS (
+      SELECT vec_id, full_cos FROM scored
+      ORDER BY prefix_cos DESC, vec_id ASC LIMIT {_MRL_SHORTLIST}
+    ),
+    reranked AS (
+      SELECT vec_id FROM shortlist ORDER BY full_cos DESC, vec_id ASC LIMIT 10
+    )
+    SELECT
+      (SELECT COUNT(*) FROM prefix10 JOIN truth USING (vec_id))
+          AS prefix_only_overlap,
+      (SELECT COUNT(*) FROM reranked JOIN truth USING (vec_id))
+          AS reranked_overlap,
+      (SELECT COUNT(*) FROM prefix10 JOIN truth USING (vec_id)) / 10.0
+          AS prefix_only_recall_at_10,
+      (SELECT COUNT(*) FROM reranked JOIN truth USING (vec_id)) / 10.0
+          AS reranked_recall_at_10,
+      (SELECT COUNT(*) FROM reranked JOIN truth USING (vec_id)) >=
+      (SELECT COUNT(*) FROM prefix10 JOIN truth USING (vec_id))
+          AS rerank_no_worse
+    """,
+)
+def sim_prefix_dim_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style prefix-dimension search, recall-checked: score
+    the corpus by the FIRST 16 of 64 dims (the cheap stage — 4x less
+    dot-product work and, at rest, 4x less scan when the prefix is
+    stored as its own column family), shortlist the top 30, rerank the
+    shortlist by full-dimension cosine, and measure both stages'
+    recall@10 against the full-dimension ground truth. The production
+    MRL serving pattern: prefix-retrieve, full-rerank — the contract
+    that matters is the hash-pinned reranked recall and the
+    ``rerank_no_worse`` boolean (reranking a superset shortlist can
+    only help).
+
+    All cosines are the repo's quantized-integer dots (identical
+    arithmetic both engines, fixed tie-breaks), so every overlap count
+    is deterministic and the driver hash pins the exact recall values —
+    a regression in prefix slicing, shortlist sizing, or rerank order
+    changes the number and fails the round.
+
+    100 TB shape: one corpus scan computes both scores Arrow-batched;
+    the two top-k's are TakeOrderedAndProject (per-partition heads +
+    driver merge, never a global sort); the rerank runs on 30 rows.
+    At rest the prefix columns would be a separate parquet column
+    (column pruning serves the cheap stage), with the full vector read
+    only for the shortlist.
+
+    Fixture note: the synthetic embeddings are not MRL-trained, so the
+    prefix carries little of the full-dim ordering (recall@10 is 0.1
+    prefix-only / 0.3 reranked at sf0.01) — honestly low numbers; with
+    real matryoshka embeddings the same machinery reports the high
+    recalls the technique is used for. The CONTRACT is the pinned
+    values plus rerank_no_worse, not a quality floor."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = np.asarray(
+        emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]["embedding"],
+        dtype=np.float64,
+    )
+    qp = qv[:_MRL_PREFIX_D]
+    qn = float(np.sqrt(_np_q(qv * qv * _Q).sum()))
+    qpn = float(np.sqrt(_np_q(qp * qp * _Q).sum()))
+
+    @F.pandas_udf("struct<full_cos: double, prefix_cos: double>")
+    def _score(embs: pd.Series) -> pd.DataFrame:
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in embs])
+        P = V[:, :_MRL_PREFIX_D]
+        vn = np.sqrt(_np_q(V * V * _Q).sum(axis=1).astype(np.float64))
+        pn = np.sqrt(_np_q(P * P * _Q).sum(axis=1).astype(np.float64))
+        return pd.DataFrame(
+            {
+                "full_cos": _np_q(V * qv[None, :] * _Q).sum(axis=1) / (vn * qn),
+                "prefix_cos": _np_q(P * qp[None, :] * _Q).sum(axis=1) / (pn * qpn),
+            }
+        )
+
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", _score("embedding").alias("s"))
+        .select("vec_id", "s.full_cos", "s.prefix_cos")
+        .localCheckpoint(eager=False)  # one scan feeds truth + both stages
+    )
+    truth = scored.orderBy(F.desc("full_cos"), F.asc("vec_id")).limit(10)
+    prefix10 = scored.orderBy(F.desc("prefix_cos"), F.asc("vec_id")).limit(10)
+    shortlist = scored.orderBy(F.desc("prefix_cos"), F.asc("vec_id")).limit(
+        _MRL_SHORTLIST
+    )
+    reranked = shortlist.orderBy(F.desc("full_cos"), F.asc("vec_id")).limit(10)
+    po = (
+        prefix10.select("vec_id")
+        .join(truth.select("vec_id"), "vec_id")
+        .agg(F.count(F.lit(1)).alias("prefix_only_overlap"))
+    )
+    ro = (
+        reranked.select("vec_id")
+        .join(truth.select("vec_id"), "vec_id")
+        .agg(F.count(F.lit(1)).alias("reranked_overlap"))
+    )
+    return po.crossJoin(F.broadcast(ro)).select(
+        "prefix_only_overlap",
+        "reranked_overlap",
+        (F.col("prefix_only_overlap") / 10.0).alias("prefix_only_recall_at_10"),
+        (F.col("reranked_overlap") / 10.0).alias("reranked_recall_at_10"),
+        (F.col("reranked_overlap") >= F.col("prefix_only_overlap")).alias(
+            "rerank_no_worse"
+        ),
+    )

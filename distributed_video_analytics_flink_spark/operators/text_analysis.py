@@ -918,3 +918,116 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_bp"
         ),
     )
+
+
+@query(
+    "text_gopher_rules",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    ts AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(SUM(length(token)) AS BIGINT) AS sum_len,
+             CAST(SUM(CASE WHEN regexp_matches(token, '[a-zA-Z]')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+             CAST(COUNT(DISTINCT CASE WHEN token IN
+               ('the','be','to','of','and','that','have','with')
+               THEN token END) AS BIGINT) AS n_req_stop
+      FROM tok GROUP BY doc_id
+    ),
+    sym AS (
+      SELECT doc_id,
+             CAST((length(text) - length(replace(text, '#', '')))
+                  + (length(text) - length(replace(text, '...', ''))) / 3
+                  AS BIGINT) AS n_sym
+      FROM documents
+    )
+    SELECT t.doc_id, t.n_tok, t.sum_len, t.n_alpha, s.n_sym, t.n_req_stop,
+           CASE WHEN t.n_tok BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+               AS ok_word_count,
+           CASE WHEN 3 * t.n_tok <= t.sum_len AND t.sum_len <= 10 * t.n_tok
+                THEN 1 ELSE 0 END AS ok_mean_word_len,
+           CASE WHEN 10 * s.n_sym <= t.n_tok THEN 1 ELSE 0 END
+               AS ok_symbol_ratio,
+           CASE WHEN 5 * t.n_alpha >= 4 * t.n_tok THEN 1 ELSE 0 END
+               AS ok_alpha_ratio,
+           CASE WHEN t.n_req_stop >= 2 THEN 1 ELSE 0 END AS ok_stopwords,
+           CASE WHEN t.n_tok BETWEEN 50 AND 100000
+                 AND 3 * t.n_tok <= t.sum_len AND t.sum_len <= 10 * t.n_tok
+                 AND 10 * s.n_sym <= t.n_tok
+                 AND 5 * t.n_alpha >= 4 * t.n_tok
+                 AND t.n_req_stop >= 2
+                THEN 1 ELSE 0 END AS passes_gopher
+    FROM ts t JOIN sym s ON t.doc_id = s.doc_id
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule filter (Rae et al. 2021, App. A1.1) — the exact
+    published thresholds, as one pass: word count in [50, 100k], mean
+    word length in [3, 10], symbol-to-word ratio (# and ellipsis)
+    <= 0.1, >= 80% of words containing an alphabetic character, and
+    >= 2 of the 8 required English stop words present.
+    text_repetition_stats covers the paper's repetition signals; this is
+    its rule-threshold sibling — together they are the full
+    Gopher-style quality gate a production English pipeline runs.
+
+    Every threshold test CROSS-MULTIPLIES in integers (3*n <= sum <=
+    10*n, 10*sym <= n, 5*alpha >= 4*n) — no ratio ever becomes a float,
+    so the booleans are bit-identical on any engine at any scale. One
+    explode + one partial-aggregable groupBy; the symbol counts are
+    replace-length arithmetic on the raw column (scan-side, no second
+    tokenization).
+
+    Fixture note: the synthetic corpus' vocabulary contains only 'the'
+    of the 8 required stop words, so ok_stopwords (and therefore the
+    overall gate) is 0 for every test doc — the thresholds are kept
+    FAITHFUL to the paper rather than tuned to the fixture (the blur
+    3x3 / minArea 300 discipline); the discriminating variance at test
+    SF lives in the other four hash-pinned booleans (e.g.
+    ok_word_count passes 277/500 at sf0.01)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    req = ("the", "be", "to", "of", "and", "that", "have", "with")
+    ts = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.length("token")).alias("sum_len"),
+        F.sum(F.col("token").rlike("[a-zA-Z]").cast("long")).alias("n_alpha"),
+        F.countDistinct(
+            F.when(F.col("token").isin(*req), F.col("token"))
+        ).alias("n_req_stop"),
+    )
+    n_sym = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit(""))))
+        + (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+        )
+        / 3
+    ).cast("long")
+    sym = docs.select("doc_id", n_sym.alias("n_sym"))
+    j = ts.join(sym, "doc_id")
+    ok_wc = F.col("n_tok").between(50, 100000)
+    ok_mwl = (3 * F.col("n_tok") <= F.col("sum_len")) & (
+        F.col("sum_len") <= 10 * F.col("n_tok")
+    )
+    ok_sym = 10 * F.col("n_sym") <= F.col("n_tok")
+    ok_alpha = 5 * F.col("n_alpha") >= 4 * F.col("n_tok")
+    ok_stop = F.col("n_req_stop") >= 2
+    return j.select(
+        "doc_id",
+        "n_tok",
+        "sum_len",
+        "n_alpha",
+        "n_sym",
+        "n_req_stop",
+        ok_wc.cast("int").alias("ok_word_count"),
+        ok_mwl.cast("int").alias("ok_mean_word_len"),
+        ok_sym.cast("int").alias("ok_symbol_ratio"),
+        ok_alpha.cast("int").alias("ok_alpha_ratio"),
+        ok_stop.cast("int").alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop)
+        .cast("int")
+        .alias("passes_gopher"),
+    )
