@@ -209,6 +209,8 @@ HEADLINE = [
     # thresholds) and matryoshka prefix-retrieve/full-rerank recall
     "text_gopher_rules",
     "sim_prefix_dim_recall_checked",
+    # round 13: exploratory path analysis (the funnel's dual)
+    "events_session_paths_topk",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

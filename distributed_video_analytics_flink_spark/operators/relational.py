@@ -3339,3 +3339,96 @@ def agg_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", (F.col("vq") / 100.0).alias("part_value"))
         .orderBy(F.desc("part_value"), F.asc("l_partkey"))
     )
+
+
+@query(
+    "events_session_paths_topk",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
+      FROM flagged),
+    ranked AS (
+      SELECT user_id, session_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS rn
+      FROM sessions),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 3
+      GROUP BY user_id, session_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 10
+    """,
+)
+def events_session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the top-10 session-opening event sequences — each
+    session reduced to its first 3 events joined 'a>b>c' (the product
+    question "how do sessions start", the funnel's exploratory dual:
+    events_funnel_steps checks ONE hypothesized order, this surfaces
+    the orders that actually happen). Session identity reuses
+    sessionize_events' exact 30-minute-gap definition with the
+    (ts, event_id) tie-break, so path strings are deterministic and the
+    driver hash pins the full top-10 with counts.
+
+    Plan shape at 100 TB: the sessionize window and the per-session
+    prefix both ride the ONE user_id shuffle (same-keyed windows
+    compose without re-exchange); the prefix cut (rn <= 3) bounds every
+    session's contribution to 3 rows BEFORE the path groupBy, so the
+    path-count shuffle carries at most 3 short strings per session;
+    the final top-10 is TakeOrderedAndProject, never a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    ranked = sessions.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+        ),
+    ).filter(F.col("rn") <= 3)
+    paths = (
+        ranked.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(10)
+    )
