@@ -249,8 +249,9 @@ def agg_heavy_hitters_stream_parity(spark: SparkSession, sf_dir: str) -> DataFra
     groupBy-HAVING bit-for-bit — micro-batch boundaries, state
     roundtrips through the store, and snapshot selection all sit inside
     the checked surface, and the ``stream_equals_batch`` anchor is
-    computed by anti-joining the two results both ways (any drift
-    empties a column the oracle pins TRUE).
+    computed as multiset equality via two directed ``exceptAll`` diffs
+    (either direction surviving non-empty flips the anchor FALSE, which
+    the oracle pins TRUE).
 
     Scale: the stream shuffles each event once (shard groupBy); state is
     n_shards * k longs; the recount joins a broadcast candidate set.
@@ -297,11 +298,14 @@ def agg_heavy_hitters_stream_parity(spark: SparkSession, sf_dir: str) -> DataFra
             .filter(F.col("freq") * HH_K > F.col("n"))
             .select("user_id", "freq")
         )
-        batch = agg_heavy_hitters_checked(spark, sf_dir)
-        drift = streamed.join(batch, ["user_id", "freq"], "full_outer").filter(
-            F.col("user_id").isNull() | F.col("freq").isNull()
+        batch = agg_heavy_hitters_checked(spark, sf_dir).select("user_id", "freq")
+        # parity anchor: multiset equality via two directed anti-diffs.
+        # (A full_outer join ON the compared columns coalesces them, so a
+        # null-filter over the join keys can never fire — ADVICE r13.)
+        same = (
+            streamed.exceptAll(batch).count() == 0  # bounded: 1 scalar
+            and batch.exceptAll(streamed).count() == 0  # bounded: 1 scalar
         )
-        same = drift.count() == 0  # bounded: 1 scalar
         rows = streamed.collect()  # bounded: heavy hitters only
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -337,7 +341,8 @@ def agg_count_min_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACTLY (count sums are associative across micro-batches), so the
     probe estimates and the never-underestimates contract are checked
     against the same oracle as the batch query, plus a two-way
-    anti-join parity anchor.
+    ``exceptAll`` parity anchor over the full (d, bucket, c) counter
+    relation — non-probed buckets included.
 
     Scale: the streaming state is exactly d*w rows forever; one shuffle
     per trigger (the groupBy), partial-aggregated map-side. Bounded
@@ -386,10 +391,17 @@ def agg_count_min_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("d", "bucket")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        drift = streamed_sk.join(batch_sk, ["d", "bucket", "c"], "full_outer").filter(
-            F.col("c").isNull()
+        # parity anchor: sketch equality via two directed anti-diffs over
+        # the full (d, bucket, c) relation — EVERY counter row is compared,
+        # not only probed buckets. (A full_outer join ON the compared
+        # columns coalesces them, so a null-filter over the join keys can
+        # never fire — ADVICE r13.)
+        st = streamed_sk.select("d", "bucket", "c")
+        bt = batch_sk.select("d", "bucket", "c")
+        same = (
+            st.exceptAll(bt).count() == 0  # bounded scalar
+            and bt.exceptAll(st).count() == 0  # bounded scalar
         )
-        same = drift.count() == 0  # bounded scalar
 
         probed = ev.filter(F.col("user_id") % _PROBE_MOD == 0)
         probes = probed.select("user_id").distinct()

@@ -164,15 +164,19 @@ def iter_warc_records(raw: bytes):
 
 
 def warc_record_rows(path: str, raw: bytes):
-    """PERMISSIVE per-file row builder (the ``audio_feature_row``
-    analog): every parsed record becomes a row; the first parse failure
-    becomes one error ROW (readable prefix preserved) and ends the
-    file. A file with a bad FIRST record yields a single error row —
-    same contract whichever ingest path (binaryFile or format('warc'))
-    runs it."""
+    """Per-file row builder (the ``audio_feature_row`` analog) carrying
+    BOTH halves of the module contract (ADVICE r13): STRICT HEAD — a
+    file whose FIRST record fails to parse re-raises :class:`WarcError`,
+    so a directory of non-WARC files fails the task loudly instead of
+    dissolving into quiet error rows; PERMISSIVE TAIL — once at least
+    one record parsed, a later failure becomes one error ROW (readable
+    prefix preserved) and ends the file. Same contract whichever ingest
+    path (binaryFile or format('warc')) runs it."""
     segment = os.path.basename(path)
+    yielded_good = False
     try:
         for r in iter_warc_records(raw):
+            yielded_good = True
             yield (
                 segment,
                 r.record_id,
@@ -187,6 +191,8 @@ def warc_record_rows(path: str, raw: bytes):
                 None,
             )
     except WarcError as e:
+        if not yielded_good:
+            raise  # strict head: record 0 bad -> the whole file is loud
         # tail rows were already yielded; one error row closes the file
         yield (
             segment,

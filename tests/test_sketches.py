@@ -197,3 +197,26 @@ def test_count_min_relation_is_sum_mergeable(spark):
     full = sketch(ev)
     # d*w bounded collects
     assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in full.collect()}
+
+
+def test_stream_parity_anchor_detects_drift(spark):
+    """The stream==batch anchors in both *_stream_parity queries are two
+    directed ``exceptAll`` diffs (ADVICE r13 replaced a vacuous
+    full_outer-on-join-keys null filter that could never fire); pin that
+    the pattern detects every drift class — a changed count, a missing
+    row, an extra row — in either direction."""
+
+    def anchor(x, y):
+        return x.exceptAll(y).count() == 0 and y.exceptAll(x).count() == 0
+
+    schema = "d int, bucket int, c long"
+    a = spark.createDataFrame([(0, 1, 5), (1, 2, 7)], schema)
+    assert anchor(a, a)
+    drifted = [
+        spark.createDataFrame([(0, 1, 6), (1, 2, 7)], schema),  # changed c
+        spark.createDataFrame([(0, 1, 5)], schema),  # missing row
+        spark.createDataFrame([(0, 1, 5), (1, 2, 7), (2, 3, 1)], schema),
+    ]
+    for bad in drifted:
+        assert not anchor(a, bad)
+        assert not anchor(bad, a)

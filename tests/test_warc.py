@@ -69,8 +69,11 @@ def test_gzip_whole_file_and_member_layouts_agree():
 def test_strict_head_permissive_tail():
     with pytest.raises(WarcError):
         list(iter_warc_records(b"HTTP/1.1 200 OK\r\n\r\nnot a warc"))
-    junk_rows = list(warc_record_rows("x.warc", b"garbage"))
-    assert len(junk_rows) == 1 and junk_rows[0][-1].startswith("WarcError")
+    # strict head holds through the ROW path too (ADVICE r13): a file
+    # with zero parseable records re-raises instead of yielding one
+    # quiet error row — a directory of non-WARC files must be loud.
+    with pytest.raises(WarcError):
+        list(warc_record_rows("x.warc", b"garbage"))
     # truncate mid-payload: readable prefix + exactly one error row
     raw = build_warc(RECS)
     rows = list(warc_record_rows("x.warc", raw[:-40]))
