@@ -430,3 +430,87 @@ def agg_count_min_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, exact_freq long, cm_estimate long,"
         " stream_equals_batch boolean, never_underestimates boolean",
     ).orderBy("user_id")
+
+
+@query(
+    "agg_heavy_hitters_skewed_checked",
+    oracle=f"""
+    WITH sk AS (
+      SELECT CASE WHEN event_id % 48 < 3
+                  THEN 9000000 + event_id % 48
+                  ELSE user_id END AS user_id
+      FROM events
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS freq,
+           user_id >= 9000000 AS injected
+    FROM sk
+    GROUP BY user_id
+    HAVING COUNT(*) * {HH_K} > (SELECT COUNT(*) FROM sk)
+    ORDER BY freq DESC, user_id ASC
+    """,
+)
+def agg_heavy_hitters_skewed_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg_heavy_hitters_checked on a GUARANTEED-skewed key column
+    (VERDICT r13 #8): the synthetic events table's per-user frequencies
+    thin toward the 1/128 threshold as SF grows, so the plain variant's
+    membership can legitimately approach empty — a contract that never
+    degenerates needs keys that clear the threshold BY CONSTRUCTION.
+    The fixture skew is derived deterministically from event_id (the
+    salted-join fixture pattern): rows with ``event_id % 48 < 3`` remap
+    to one of three injected keys 9000000..9000002, so each injected
+    key carries ~n/48 of the stream (2.08% >> phi = 1/128 = 0.78%) at
+    EVERY scale factor — the result always holds >= 3 heavy hitters,
+    flagged by the ``injected`` column the oracle pins.
+
+    Plan: identical two-phase Misra-Gries shape as the plain variant
+    (per-partition k-counter sketch over the DERIVED key -> candidate
+    superset by pigeonhole -> broadcast recount with integer
+    cross-multiplied threshold); the remap is a Catalyst projection
+    inside the scan stage, so the sketch phase sees the skewed
+    distribution exactly as a real boilerplate-dominated corpus would
+    present it. Scale: unchanged from the plain variant — phase-1
+    shuffle bounded by k * n_partitions candidates regardless of key
+    cardinality; the injected keys are precisely the hot keys MG is
+    built to survive."""
+    ev = load_table(spark, sf_dir, "events")
+    skewed = ev.select(
+        F.when(
+            F.col("event_id") % 48 < 3,
+            F.lit(9_000_000) + F.col("event_id") % 48,
+        )
+        .otherwise(F.col("user_id"))
+        .alias("user_id")
+    )
+
+    def _mg(batches):
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series(
+                    misra_gries_batches(batches, "user_id"), dtype="int64"
+                )
+            }
+        )
+
+    cands = (
+        skewed.mapInPandas(
+            _mg, T.StructType([T.StructField("user_id", T.LongType())])
+        ).distinct()
+    )
+    total = skewed.agg(F.count(F.lit(1)).alias("n"))
+    freqs = (
+        skewed.join(F.broadcast(cands), "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        freqs.crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * HH_K > F.col("n"))
+        .select(
+            "user_id",
+            "freq",
+            (F.col("user_id") >= 9_000_000).alias("injected"),
+        )
+        .orderBy(F.desc("freq"), F.asc("user_id"))
+    )
