@@ -1585,3 +1585,228 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("longest_span", F.lit(0)).alias("longest_span"),
         )
     )
+
+
+@query(
+    "text_line_rewrite",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    seg AS (
+      SELECT doc_id, i,
+             md5(array_to_string(w[i*{_LINE_TOKENS}+1 : i*{_LINE_TOKENS}+{_LINE_TOKENS}], ' ')) AS fp
+      FROM (SELECT doc_id, w,
+                   unnest(range(CAST(ceil(len(w) / {_LINE_TOKENS}.0) AS BIGINT))) AS i
+            FROM t)
+    ),
+    boiler AS (SELECT fp FROM seg GROUP BY fp HAVING COUNT(*) >= {_LINE_DUP_K}),
+    kept AS (
+      SELECT s.doc_id, s.i FROM seg s
+      LEFT JOIN boiler b ON s.fp = b.fp WHERE b.fp IS NULL
+    ),
+    ki AS (SELECT doc_id, list_sort(array_agg(i)) AS ks FROM kept GROUP BY doc_id),
+    reb AS (
+      SELECT t.doc_id,
+             -- DuckDB's array_to_string of an EMPTY list is NULL (Spark's
+             -- array_join is ''): coalesce so all-boiler docs pin md5('')
+             COALESCE(array_to_string(
+               list_transform(COALESCE(ki.ks, CAST([] AS BIGINT[])),
+                 i -> array_to_string(t.w[i*{_LINE_TOKENS}+1 : i*{_LINE_TOKENS}+{_LINE_TOKENS}], ' ')),
+               ' '), '') AS clean,
+             CAST(COALESCE(len(ki.ks), 0) AS BIGINT) AS n_kept
+      FROM t LEFT JOIN ki USING (doc_id)
+    )
+    SELECT doc_id, md5(clean) AS clean_md5, n_kept,
+           CAST(length(clean) AS BIGINT) AS clean_chars
+    FROM reb
+    """,
+)
+def text_line_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REWRITE leg of text_line_dedup (VERDICT r13 #3): where the
+    accounting query reports kept/removed counts, this one EMITS the
+    cleaned corpus — each document reconstructed from its non-boilerplate
+    5-token lines, hash-pinned per document (``md5(clean_text)``) so the
+    driver certifies the exact bytes a training pipeline would ship.
+
+    Plan constraint (stated in the VERDICT and held here): the dedup
+    rejoin carries (doc_id, line-position, 16-byte fingerprint) ONLY —
+    the corpus-wide line count, the boiler filter, and the kept-position
+    aggregation all run over those narrow rows; document BODIES join
+    exactly once, at the end, against the per-doc sorted kept-position
+    array, and the line text is re-derived from the body by the same
+    slice arithmetic that fingerprinted it (cheaper at 100 TB than
+    shuffling line text through three stages: positions are 8 bytes,
+    lines are hundreds).
+
+    All-boiler documents still appear (left join; empty kept array ->
+    clean_text = '' and md5('') pins that). Skew posture inherits
+    text_line_dedup's: the count side is one row per fingerprint, the
+    anti-join never multiplies rows, AQE splits hot fingerprint
+    partitions; the final body join is doc_id-keyed — perfectly spread.
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "w", F.split("text", " ")
+    )
+    lines = F.expr(
+        f"transform(sequence(0, cast(ceil(size(w) / {_LINE_TOKENS}.0) as int) - 1),"
+        f" i -> array_join(slice(w, i*{_LINE_TOKENS}+1, {_LINE_TOKENS}), ' '))"
+    )
+    seg = docs.select(
+        "doc_id", F.posexplode(lines).alias("i", "line")
+    ).select("doc_id", "i", F.md5("line").alias("fp"))
+    boiler = (
+        seg.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _LINE_DUP_K)
+        .select("fp")
+    )
+    kept_idx = (
+        seg.join(boiler, "fp", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("i")).alias("ks"))
+    )
+    rebuilt = docs.join(kept_idx, "doc_id", "left").withColumn(
+        "clean",
+        F.expr(
+            "array_join(transform(coalesce(ks, cast(array() as array<int>)),"
+            f" i -> array_join(slice(w, i*{_LINE_TOKENS}+1, {_LINE_TOKENS}), ' ')), ' ')"
+        ),
+    )
+    return rebuilt.select(
+        "doc_id",
+        F.md5("clean").alias("clean_md5"),
+        F.coalesce(F.size("ks"), F.lit(0)).cast("long").alias("n_kept"),
+        F.length("clean").cast("long").alias("clean_chars"),
+    )
+
+
+@query(
+    "dedup_span_rewrite",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    seg AS (
+      SELECT doc_id, i,
+             md5(array_to_string(w[i : i + {_SPAN_K} - 1], ' ')) AS fp
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) - {_SPAN_K} + 2)) AS i
+            FROM t WHERE len(w) >= {_SPAN_K})
+    ),
+    cnt AS (SELECT fp FROM seg GROUP BY fp
+            HAVING COUNT(*) >= {_SPAN_MIN_COUNT}),
+    dup AS (SELECT s.doc_id, s.i FROM seg s JOIN cnt USING (fp)),
+    isl AS (
+      SELECT doc_id, i,
+             CASE WHEN i > COALESCE(MAX(i + {_SPAN_K} - 1) OVER (
+                    PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM dup
+    ),
+    isl2 AS (SELECT doc_id, i,
+                    SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS gid
+             FROM isl),
+    spans AS (SELECT doc_id, gid, MIN(i) AS s, MAX(i) + {_SPAN_K} - 1 AS e
+              FROM isl2 GROUP BY doc_id, gid),
+    cov AS (SELECT DISTINCT doc_id, unnest(generate_series(s, e)) AS p
+            FROM spans),
+    pos AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS p FROM t),
+    keptp AS (
+      SELECT pos.doc_id, pos.p FROM pos
+      LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+      WHERE cov.p IS NULL
+    ),
+    reb AS (
+      SELECT k.doc_id,
+             array_to_string(array_agg(t.w[k.p] ORDER BY k.p), ' ') AS clean,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM keptp k JOIN t USING (doc_id) GROUP BY k.doc_id
+    )
+    SELECT t.doc_id,
+           md5(COALESCE(reb.clean, '')) AS clean_md5,
+           COALESCE(reb.n_kept, 0) AS n_kept,
+           CAST(len(t.w) - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed
+    FROM t LEFT JOIN reb USING (doc_id)
+    """,
+)
+def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REWRITE leg of dedup_substring_spans (VERDICT r13 #3): cut
+    every token covered by a merged duplicated span (Lee et al. 2021
+    ExactSubstr semantics — all occurrences of a corpus-repeated span
+    are removed; the span accounting query measures, this one acts) and
+    emit the surviving document, hash-pinned per doc via
+    ``md5(clean_text)`` plus kept/removed token counts.
+
+    Plan: identical narrow-row pipeline as the accounting query through
+    span merging — sliding-window fingerprints, corpus count, dup join,
+    gaps-and-islands — then spans AGGREGATE to one per-doc array of
+    (start, end) structs (bounded by spans per document, not corpus
+    size) and document bodies join exactly once at the end. The cut
+    itself is pure Catalyst: kept positions = filter(sequence(1, |w|),
+    p -> no span covers p) evaluated against the per-doc span array —
+    per-token cost is O(spans-in-doc), tiny and driver-free; no UDF.
+
+    Documents shorter than the window or with no duplicated span pass
+    through verbatim (left join keeps them; their clean text is the
+    original token stream re-joined). 100 TB posture inherits
+    dedup_substring_spans' argument — the only new exchange is the
+    per-doc span-array rollup, strictly smaller than the dup-window
+    relation it aggregates."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "w", F.split("text", " ")
+    )
+    grams = F.expr(
+        f"transform(sequence(1, size(w) - {_SPAN_K} + 1),"
+        f" i -> struct(i, md5(array_join(slice(w, i, {_SPAN_K}), ' ')) AS fp))"
+    )
+    seg = (
+        docs.filter(F.size("w") >= _SPAN_K)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.col("g.i").alias("i"), F.col("g.fp").alias("fp"))
+    )
+    dup_fps = (
+        seg.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _SPAN_MIN_COUNT)
+        .select("fp")
+    )
+    dup = seg.join(dup_fps, "fp").select("doc_id", "i")
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = dup.withColumn(
+        "brk",
+        F.when(
+            F.col("i")
+            > F.coalesce(F.max(F.col("i") + _SPAN_K - 1).over(prev), F.lit(-1))
+            + 1,
+            1,
+        ).otherwise(0),
+    )
+    run = Window.partitionBy("doc_id").orderBy("i")
+    spans = (
+        isl.withColumn("gid", F.sum("brk").over(run))
+        .groupBy("doc_id", "gid")
+        .agg(F.min("i").alias("s"), (F.max("i") + _SPAN_K - 1).alias("e"))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("spans"))
+    )
+    rebuilt = (
+        docs.join(spans, "doc_id", "left")
+        .withColumn(
+            "kept",
+            F.expr(
+                "filter(sequence(1, size(w)), p -> NOT exists("
+                "coalesce(spans, cast(array() as array<struct<s:int,e:int>>)),"
+                " sp -> p >= sp.s AND p <= sp.e))"
+            ),
+        )
+        .withColumn(
+            "clean", F.expr("array_join(transform(kept, p -> element_at(w, p)), ' ')")
+        )
+    )
+    return rebuilt.select(
+        "doc_id",
+        F.md5("clean").alias("clean_md5"),
+        F.size("kept").cast("long").alias("n_kept"),
+        (F.size("w") - F.size("kept")).cast("long").alias("n_removed"),
+    )

@@ -79,3 +79,56 @@ def test_self_repetition_within_one_doc(spark, tmp_path):
     assert d["n_spans"] == 2
     assert d["dup_tokens"] == 24
     assert out[1]["n_dup_windows"] == 0
+
+
+def test_span_rewrite_cuts_exactly_the_spans(spark, tmp_path):
+    """dedup_span_rewrite must cut EXACTLY the merged span intervals the
+    accounting query reports: per doc, n_removed == dup_tokens and the
+    surviving text is the original minus those token ranges."""
+    from distributed_video_analytics_flink_spark.operators.dedup import (
+        dedup_span_rewrite,
+    )
+
+    docs = [
+        f"{P} u1 u2 u3 u4",
+        f"v1 v2 v3 {P} v4",
+        "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10",
+        "d1 d2 d3 d4 d5",
+    ]
+    sf = _write_docs(spark, tmp_path, docs)
+    acc = {r["doc_id"]: r.asDict() for r in dedup_substring_spans(spark, sf).collect()}
+    rew = {r["doc_id"]: r.asDict() for r in dedup_span_rewrite(spark, sf).collect()}
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    for d in acc:
+        assert rew[d]["n_removed"] == acc[d]["dup_tokens"]
+        assert rew[d]["n_kept"] + rew[d]["n_removed"] == len(docs[d].split(" "))
+    # P (12 tokens) cut from both carriers; unique docs pass verbatim
+    assert rew[0]["clean_md5"] == md5("u1 u2 u3 u4")
+    assert rew[1]["clean_md5"] == md5("v1 v2 v3 v4")
+    assert rew[2]["clean_md5"] == md5(docs[2])
+    assert rew[3]["clean_md5"] == md5(docs[3])
+
+
+def test_line_rewrite_agrees_with_line_accounting(spark):
+    """text_line_rewrite and text_line_dedup must tell one story on the
+    real fixture corpus: identical per-doc kept-line counts, and the
+    rewritten byte count equals the original minus removed characters
+    minus the separators that leave with each removed line."""
+    from pyspark.sql import functions as F
+
+    from distributed_video_analytics_flink_spark.operators.dedup import (
+        text_line_dedup,
+        text_line_rewrite,
+    )
+    from tests.conftest import SF_DIR
+
+    acc = {r["doc_id"]: r.asDict() for r in text_line_dedup(spark, SF_DIR).collect()}
+    rew = {r["doc_id"]: r.asDict() for r in text_line_rewrite(spark, SF_DIR).collect()}
+    assert set(acc) == set(rew)
+    for d, a in acc.items():
+        assert rew[d]["n_kept"] == a["n_kept"]
+        # all-boiler docs must still be present, as the empty document
+        if a["n_kept"] == 0:
+            assert rew[d]["clean_chars"] == 0
