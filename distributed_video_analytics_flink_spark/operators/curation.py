@@ -1527,3 +1527,171 @@ def curation_incremental_signatures(spark: SparkSession, sf_dir: str) -> DataFra
     return recomputed.select("doc_id", "recomputed", *hs).unionByName(
         carried.select("doc_id", "recomputed", *hs)
     )
+
+
+def _bands_from_sigs(sig: DataFrame) -> DataFrame:
+    """Unpivot any (doc_id, h0..h15) signature frame into band rows
+    (doc_id, bh array, band_id, band_hash) — the _minhash_bands layout,
+    parameterized by source so the incremental pair join can band the
+    DELTA and the AT-REST signature tables separately."""
+    from distributed_video_analytics_flink_spark.operators.dedup import N_BANDS
+
+    band_hashes = [
+        F.md5(
+            F.concat_ws(":", *[F.col(f"h{b * 4 + r}") for r in range(4)])
+        ).alias(f"bh{b}")
+        for b in range(N_BANDS)
+    ]
+    return (
+        sig.select("doc_id", F.array(*band_hashes).alias("bh"))
+        .select(
+            "doc_id",
+            "bh",
+            F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band_id"),
+        )
+        .select(
+            "doc_id", "bh", "band_id", F.col("bh")[F.col("band_id")].alias("band_hash")
+        )
+    )
+
+
+def _incremental_pairs_oracle() -> str:
+    from distributed_video_analytics_flink_spark.operators.dedup import (
+        _duck_minhash_cte,
+    )
+
+    cte = _duck_minhash_cte().replace(
+        "FROM documents",
+        "FROM (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 4)",
+    )
+    return f"""
+    WITH {cte},
+    bands AS (
+      SELECT doc_id, b.band_id, b.band_hash
+      FROM sigs, LATERAL (
+        SELECT * FROM (VALUES
+          (0, md5(h0 || ':' || h1 || ':' || h2 || ':' || h3)),
+          (1, md5(h4 || ':' || h5 || ':' || h6 || ':' || h7)),
+          (2, md5(h8 || ':' || h9 || ':' || h10 || ':' || h11)),
+          (3, md5(h12 || ':' || h13 || ':' || h14 || ':' || h15))) AS v(band_id, band_hash)
+      ) b
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           (a.doc_id % 10 NOT IN (3, 7)) AND (b.doc_id % 10 NOT IN (3, 7))
+             AS carried
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    """
+
+
+@query("dedup_incremental_pairs", oracle=_incremental_pairs_oracle())
+def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup PAIR maintenance (VERDICT r13 #4) — the
+    payoff of curation_incremental_signatures: after a crawl delta, the
+    LSH band join runs DELTA x CORPUS, never corpus x corpus, and the
+    at-rest pair set is carried forward minus tombstones.
+
+    Fixture state (the curation_snapshot_delta derivation): the old
+    snapshot lacks %10==7 docs and had reversed text for %10==3; the new
+    snapshot lacks %10==4. The at-rest inputs — old signatures, old
+    pairs — are built in-query from the old snapshot (in production they
+    are yesterday's parquet); the INCREMENTAL plan then touches only:
+
+    - tombstones: old pairs lose every pair with a 'removed' or
+      'changed' endpoint (two anti-joins on an endpoint-id relation
+      that is delta-sized, not corpus-sized);
+    - carried: surviving old pairs pass through untouched — their
+      endpoints' signatures are bit-identical in the new snapshot, so
+      re-banding them can only reproduce them;
+    - delta join: band rows of the 'added'+'changed' docs
+      (delta-sized) hash-join the FULL new band table. The delta side
+      is the hint("shuffle_hash") BUILD side — a daily delta (1-5% of
+      corpus) fits a hash table per task where the corpus side never
+      would, and the probe side streams without sorting
+      (tests/test_incremental_pairs.py pins ShuffledHashJoin +
+      BuildLeft in the physical plan). Delta-delta double-emission is
+      killed row-locally (keep a<b only when BOTH endpoints are delta);
+      multi-band agreement dedups by the first-match predicate — no
+      .distinct() over the pair set anywhere.
+
+    The union must equal a FULL LSH recompute over the new snapshot:
+    the oracle recomputes from scratch and also pins the ``carried``
+    provenance flag (a pair is carried iff neither endpoint is in the
+    delta — %10 in {3, 7}). Equality is additionally test-pinned via
+    two-way exceptAll against the engine's own full recompute.
+
+    100 TB: signature build cost scales with the delta (the r13
+    operator); THIS closes the remaining corpus-scale term — pair
+    generation now shuffles O(delta x bands) build rows + O(corpus x
+    bands) probe rows once, with no corpus-side hash table, instead of
+    re-banding the corpus against itself."""
+    from distributed_video_analytics_flink_spark.operators.dedup import (
+        N_BANDS,
+        _first_match_pred,
+        minhash_signature_df,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mod10 = F.col("doc_id") % 10
+    old_docs = docs.filter(mod10 != 7).select(
+        "doc_id",
+        F.when(mod10 == 3, F.reverse("text")).otherwise(F.col("text")).alias("text"),
+    )
+    old_sigs = minhash_signature_df(old_docs)
+    old_bands = _bands_from_sigs(old_sigs)
+
+    # the at-rest pair table, as the previous run left it
+    oa, ob = old_bands.alias("a"), old_bands.alias("b")
+    first_match = _first_match_pred(lambda s, i: f"{s}.bh[{i}]", N_BANDS)
+    old_pairs = (
+        oa.join(
+            ob,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(first_match)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+
+    delta = curation_snapshot_delta(spark, sf_dir)
+    gone = delta.filter(F.col("status").isin("removed", "changed")).select("doc_id")
+    carried = (
+        old_pairs.join(gone, old_pairs.doc_a == gone.doc_id, "left_anti")
+        .join(gone, F.col("doc_b") == gone.doc_id, "left_anti")
+        .select("doc_a", "doc_b", F.lit(True).alias("carried"))
+    )
+
+    delta_ids = delta.filter(F.col("status").isin("added", "changed")).select(
+        "doc_id"
+    )
+    new_sigs = minhash_signature_df(docs.filter(mod10 != 4).select("doc_id", "text"))
+    all_bands = _bands_from_sigs(new_sigs).join(
+        delta_ids.withColumnRenamed("doc_id", "did"),
+        F.col("doc_id") == F.col("did"),
+        "left",
+    ).select(
+        "doc_id", "bh", "band_id", "band_hash", F.col("did").isNotNull().alias("is_delta")
+    )
+    delta_bands = _bands_from_sigs(
+        new_sigs.join(delta_ids, "doc_id", "left_semi")
+    ).hint("shuffle_hash")
+
+    da, ab = delta_bands.alias("a"), all_bands.alias("b")
+    delta_pairs = (
+        da.join(
+            ab,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (~F.col("b.is_delta") | (F.col("a.doc_id") < F.col("b.doc_id"))),
+        )
+        .filter(first_match)
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            F.lit(False).alias("carried"),
+        )
+    )
+    return carried.unionByName(delta_pairs)
