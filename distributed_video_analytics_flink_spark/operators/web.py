@@ -216,3 +216,217 @@ def corpus_warc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [tuple(r) for r in rows], "target_uri string, text string, n_tokens long"
     )
+
+
+# --- HTML boilerplate extraction (VERDICT r13 #2) -------------------------
+# jusText/trafilatura-family block classification (public algorithms:
+# Pomikalek 2011 "Removing boilerplate and duplicate content from web
+# corpora"), reduced to its two load-bearing, integer-decidable signals:
+# block text length and link density. Thresholds:
+_HTML_MIN_BLOCK_CHARS = 20  # jusText's LENGTH_LOW analog
+_HTML_MAX_LINK_NUM = 1  # link density <= 1/4, decided as 4*link <= len
+_HTML_BLOCK_SPLIT = (
+    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|"
+    "br|hr|section|article|aside|nav|header|footer|main|blockquote|pre|"
+    "form|fieldset|figure|figcaption|title|head|body|html)[^>]*>"
+)
+
+
+def _html_fixture_segments() -> dict[str, bytes]:
+    """Two deterministic segments for the extraction contract: a
+    nav-heavy page (boilerplate-dominated: nav list, footer link bar,
+    short title — exactly one real paragraph survives) and a two-
+    paragraph article whose second paragraph carries an inline link
+    (low link density — must be KEPT) plus a related-links list (high
+    link density — must be dropped). The article segment uses the
+    gzipped member layout so both container paths stay exercised."""
+    from distributed_video_analytics_flink_spark.sources.warc import build_warc
+
+    nav_heavy = (
+        b"<html><head><title>Site</title><style>p{color:red}</style></head>"
+        b"<body><nav><ul><li><a href=\"/\">Home</a></li>"
+        b"<li><a href=\"/about\">About</a></li>"
+        b"<li><a href=\"/contact\">Contact</a></li></ul></nav>"
+        b"<!-- layout comment -->"
+        b"<div><p>The quick brown fox jumps over the lazy dog near the"
+        b" river bank.</p></div>"
+        b"<footer><a href=\"/privacy\">Privacy policy</a> | "
+        b"<a href=\"/terms\">Terms of use</a></footer></body></html>"
+    )
+    article = (
+        b"<html><head><title>T2</title>"
+        b"<script>var x = 1;</script></head><body>"
+        b"<article><p>Spark structured streaming handles late data with"
+        b" watermarks and stateful operators.</p>"
+        b"<p>Read the <a href=\"/docs\">documentation</a> for deeper"
+        b" details about checkpointing and state stores.</p></article>"
+        b"<div class=\"related\"><ul>"
+        b"<li><a href=\"/p1\">Related post one</a></li>"
+        b"<li><a href=\"/p2\">Related post two</a></li></ul></div>"
+        b"</body></html>"
+    )
+    seg_nav = build_warc(
+        [
+            dict(
+                warc_type="response",
+                target_uri="http://fixture.example/nav-heavy",
+                http_body=nav_heavy,
+                status=200,
+            ),
+        ]
+    )
+    seg_art = build_warc(
+        [
+            dict(
+                warc_type="response",
+                target_uri="http://fixture.example/article",
+                http_body=article,
+                status=200,
+            ),
+            dict(
+                warc_type="response",
+                target_uri="http://fixture.example/plain-short",
+                http_body=b"<html><body><p>too short</p></body></html>",
+                status=200,
+            ),
+        ],
+        gzipped=True,
+    )
+    return {"seg-nav.warc": seg_nav, "seg-art.warc.gz": seg_art}
+
+
+def html_extract_columns(html_col: str = "html"):
+    """(main_text, n_blocks, n_content, boiler_chars) Catalyst column
+    expressions implementing the block classifier over a decoded HTML
+    string column — shared by the registered query and any pipeline
+    composition. Pure Catalyst: script/style subtrees and comments are
+    regexp-removed, the document splits into blocks at block-level tag
+    boundaries, and each block carries (clean text, anchor-text chars);
+    classification is the integer predicate
+    ``len >= {mn} AND 4*link_chars <= len``. No UDF, no explode — the
+    per-page block array never leaves the row."""
+    strip = (
+        "trim(regexp_replace(regexp_replace({e}, '<[^>]*>', ' '),"
+        " '\\\\s+', ' '))"
+    )
+    pre = (
+        f"regexp_replace(regexp_replace({html_col},"
+        " '(?is)<(script|style)[^>]*>.*?</\\\\1>', ' '),"
+        " '(?s)<!--.*?-->', ' ')"
+    )
+    blocks = (
+        "filter(transform("
+        f"split({pre}, '{_HTML_BLOCK_SPLIT}'),"
+        " b -> named_struct("
+        f"   'text', {strip.format(e='b')},"
+        "    'link_chars', aggregate("
+        "      regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1), 0,"
+        f"     (acc, x) -> acc + length({strip.format(e='x')}))"
+        " )), s -> length(s.text) > 0)"
+    )
+    keep_body = (
+        f"length({{s}}.text) >= {_HTML_MIN_BLOCK_CHARS}"
+        " AND 4 * {s}.link_chars <= length({s}.text)"
+    )
+    keep = "s -> " + keep_body.format(s="s")
+    drop = "s -> NOT (" + keep_body.format(s="s") + ")"
+    main_text = F.expr(
+        f"array_join(transform(filter({blocks}, {keep}), s -> s.text), '\\n')"
+    )
+    n_blocks = F.expr(f"size({blocks})").cast("long")
+    n_content = F.expr(f"size(filter({blocks}, {keep}))").cast("long")
+    boiler_chars = F.expr(
+        f"aggregate(filter({blocks}, {drop}), 0,"
+        " (acc, s) -> acc + length(s.text))"
+    ).cast("long")
+    return main_text, n_blocks, n_content, boiler_chars
+
+
+@query(
+    "corpus_html_extract",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('http://fixture.example/nav-heavy',
+       'The quick brown fox jumps over the lazy dog near the river bank.',
+       CAST(6 AS BIGINT), CAST(1 AS BIGINT), CAST(49 AS BIGINT)),
+      ('http://fixture.example/article',
+       'Spark structured streaming handles late data with watermarks and stateful operators.'
+         || chr(10) ||
+         'Read the documentation for deeper details about checkpointing and state stores.',
+       CAST(5 AS BIGINT), CAST(2 AS BIGINT), CAST(34 AS BIGINT)),
+      ('http://fixture.example/plain-short', '',
+       CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(9 AS BIGINT))
+    ) AS t(target_uri, main_text, n_blocks, n_content, boiler_chars)
+    """,
+)
+def corpus_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-density HTML boilerplate extraction over the WARC leg
+    (VERDICT r14 task #2) — the jusText-family block classifier
+    (Pomikalek 2011; trafilatura's baseline rules) as a pure-Catalyst
+    operator replacing corpus_warc_text_stats' crude whole-page
+    tag-strip: script/style subtrees and comments are removed, the page
+    splits into blocks at block-level tag boundaries, each block gets
+    (clean text, anchor-text chars), and a block survives iff it is
+    long enough (>= 20 chars) AND link-sparse (4 * anchor_chars <=
+    text_chars — the integer-decided link-density <= 1/4 rule). The
+    kept blocks join with newlines into ``main_text``; the dropped
+    boilerplate is accounted per page.
+
+    VALUES-pinned end to end on purpose-built fixtures: a nav-heavy
+    page (nav list + footer link bar + short title: 5 of 6 blocks are
+    boilerplate and the ONE real paragraph survives verbatim), an
+    article whose second paragraph carries an inline link at density
+    13/80 (must be KEPT — naive any-link dropping fails here) next to a
+    related-links list at density 1 (dropped), and a too-short page
+    (clean empty extraction, not a dropped row).
+
+    100 TB shape: scan -> filter (status/mime at the WARC record edge)
+    -> one projection; the block array lives and dies inside its row
+    (no explode), every regex/aggregate is JVM-side Catalyst, zero
+    shuffles and zero Python. The classifier's two thresholds are the
+    deterministic core of the public algorithms; the stopword-density
+    leg jusText adds is language-dependent and belongs to the
+    downstream text_gopher_rules/text_quality_score gates this feeds.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from distributed_video_analytics_flink_spark.sources.warc_datasource import (
+        register_warc_source,
+    )
+
+    register_warc_source(spark)
+    root = tempfile.mkdtemp(prefix="dvafs-htmlx-")
+    try:
+        seg_dir = os.path.join(root, "segments")
+        os.makedirs(seg_dir)
+        for name, blob in _html_fixture_segments().items():
+            with open(os.path.join(seg_dir, name), "wb") as fh:
+                fh.write(blob)
+        main_text, n_blocks, n_content, boiler_chars = html_extract_columns(
+            "decode(body, 'UTF-8')"
+        )
+        rows = (
+            spark.read.format("warc")
+            .load(seg_dir)
+            .filter(
+                (F.col("http_status") == 200)
+                & F.col("http_content_type").startswith("text/html")
+            )
+            .select(
+                "target_uri",
+                main_text.alias("main_text"),
+                n_blocks.alias("n_blocks"),
+                n_content.alias("n_content"),
+                boiler_chars.alias("boiler_chars"),
+            )
+            .collect()  # bounded: 3 fixture pages
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [tuple(r) for r in rows],
+        "target_uri string, main_text string, n_blocks long,"
+        " n_content long, boiler_chars long",
+    )
