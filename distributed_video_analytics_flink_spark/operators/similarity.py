@@ -4486,3 +4486,270 @@ def sim_prefix_dim_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame
             "rerank_no_worse"
         ),
     )
+
+
+def _duck_retrain_post_ctes() -> str:
+    """Post-roll oracle CTEs: one Lloyd refinement of the PQ codebook
+    over the UNION corpus (frozen seeds = vectors 1..K of the build
+    corpus — the deterministic retrain the engine runs), the union's
+    codes under the retrained codebook, the query's retrained distance
+    table, and the probe-filtered ADC top-5."""
+    return f"""
+    d0u2 AS (
+      SELECT u.vec_id, sub.s, c.j,
+             list_sum(list_transform(generate_series(1, 16), i ->
+               CAST(round(
+                 (u.emb[sub.s * 16 + i] - c.cv[sub.s * 16 + i]::DOUBLE)
+                 * (u.emb[sub.s * 16 + i] - c.cv[sub.s * 16 + i]::DOUBLE)
+                 * {_Q}) AS BIGINT))) AS dist
+      FROM u, sub, cents c
+    ),
+    a0u2 AS (
+      SELECT vec_id, s, j FROM (
+        SELECT vec_id, s, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, j)
+                 AS rn
+        FROM d0u2) WHERE rn = 1
+    ),
+    mu AS (
+      SELECT a.s, a.j, d.i,
+             SUM(CAST(round(u.emb[a.s * 16 + d.i] * 1e6) AS BIGINT)) AS sq,
+             COUNT(*) AS n
+      FROM a0u2 a JOIN u ON a.vec_id = u.vec_id CROSS JOIN dims d
+      GROUP BY 1, 2, 3
+    ),
+    c1u AS (
+      SELECT sub.s, c.j, d.i,
+             COALESCE(mu.sq / 1e6 / mu.n,
+                      c.cv[sub.s * 16 + d.i]::DOUBLE) AS cvi
+      FROM cents c CROSS JOIN sub CROSS JOIN dims d
+      LEFT JOIN mu ON mu.s = sub.s AND mu.j = c.j AND mu.i = d.i
+    ),
+    d1u2 AS (
+      SELECT u.vec_id, c1u.s, c1u.j,
+             SUM(CAST(round(
+               (u.emb[c1u.s * 16 + c1u.i] - c1u.cvi)
+               * (u.emb[c1u.s * 16 + c1u.i] - c1u.cvi)
+               * {_Q}) AS BIGINT)) AS dist
+      FROM u CROSS JOIN c1u
+      GROUP BY 1, 2, 3
+    ),
+    a1u2 AS (
+      SELECT vec_id, s, j FROM (
+        SELECT vec_id, s, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, j)
+                 AS rn
+        FROM d1u2) WHERE rn = 1
+    ),
+    qd AS (
+      SELECT c1u.s, c1u.j,
+             SUM(CAST(round(
+               (q.qv[c1u.s * 16 + c1u.i]::DOUBLE - c1u.cvi)
+               * (q.qv[c1u.s * 16 + c1u.i]::DOUBLE - c1u.cvi)
+               * {_Q}) AS BIGINT)) AS dist
+      FROM q CROSS JOIN c1u
+      GROUP BY 1, 2
+    ),
+    adcu2 AS (
+      SELECT a.vec_id, CAST(SUM(qd.dist) AS BIGINT) AS adc
+      FROM a1u2 a JOIN qd ON qd.s = a.s AND qd.j = a.j
+      GROUP BY 1
+    ),
+    cand2 AS (
+      SELECT a.vec_id, a.adc
+      FROM adcu2 a
+      JOIN assignedu g ON g.vec_id = a.vec_id AND g.rn = 1
+      JOIN probes p ON p.cent_id = g.cent_id
+    ),
+    adctop2 AS (
+      SELECT vec_id FROM cand2 ORDER BY adc ASC, vec_id ASC LIMIT 5
+    )"""
+
+
+def _retrain_oracle() -> str:
+    # pre-roll legs are byte-for-byte the append-recall oracle's CTEs
+    # (same fixture drift, same stale-codebook serving); post-roll legs
+    # replay the retrain. Splitting at the final SELECT of the
+    # append-recall oracle keeps the two queries pinned to ONE
+    # pre-roll arithmetic.
+    from distributed_video_analytics_flink_spark.operators.registry import (
+        QUERIES as _REG,
+    )
+
+    pre = _REG["sim_ivf_pq_append_recall_checked"].oracle
+    pre_ctes = pre[: pre.index("SELECT\n      CAST((SELECT COUNT(*) FROM adctop")]
+    return f"""{pre_ctes}
+    ,{_duck_retrain_post_ctes()}
+    SELECT
+      CAST((SELECT COUNT(*) FROM adctop JOIN extop USING (vec_id)) AS BIGINT)
+        AS hits_pre,
+      CAST((SELECT COUNT(*) FROM adctop2 JOIN extop USING (vec_id)) AS BIGINT)
+        AS hits_post,
+      CAST((SELECT COUNT(*) FROM adctop2 WHERE vec_id >= 1000000) AS BIGINT)
+        AS n_new_in_adc_top5_post,
+      (SELECT COUNT(*) FROM adctop2 JOIN extop USING (vec_id))
+        >= (SELECT COUNT(*) FROM adctop JOIN extop USING (vec_id))
+        AS recall_recovered,
+      TRUE AS old_version_gone
+    """
+
+
+@query("sim_ivf_pq_retrain_checked", oracle=_retrain_oracle())
+def sim_ivf_pq_retrain_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrain-and-roll — the operator that ACTS on the staleness
+    sim_ivf_pq_append_recall_checked measures (VERDICT r13 #7): after
+    the blended append drifts the corpus past the frozen codebook, the
+    PQ codebook is RE-TRAINED on the current vectors (the engine's
+    deterministic training procedure: frozen seeds = build vectors
+    1..K, one exact-integer Lloyd M-step — now over the union corpus),
+    every current vector re-encodes under it, and the new version rolls
+    through the index store: stage -> model sidecar -> atomic publish
+    -> quarantine + zero-grace gc of the old version. Serving flips a
+    path; the old bytes are gone.
+
+    Driver-hash-pinned, per scale factor:
+    - ``hits_pre`` — ADC recall@5 numerator served from the APPENDED
+      stale index (byte-identical arithmetic to the append-recall
+      query's ``hits_at5``: the two queries share the oracle's pre-roll
+      CTE text);
+    - ``hits_post`` — the same serving path against the re-trained,
+      re-rolled version (same frozen coarse quantizer, so any recovery
+      is attributable to the codebook alone — the append-recall
+      decomposition showed candidate recall was already 5/5 and the
+      loss was ALL ADC ranking error, which retraining targets);
+    - ``recall_recovered`` — hits_post >= hits_pre, computed identically
+      on both engines (descriptive, not asserted: the oracle replays
+      the full retrain, so the flag is evidence either way);
+    - ``n_new_in_adc_top5_post`` — how many drift vectors the re-trained
+      index now surfaces;
+    - ``old_version_gone`` — the roll really retired v1 (resolve() is
+      None and the quarantined bytes are removed), pinned TRUE.
+
+    Scale: retraining is the codebook-training cost the build already
+    paid — an Arrow assign pass + one partial-aggregable M-step groupBy
+    whose result is a (subspaces x K x 16) constant; re-encoding is one
+    Arrow pass over current vectors; the publish is one rename. At
+    100 TB this is the scheduled offline roll (Faiss/ScaNN posture:
+    serve frozen, retrain out of band, flip atomically) triggered by
+    the append-recall staleness signal. Reference provenance: no index
+    surface exists in the reference (results go to Cassandra,
+    DataCassandraSink.java) — LLM-pipeline extension."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C, cn, qv, _qn, probes = _ivf_coarse_and_query(emb)
+    _, CT1 = _pq_refined_codebook(emb, cache_key=sf_dir)
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+
+    def _adc_top5(idx, qtab):
+        qt = F.array(
+            *[
+                F.array(*[F.lit(int(qtab[s, j])) for j in range(_PQ_K)])
+                for s in range(_PQ_SUBSPACES)
+            ]
+        )
+        adc = None
+        for s in range(_PQ_SUBSPACES):
+            term = F.element_at(F.element_at(qt, s + 1), F.col("codes")[s] + 1)
+            adc = term if adc is None else adc + term
+        cand = idx.filter(
+            F.col("cent_id").isin(probes) & (F.col("vec_id") != 0)
+        ).select("vec_id", adc.alias("adc"))
+        return [
+            int(r["vec_id"])
+            for r in cand.orderBy(F.asc("adc"), F.asc("vec_id")).limit(5).collect()
+        ]  # bounded: 5 rows
+
+    base = write_ivf_pq_index(spark, sf_dir, coarse=(C, cn))
+    store = DEFAULT_INDEX_STORE
+    root = tempfile.mkdtemp(prefix="dvafs-ivfpq-retrain-")
+    try:
+        v1 = os.path.join(root, "v1")
+        shutil.copytree(base, v1)
+        blended = emb.filter(F.col("vec_id").between(1, _N_APPEND)).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.zip_with(
+                F.col("embedding").cast("array<double>"), qlit, lambda x, y: x + y
+            ).alias("embedding"),
+        )
+        append_ivf_pq_index(blended, v1)
+
+        # pre-roll: stale-codebook serving (append-recall's arithmetic)
+        qtab_old = _np_q(
+            (qv.reshape(_PQ_SUBSPACES, 16)[:, None, :] - CT1) ** 2 * _Q
+        ).sum(axis=2)
+        pre_top = _adc_top5(read_ivf_pq_index(spark, v1), qtab_old)
+
+        # exact ground truth over the union corpus
+        union = (
+            emb.filter(F.col("vec_id") != 0)
+            .select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+            )
+            .unionAll(blended)
+        )
+        cosine = _cos_q(
+            _dot_q("embedding", "qv"),
+            _dot_q("embedding", "embedding"),
+            _dot_q("qv", "qv"),
+        )
+        extop = [
+            int(r["vec_id"])
+            for r in union.withColumn("qv", qlit)
+            .select("vec_id", cosine.alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(5)
+            .collect()
+        ]  # bounded: 5 rows
+
+        # retrain on CURRENT vectors; roll v2 through the store
+        _, CT1u = _pq_refined_codebook(union, cache_key=None)
+        v2 = os.path.join(root, "v2")
+        tmp = store.stage(v2)
+        (
+            _encode_to_index_rows(union, _ivf_pq_encoder(C, cn, CT1u))
+            .write.mode("overwrite")
+            .partitionBy("cent_id")
+            .parquet(tmp)
+        )
+        with open(os.path.join(tmp, _IVF_PQ_MODEL_FILE), "w") as fh:
+            json.dump(
+                {
+                    "format": _IVF_PQ_INDEX_FORMAT,
+                    "C": C.tolist(),
+                    "CT1": CT1u.tolist(),
+                },
+                fh,
+            )
+        store.publish(tmp, v2)
+        # retire the stale version: unpublish, then zero-grace gc
+        store.quarantine(v1)
+        store.gc(v1, keep_versions=0, grace_s=0.0)
+        old_gone = store.resolve(v1) is None and not os.path.exists(v1)
+
+        # post-roll: serve from the re-trained version
+        qtab_new = _np_q(
+            (qv.reshape(_PQ_SUBSPACES, 16)[:, None, :] - CT1u) ** 2 * _Q
+        ).sum(axis=2)
+        post_top = _adc_top5(read_ivf_pq_index(spark, v2), qtab_new)
+
+        hits_pre = len(set(pre_top) & set(extop))
+        hits_post = len(set(post_top) & set(extop))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                hits_pre,
+                hits_post,
+                sum(1 for v in post_top if v >= 1_000_000),
+                hits_post >= hits_pre,
+                bool(old_gone),
+            )
+        ],
+        "hits_pre bigint, hits_post bigint, n_new_in_adc_top5_post bigint,"
+        " recall_recovered boolean, old_version_gone boolean",
+    )
