@@ -107,3 +107,79 @@ def test_line_dedup_closed_form(spark, tmp_path):
     assert out[2] == (2, 1, 1, len(boiler))
     assert out[3] == (2, 2, 0, 0)  # rare line occurs only twice: kept
     assert out[4] == (1, 1, 0, 0)
+
+
+def _big_vocab(n_words: int = 240, seed: int = 7) -> tuple:
+    """Deterministic synthetic vocabulary large enough to learn >= 1000
+    merges (sum(len) - n_words bounds the learnable merge count)."""
+    rng = random.Random(seed)
+    return tuple(
+        sorted(
+            {
+                "".join(
+                    rng.choice("abcdefghijklmnopqrstuvwxyz")
+                    for _ in range(rng.randint(5, 12))
+                )
+                for _ in range(n_words)
+            }
+        )
+    )
+
+
+def test_heap_equals_chain_at_1k_merges():
+    """VERDICT r13 #6: the heap encoder must be exact BPE at a REALISTIC
+    merge count, where the replace chain stops being the right plan. A
+    ~1k-rule table is learned from a deterministic synthetic vocabulary;
+    the heap and the (parameterized) chain replica must agree on every
+    vocab word, on out-of-vocabulary fuzz, and on multi-word documents."""
+    from distributed_video_analytics_flink_spark.functions.bpe import (
+        chain_count_py,
+        encode_heap,
+    )
+
+    vocab = _big_vocab()
+    merges = tuple(learn_merges(vocab, 1100))
+    assert len(merges) >= 1000, len(merges)
+    for w in vocab:
+        assert chain_count_py(w, merges) == len(encode_heap(w, merges)), w
+    rng = random.Random(3)
+    for _ in range(300):
+        w = "".join(
+            rng.choice("abcdefghijklmnopqrstuvwxyz")
+            for _ in range(rng.randint(1, 20))
+        )
+        assert chain_count_py(w, merges) == len(encode_heap(w, merges)), w
+    doc = " ".join(rng.choice(vocab) for _ in range(50))
+    assert chain_count_py(doc, merges) == sum(
+        len(encode_heap(w, merges)) for w in doc.split(" ")
+    )
+
+
+def test_heap_equals_scan_reference_at_48_merges():
+    from distributed_video_analytics_flink_spark.functions.bpe import encode_heap
+
+    for w in FIXTURE_VOCAB:
+        assert encode_heap(w) == encode_py(w), w
+    rng = random.Random(11)
+    for _ in range(500):
+        w = "".join(
+            rng.choice("abcdefghijklmnopqrstuvwxyz")
+            for _ in range(rng.randint(1, 14))
+        )
+        assert encode_heap(w) == encode_py(w), w
+
+
+def test_heap_udf_matches_chain_column(spark):
+    """The pandas-UDF scale path and the Catalyst chain must produce
+    identical counts over real fixture documents."""
+    from distributed_video_analytics_flink_spark.functions.bpe import (
+        bpe_token_count_udf,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    out = docs.select(
+        bpe_token_count_col("text").alias("chain"),
+        bpe_token_count_udf()("text").alias("heap"),
+    )
+    assert out.filter(F.col("chain") != F.col("heap")).count() == 0
