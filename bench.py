@@ -211,6 +211,23 @@ HEADLINE = [
     "sim_prefix_dim_recall_checked",
     # round 13: exploratory path analysis (the funnel's dual)
     "events_session_paths_topk",
+    # round 14: the guaranteed-skew heavy-hitter contract, the cleaned-
+    # corpus rewrite legs (line- and span-dedup acting on their
+    # accounting), and the delta x corpus incremental LSH pair join
+    "agg_heavy_hitters_skewed_checked",
+    "text_line_rewrite",
+    "dedup_span_rewrite",
+    "dedup_incremental_pairs",
+    # round 14: the web-curation stages over the WARC leg — jusText-
+    # family HTML boilerplate extraction, URL-normalization dedup behind
+    # the broadcast host blocklist, registrable-domain host stats
+    "corpus_html_extract",
+    "corpus_host_stats",
+    "corpus_url_dedup",
+    # round 14: retrain-and-roll — the operator acting on the
+    # append-recall staleness signal (codebook retrain + version roll
+    # through the store, recall recovery hash-pinned)
+    "sim_ivf_pq_retrain_checked",
 ]
 
 MOTION_FRAMES_PER_CAM = 32
