@@ -382,11 +382,15 @@ def corpus_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: scan -> filter (status/mime at the WARC record edge)
     -> one projection; the block array lives and dies inside its row
-    (no explode), every regex/aggregate is JVM-side Catalyst, zero
-    shuffles and zero Python. The classifier's two thresholds are the
-    deterministic core of the public algorithms; the stopword-density
-    leg jusText adds is language-dependent and belongs to the
-    downstream text_gopher_rules/text_quality_score gates this feeds.
+    (no explode), every regex/aggregate is JVM-side Catalyst, and the
+    operator adds zero shuffles and zero Python BEYOND the WARC reader
+    itself (a Python Data Source without projection pushdown — the
+    honest accounting in sources/warc_datasource.py; pages cross the
+    Arrow hop once, then never again). The classifier's two thresholds
+    are the deterministic core of the public algorithms; the
+    stopword-density leg jusText adds is language-dependent and belongs
+    to the downstream text_gopher_rules/text_quality_score gates this
+    feeds.
     """
     import os
     import shutil
