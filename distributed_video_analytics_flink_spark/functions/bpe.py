@@ -40,6 +40,10 @@ n_merges) per document within a scan task.
 
 from __future__ import annotations
 
+# module-level on purpose: with `from __future__ import annotations` the
+# pandas_udf type hints below are strings, and pyspark resolves them via
+# THIS module's globals — a function-local `import pandas` leaves the
+# hints unresolvable (UNSUPPORTED_SIGNATURE at UDF build).
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F

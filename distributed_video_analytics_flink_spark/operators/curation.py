@@ -24,6 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from distributed_video_analytics_flink_spark.operators.dedup import (
+    _bands_from_sigs,
+    _materialize,
+)
 from distributed_video_analytics_flink_spark.operators.registry import query
 from distributed_video_analytics_flink_spark.operators.text_analysis import _STOP_SQL, _STOPWORDS
 from distributed_video_analytics_flink_spark.sources.tables import load_table
@@ -1529,32 +1533,6 @@ def curation_incremental_signatures(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-def _bands_from_sigs(sig: DataFrame) -> DataFrame:
-    """Unpivot any (doc_id, h0..h15) signature frame into band rows
-    (doc_id, bh array, band_id, band_hash) — the _minhash_bands layout,
-    parameterized by source so the incremental pair join can band the
-    DELTA and the AT-REST signature tables separately."""
-    from distributed_video_analytics_flink_spark.operators.dedup import N_BANDS
-
-    band_hashes = [
-        F.md5(
-            F.concat_ws(":", *[F.col(f"h{b * 4 + r}") for r in range(4)])
-        ).alias(f"bh{b}")
-        for b in range(N_BANDS)
-    ]
-    return (
-        sig.select("doc_id", F.array(*band_hashes).alias("bh"))
-        .select(
-            "doc_id",
-            "bh",
-            F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band_id"),
-        )
-        .select(
-            "doc_id", "bh", "band_id", F.col("bh")[F.col("band_id")].alias("band_hash")
-        )
-    )
-
-
 def _incremental_pairs_oracle() -> str:
     from distributed_video_analytics_flink_spark.operators.dedup import (
         _duck_minhash_cte,
@@ -1638,8 +1616,10 @@ def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(mod10 == 3, F.reverse("text")).otherwise(F.col("text")).alias("text"),
     )
-    old_sigs = minhash_signature_df(old_docs)
-    old_bands = _bands_from_sigs(old_sigs)
+    # materialized: both sides of the old-pairs self-join reuse one
+    # computed band table instead of re-running tokenize -> md5 -> 16-hash
+    # aggregation per branch (the _materialize contract, r14 review)
+    old_bands = _materialize(_bands_from_sigs(minhash_signature_df(old_docs)))
 
     # the at-rest pair table, as the previous run left it
     oa, ob = old_bands.alias("a"), old_bands.alias("b")
@@ -1667,16 +1647,29 @@ def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id"
     )
     new_sigs = minhash_signature_df(docs.filter(mod10 != 4).select("doc_id", "text"))
-    all_bands = _bands_from_sigs(new_sigs).join(
-        delta_ids.withColumnRenamed("doc_id", "did"),
-        F.col("doc_id") == F.col("did"),
-        "left",
-    ).select(
-        "doc_id", "bh", "band_id", "band_hash", F.col("did").isNotNull().alias("is_delta")
+    # ONE materialized band table of the new snapshot serves both join
+    # sides: the probe side uses it whole, the build side is the is_delta
+    # slice — no second signature computation over the delta (r14 review)
+    all_bands = _materialize(
+        _bands_from_sigs(new_sigs)
+        .join(
+            delta_ids.withColumnRenamed("doc_id", "did"),
+            F.col("doc_id") == F.col("did"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "bh",
+            "band_id",
+            "band_hash",
+            F.col("did").isNotNull().alias("is_delta"),
+        )
     )
-    delta_bands = _bands_from_sigs(
-        new_sigs.join(delta_ids, "doc_id", "left_semi")
-    ).hint("shuffle_hash")
+    delta_bands = (
+        all_bands.filter("is_delta")
+        .select("doc_id", "bh", "band_id", "band_hash")
+        .hint("shuffle_hash")
+    )
 
     da, ab = delta_bands.alias("a"), all_bands.alias("b")
     delta_pairs = (

@@ -270,20 +270,23 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialized unpivoted band rows (doc_id, bh array, band_id,
-    band_hash). Each exploded row carries ALL band hashes (an array
-    column), not just its own: that makes "is this the pair's FIRST
-    agreeing band" a row-local predicate, replacing the .distinct() shuffle
-    over the pair set with a filter. The extra 3 digests widen the bands
-    shuffle by ~96 bytes/row — O(docs x bands) — while distinct shuffles
-    O(candidate pairs), the quantity LSH cannot bound below collisions."""
-    sig = _minhash_signature(spark, sf_dir)
+def _bands_from_sigs(sig: DataFrame) -> DataFrame:
+    """Unpivot any (doc_id, h0..h15) signature frame into band rows
+    (doc_id, bh array, band_id, band_hash). Each exploded row carries ALL
+    band hashes (an array column), not just its own: that makes "is this
+    the pair's FIRST agreeing band" a row-local predicate, replacing the
+    .distinct() shuffle over the pair set with a filter. The extra 3
+    digests widen the bands shuffle by ~96 bytes/row — O(docs x bands) —
+    while distinct shuffles O(candidate pairs), the quantity LSH cannot
+    bound below collisions. ONE implementation by design (r14 review):
+    the at-rest LSH queries and the incremental delta x corpus pair join
+    must band identically or re-parameterizing N_BANDS desynchronizes
+    them silently."""
     band_hashes = [
         F.md5(F.concat_ws(":", *[F.col(f"h{b * 4 + r}") for r in range(4)])).alias(f"bh{b}")
         for b in range(N_BANDS)
     ]
-    return _materialize(
+    return (
         sig.select("doc_id", F.array(*band_hashes).alias("bh"))
         .select(
             "doc_id",
@@ -292,6 +295,12 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "bh", "band_id", F.col("bh")[F.col("band_id")].alias("band_hash"))
     )
+
+
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized band rows of the sf documents table — the fixture-
+    bound form of :func:`_bands_from_sigs`."""
+    return _materialize(_bands_from_sigs(_minhash_signature(spark, sf_dir)))
 
 
 LSH_MAX_BUCKET = 16  # per-(band_id, band_hash) population cap, capped variant

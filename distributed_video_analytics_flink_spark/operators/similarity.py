@@ -4121,9 +4121,11 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(loc, ignore_errors=True)
 
 
-@query(
-    "sim_ivf_pq_append_recall_checked",
-    oracle=f"""
+# The append-recall oracle, split at its final SELECT so the retrain
+# oracle can extend the SAME pre-roll CTE text without splicing the
+# registered string by substring search (r14 review: a reformat of
+# the final SELECT previously broke module import).
+_DUCK_APPEND_RECALL_CTES = f"""
     WITH {_DUCK_PQ_REFINED},
     coarse AS (
       SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
@@ -4204,7 +4206,9 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM u, q
     ),
     extop AS (SELECT vec_id FROM exact ORDER BY cosine DESC, vec_id ASC LIMIT 5)
-    SELECT
+    """
+
+_DUCK_APPEND_RECALL_FINAL = """SELECT
       CAST((SELECT COUNT(*) FROM adctop JOIN extop USING (vec_id)) AS BIGINT)
         AS hits_at5,
       CAST((SELECT COUNT(*) FROM cand JOIN extop USING (vec_id)) AS BIGINT)
@@ -4216,7 +4220,12 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
       (SELECT COUNT(*) FROM adctop JOIN extop USING (vec_id))
         <= (SELECT COUNT(*) FROM cand JOIN extop USING (vec_id))
         AS adc_hits_within_cand
-    """,
+    """
+
+
+@query(
+    "sim_ivf_pq_append_recall_checked",
+    oracle=_DUCK_APPEND_RECALL_CTES + _DUCK_APPEND_RECALL_FINAL,
 )
 def sim_ivf_pq_append_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall-AFTER-APPEND contract for the IVF+PQ index (VERDICT r12
@@ -4568,17 +4577,11 @@ def _duck_retrain_post_ctes() -> str:
 
 def _retrain_oracle() -> str:
     # pre-roll legs are byte-for-byte the append-recall oracle's CTEs
-    # (same fixture drift, same stale-codebook serving); post-roll legs
-    # replay the retrain. Splitting at the final SELECT of the
-    # append-recall oracle keeps the two queries pinned to ONE
-    # pre-roll arithmetic.
-    from distributed_video_analytics_flink_spark.operators.registry import (
-        QUERIES as _REG,
-    )
-
-    pre = _REG["sim_ivf_pq_append_recall_checked"].oracle
-    pre_ctes = pre[: pre.index("SELECT\n      CAST((SELECT COUNT(*) FROM adctop")]
-    return f"""{pre_ctes}
+    # (same fixture drift, same stale-codebook serving); the shared
+    # _DUCK_APPEND_RECALL_CTES constant keeps the two queries pinned to
+    # ONE pre-roll arithmetic without substring-splicing the registered
+    # string (r14 review).
+    return f"""{_DUCK_APPEND_RECALL_CTES}
     ,{_duck_retrain_post_ctes()}
     SELECT
       CAST((SELECT COUNT(*) FROM adctop JOIN extop USING (vec_id)) AS BIGINT)

@@ -224,7 +224,10 @@ def corpus_warc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpora"), reduced to its two load-bearing, integer-decidable signals:
 # block text length and link density. Thresholds:
 _HTML_MIN_BLOCK_CHARS = 20  # jusText's LENGTH_LOW analog
-_HTML_MAX_LINK_NUM = 1  # link density <= 1/4, decided as 4*link <= len
+# link density threshold as an exact rational: keep iff
+# DEN * link_chars <= NUM * text_chars  (i.e. density <= NUM/DEN = 1/4)
+_HTML_LINK_DENSITY_NUM = 1
+_HTML_LINK_DENSITY_DEN = 4
 _HTML_BLOCK_SPLIT = (
     "(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|"
     "br|hr|section|article|aside|nav|header|footer|main|blockquote|pre|"
@@ -326,7 +329,8 @@ def html_extract_columns(html_col: str = "html"):
     )
     keep_body = (
         f"length({{s}}.text) >= {_HTML_MIN_BLOCK_CHARS}"
-        " AND 4 * {s}.link_chars <= length({s}.text)"
+        f" AND {_HTML_LINK_DENSITY_DEN} * {{s}}.link_chars"
+        f" <= {_HTML_LINK_DENSITY_NUM} * length({{s}}.text)"
     )
     keep = "s -> " + keep_body.format(s="s")
     drop = "s -> NOT (" + keep_body.format(s="s") + ")"
@@ -452,9 +456,15 @@ _TWO_LEVEL_SUFFIXES = ("co.uk", "org.uk", "ac.uk", "com.au", "co.jp")
 
 
 def url_parts_columns(uri_col: str = "target_uri"):
-    """(host, registrable_domain, norm_url) Catalyst expressions over a
-    raw URL column — shared by corpus_host_stats / corpus_url_dedup and
-    any pipeline composition."""
+    """(scheme, host, registrable_domain, path, raw_query) Catalyst
+    expressions over a raw URL column — the shared pieces behind
+    :func:`with_url_columns` (which also folds the tracking-param filter
+    and assembles ``norm_url``; use THAT for composition). Total on any
+    input: a URI with no scheme/host parses to empty-string parts, a
+    single-label host (localhost, intranet names) keeps itself as the
+    registrable domain — ``try_element_at`` keeps the label math from
+    throwing under Spark 4's default ANSI mode (r14 review: a plain
+    element_at(-2) killed the job on the first 'http://localhost/x')."""
     scheme = F.lower(F.regexp_extract(uri_col, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host_raw = F.lower(F.regexp_extract(uri_col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
     host_noport = (
@@ -464,34 +474,35 @@ def url_parts_columns(uri_col: str = "target_uri"):
     )
     host = F.regexp_replace(host_noport, r"^www\.", "")
     labels = F.split(host, r"\.")
-    suffix2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    suffix2 = F.when(
+        F.size(labels) >= 2,
+        F.concat_ws(
+            ".", F.try_element_at(labels, F.lit(-2)), F.try_element_at(labels, F.lit(-1))
+        ),
+    ).otherwise(host)
     in_psl = suffix2.isin(*_TWO_LEVEL_SUFFIXES)
     domain = F.when(
         in_psl & (F.size(labels) >= 3),
-        F.concat_ws(".", F.element_at(labels, -3), suffix2),
+        F.concat_ws(".", F.try_element_at(labels, F.lit(-3)), suffix2),
     ).otherwise(suffix2)
 
     rest = F.regexp_extract(uri_col, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1)
     path_q = F.split(rest, r"\?", 2)
     path0 = path_q[0]
-    path = F.when(path0 == "", F.lit("/")).otherwise(
-        F.when(path0 != "/", F.regexp_replace(path0, "/+$", "")).otherwise(path0)
-    )
+    # strip trailing slashes from a non-root path; a slashes-ONLY path is
+    # the root, not the empty path (r14 review: 'http://a//' must fold
+    # with 'http://a/', not mint a third canonical form)
+    stripped = F.regexp_replace(path0, "/+$", "")
+    path = F.when(stripped == "", F.lit("/")).otherwise(stripped)
     query_raw = F.when(F.size(path_q) > 1, path_q[1]).otherwise(F.lit(""))
-    kept_params = F.expr(
-        "filter(split(QRAW, '&'), p -> p != '' AND"
-        " p NOT RLIKE '^(utm_[^=]*|fbclid|gclid)(=|$)')"
-    )
-    # F.expr can't reference a Column; inline via a struct projection seam:
-    # callers get a closure that applies to a DataFrame instead.
-    return scheme, host, domain, path, query_raw, kept_params
+    return scheme, host, domain, path, query_raw
 
 
 def with_url_columns(df: DataFrame, uri_col: str = "target_uri") -> DataFrame:
     """Append (host, domain, norm_url) to ``df`` — the composable form
     (the expressions need a named intermediate for the query-param
     filter lambda, hence a DataFrame seam rather than bare columns)."""
-    scheme, host, domain, path, query_raw, _ = url_parts_columns(uri_col)
+    scheme, host, domain, path, query_raw = url_parts_columns(uri_col)
     out = df.withColumn("_scheme", scheme).withColumn("host", host).withColumn(
         "domain", domain
     ).withColumn("_path", path).withColumn("_qraw", query_raw)

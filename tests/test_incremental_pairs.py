@@ -9,11 +9,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from distributed_video_analytics_flink_spark.operators.curation import (
-    _bands_from_sigs,
     dedup_incremental_pairs,
 )
 from distributed_video_analytics_flink_spark.operators.dedup import (
     N_BANDS,
+    _bands_from_sigs,
     _first_match_pred,
     minhash_signature_df,
 )

@@ -27,6 +27,13 @@ CASES = [
      "http://example.co.uk/"),
     ("http://example.com/a///", "example.com", "example.com",
      "http://example.com/a"),
+    # r14 review: totality edges — single-label hosts must not throw
+    # under ANSI element_at, and a slashes-only path is the root
+    ("http://localhost/x", "localhost", "localhost", "http://localhost/x"),
+    ("http://intranet:80/x", "intranet", "intranet", "http://intranet/x"),
+    ("http://a//", "a", "a", "http://a/"),
+    ("http://example.com//", "example.com", "example.com",
+     "http://example.com/"),
 ]
 
 
