@@ -134,25 +134,37 @@ def encode_py(word: str) -> list[str]:
 
 def bpe_token_count_col(text_col: str) -> Column:
     """Spark column: exact BPE token count of a whitespace-separated text
-    column under MERGES. Pure JVM string expressions."""
-    enc = F.regexp_replace(F.col(text_col), "(.)", "<$1>")
+    column under MERGES. Pure JVM string expressions. Total over arbitrary
+    text (r14 review): ``(?s)`` wraps newlines as symbols too (bare ``.``
+    skips them, silently undercounting multiline documents vs the heap
+    encoder), and each literal ``<`` in the input — whose wrapped form
+    ``<<>`` carries two brackets — is compensated by subtracting the
+    input's own ``<`` count, so the bracket-counting trick stays exact.
+    Merge rules contain only lowercase letters, so a literal ``<``/``>``
+    symbol can never false-match a rule."""
+    enc = F.regexp_replace(F.col(text_col), "(?s)(.)", "<$1>")
     for a, b in MERGES:
         enc = F.replace(enc, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
     n_symbols = F.length(enc) - F.length(F.replace(enc, F.lit("<"), F.lit("")))
     n_spaces = F.length(F.col(text_col)) - F.length(
         F.replace(F.col(text_col), F.lit(" "), F.lit(""))
     )
-    return (n_symbols - n_spaces).cast("long")
+    n_lt = F.length(F.col(text_col)) - F.length(
+        F.replace(F.col(text_col), F.lit("<"), F.lit(""))
+    )
+    return (n_symbols - n_lt - n_spaces).cast("long")
 
 
 def bpe_token_count_sql(text_expr: str) -> str:
     """The identical computation as a DuckDB SQL expression (the oracle
-    twin of bpe_token_count_col)."""
-    enc = f"regexp_replace({text_expr}, '(.)', '<\\1>', 'g')"
+    twin of bpe_token_count_col, including the r14 newline/'<' totality
+    fixes — 's' regex flag, literal-'<' compensation)."""
+    enc = f"regexp_replace({text_expr}, '(.)', '<\\1>', 'gs')"
     for a, b in MERGES:
         enc = f"replace({enc}, '<{a}><{b}>', '<{a}{b}>')"
     return (
         f"CAST(length({enc}) - length(replace({enc}, '<', ''))"
+        f" - (length({text_expr}) - length(replace({text_expr}, '<', '')))"
         f" - (length({text_expr}) - length(replace({text_expr}, ' ', ''))) AS BIGINT)"
     )
 
@@ -220,7 +232,7 @@ def chain_count_py(text: str, merges: tuple[tuple[str, str], ...] = MERGES) -> i
     s = "".join(f"<{c}>" for c in text)
     for a, b in merges:
         s = s.replace(f"<{a}><{b}>", f"<{a}{b}>")
-    return s.count("<") - text.count(" ")
+    return s.count("<") - text.count("<") - text.count(" ")
 
 
 def bpe_token_count_udf(merges: tuple[tuple[str, str], ...] = MERGES):
@@ -239,7 +251,9 @@ def bpe_token_count_udf(merges: tuple[tuple[str, str], ...] = MERGES):
     def _count(texts: pd.Series) -> pd.Series:
         cache: dict[str, int] = {}
 
-        def doc(t: str) -> int:
+        def doc(t: str):
+            if t is None:
+                return None  # propagate null like the Catalyst chain
             if not t:
                 return 0
             total = 0

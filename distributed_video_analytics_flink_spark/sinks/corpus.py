@@ -39,10 +39,17 @@ def write_curated_corpus(
         .partitionBy("lang")
         .parquet(f"{path}/corpus")
     )
-    manifest = docs.groupBy("lang").agg(
+    # the manifest aggregates the JUST-WRITTEN corpus, not `docs` (r14
+    # review): docs is the tail of the whole curation lineage, and a
+    # second uncached evaluation would re-run dedup/quality/rebalance
+    # end-to-end for a per-language count — reading the partition-laid-out
+    # parquet back is one cheap pruned scan and also manifests exactly
+    # what landed on disk.
+    written = docs.sparkSession.read.parquet(f"{path}/corpus")
+    manifest = written.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).alias("ws_tokens")
-        if "text" in docs.columns
+        if "text" in written.columns
         else F.lit(None).cast("long").alias("ws_tokens"),
     )
     manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/_manifest")
@@ -110,11 +117,32 @@ def compact_corpus(
         if len(files) < min_files_to_compact or len(files) <= want:
             continue
         lang = entry.split("=", 1)[1]
+
+        def _listing() -> frozenset:
+            return frozenset(
+                f
+                for f in os.listdir(pdir)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+
+        # WRITER CONTRACT (r14 review, the compact_ivf_pq_index fence
+        # pattern): quiesce the streaming ingest for the partition being
+        # rewritten — a micro-batch file landing between this snapshot
+        # and the dynamic overwrite would be replaced away. The fence
+        # re-lists immediately before the overwrite and aborts loudly on
+        # any change; the remaining window is the write itself, which the
+        # quiesce contract owns.
+        snapshot = _listing()
         part = (
             spark.read.parquet(root)
             .filter(F.col("lang") == lang)
             .localCheckpoint(eager=True)
         )
+        if _listing() != snapshot:
+            raise RuntimeError(
+                f"corpus partition {entry!r} changed during compaction "
+                "(concurrent ingest?): quiesce the writers and retry"
+            )
         (
             part.repartition(want, "doc_id")
             # lang leads the sort so the dynamic-partition writer's required

@@ -10,8 +10,21 @@ history — the same bounded-state stance as dedup_frames_stream);
 re-crawled duplicates inside the horizon are dropped exactly once per
 content. The sink appends per micro-batch under ``partitionBy(lang)``,
 so downstream per-language reads stay partition-pruned while ingest
-runs. Exactly-once lands on the checkpoint + idempotent-append contract
-every other sink here uses (streaming/sinks.py).
+runs.
+
+Delivery contract (r14 review — stated honestly): the checkpointed
+foreachBatch append is AT-LEAST-ONCE across crash-retry. A batch that
+wrote files but died before its checkpoint commit re-runs on restart
+and appends the same rows again — a plain parquet append has no
+transaction to make the re-run idempotent (unlike upsert_results_
+stream's keyed merge, which re-merges idempotently). The duplicate
+window is bounded to the batches in flight at the crash; the
+within-watermark content dedup bounds SOURCE-side duplicates only.
+Production closes the window with a transactional table format
+(Iceberg/Delta append with a batch-id commit property) or the native
+file sink's _spark_metadata manifest — the latter traded away here
+because compact_corpus's dynamic-partition rewrite (sinks/corpus.py)
+would desynchronize a manifest-coupled reader.
 """
 
 from __future__ import annotations

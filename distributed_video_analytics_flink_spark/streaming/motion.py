@@ -100,7 +100,14 @@ def _fold_batch(
         gray = preprocess_gray(None if data is None else bytes(data), r, c)
         pg = prev_gray if (prev_r, prev_c) == (r, c) else None
         boxes = motion_boxes_from_gray(pg, gray, r, c)
-        prev_r, prev_c, prev_gray, prev_ts = r, c, gray, ts_us or -1
+        prev_r, prev_c, prev_gray, prev_ts = (
+            r,
+            c,
+            gray,
+            # not `ts_us or -1`: epoch-0 is a legitimate event time and
+            # must not collapse onto the missing-timestamp sentinel
+            -1 if ts_us is None else ts_us,
+        )
         row = (
             cam,
             ts_us,

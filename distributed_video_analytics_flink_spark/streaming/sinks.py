@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from distributed_video_analytics_flink_spark.streaming.sources import TS_OPTS
+
 RESULTS_TABLE_DDL = """
 CREATE TABLE IF NOT EXISTS {table} (
   id STRING, camera_id STRING, day STRING,
@@ -114,7 +116,13 @@ def png_side_output(image_dir: str):
 
         def _per_partition(it):
             for r in it:
-                name = f"{r['camId']}-T-{r['ts_us'] // 1000}.png"
+                # a frame with motion but a malformed timestamp (ts_us is
+                # None, the PERMISSIVE-parse NaT case) must not kill the
+                # query (r14 review): it gets a stable sentinel name, still
+                # idempotent across re-runs
+                ts = r["ts_us"]
+                stamp = "NaT" if ts is None else ts // 1000
+                name = f"{r['camId']}-T-{stamp}.png"
                 payload = (
                     bytes(r["png"])
                     if has_png and r["png"] is not None
@@ -148,11 +156,15 @@ def kafka_writer_options(
 def kafka_frame_payload(frames: DataFrame) -> DataFrame:
     """The producer's wire contract: key=camId (per-camera ordering on a
     keyed topic), value=JSON of the frame struct."""
+    # TS_OPTS keeps the wire roundtrip lossless (r14 review: the default
+    # to_json format truncates to milliseconds, so a produce->consume hop
+    # would collapse sub-millisecond frames onto one (camId, timestamp)
+    # identity and scramble event-time fold order)
     return frames.select(
         F.col("camId").alias("key"),
-        F.to_json(F.struct("camId", "timestamp", "rows", "cols", "type", "data")).alias(
-            "value"
-        ),
+        F.to_json(
+            F.struct("camId", "timestamp", "rows", "cols", "type", "data"), TS_OPTS
+        ).alias("value"),
     )
 
 
@@ -240,16 +252,25 @@ def merge_results_batch(
     if not touched:
         return
     merged = latest
-    if os.path.exists(path) and any(
-        not e.startswith(("_", ".")) for e in os.listdir(path)
-    ):
+    # existence must be checked through Spark, not the driver's local
+    # filesystem (r14 review): on hdfs://-s3a:// paths os.path.exists is
+    # always False, and skipping the merge would let the dynamic overwrite
+    # silently destroy previously-upserted rows in every touched partition.
+    try:
+        existing_all = spark.read.parquet(path)
+        has_existing = True
+    except Exception as e:  # PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA
+        if type(e).__name__ not in ("AnalysisException",):
+            raise
+        has_existing = False
+    if has_existing:
         pred = None
         for vals in touched:
             clause = F.lit(True)
             for col, v in zip(partition_cols, vals):
                 clause = clause & (F.col(col) == F.lit(v))
             pred = clause if pred is None else (pred | clause)
-        existing = spark.read.parquet(path).filter(pred)
+        existing = existing_all.filter(pred)
         keep = existing.join(
             F.broadcast(latest.select(*key_list)), key_list, "left_anti"
         ).localCheckpoint(eager=True)

@@ -29,7 +29,7 @@ def _chain_count(text: str) -> int:
     s = "".join(f"<{c}>" for c in text)
     for a, b in MERGES:
         s = s.replace(f"<{a}><{b}>", f"<{a}{b}>")
-    return s.count("<") - text.count(" ")
+    return s.count("<") - text.count("<") - text.count(" ")
 
 
 def test_pinned_merges_reproduce():
@@ -183,3 +183,41 @@ def test_heap_udf_matches_chain_column(spark):
         bpe_token_count_udf()("text").alias("heap"),
     )
     assert out.filter(F.col("chain") != F.col("heap")).count() == 0
+
+
+def test_chain_column_matches_heap_on_hostile_text(spark):
+    """r14 review regression pins: the Catalyst chain and the heap UDF
+    must agree on newlines (bare '.' skipped them), literal '<'/'>' (the
+    bracket-count trick needs compensation), empty strings, and nulls
+    (both propagate null)."""
+    from distributed_video_analytics_flink_spark.functions.bpe import (
+        bpe_token_count_udf,
+    )
+
+    texts = [
+        "spark\nstream",
+        "a<b",
+        "x>y",
+        "<<>>",
+        "line one\nline two",
+        "",
+        None,
+        "customer query\nthe spark window",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        "text",
+        bpe_token_count_col("text").alias("chain"),
+        bpe_token_count_udf()("text").alias("heap"),
+    ).collect()
+    for r in rows:
+        assert r.chain == r.heap, (r.text, r.chain, r.heap)
+    got = {r.text: r.chain for r in rows}
+    # spot values: every char (incl. \n, <, >) is a symbol, spaces excluded
+    from distributed_video_analytics_flink_spark.functions.bpe import encode_heap
+
+    assert got["spark\nstream"] == len(encode_heap("spark\nstream"))
+    assert got["a<b"] == 3
+    assert got["<<>>"] == 4
+    assert got[""] == 0
+    assert got[None] is None
