@@ -35,9 +35,11 @@ from distributed_video_analytics_flink_spark.sources.frame_datasource import (
     FrameStreamReader,
 )
 
-CHUNK_DDL_SCHEMA = (
-    "camId string, timestamp timestamp, src_rows int, src_cols int, "
-    "rows int, cols int, codec string, chunk binary"
+# ONE schema string by design (r14 review): format("videochunks") rows
+# and read_video_chunks rows must never drift — the shared iter_chunk_rows
+# exists for exactly that, and the schema rides along with it.
+from distributed_video_analytics_flink_spark.sources.video_files import (
+    CHUNK_SCHEMA as CHUNK_DDL_SCHEMA,
 )
 _EXTS = ("avi", "mp4", "y4m", "gif", "apng")
 

@@ -348,6 +348,15 @@ def _decode_jpeg_checked(data: bytes) -> np.ndarray:
     for c in scan_comps:
         if c["h"] not in (1, 2) or c["v"] not in (1, 2):
             raise JpegError("per-component sampling factors must be 1 or 2")
+    if len(scan_comps) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — the
+        # MCU is one data unit and the declared sampling factors play no
+        # role in the block layout (libjpeg/ffmpeg semantics). Without
+        # this, a grayscale frame declaring 2x2 factors (legal, emitted
+        # by some hardware encoders) would be read as a 4-block
+        # interleaved MCU grid and desync from the raster-ordered
+        # entropy stream (r14 review; regression-pinned).
+        scan_comps[0] = {**scan_comps[0], "h": 1, "v": 1}
     hmax = max(c["h"] for c in scan_comps)
     vmax = max(c["v"] for c in scan_comps)
     mcus_x = -(-w // (8 * hmax))

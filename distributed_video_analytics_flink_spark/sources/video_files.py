@@ -44,6 +44,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from distributed_video_analytics_flink_spark.schemas import FRAME_SCHEMA
+from distributed_video_analytics_flink_spark.sources.gif import is_gif
+from distributed_video_analytics_flink_spark.sources.gif import is_gif
 from distributed_video_analytics_flink_spark.sources.avi import (
     AviError,
     decode_avi,
@@ -244,7 +246,7 @@ def read_video_files(
                     decoded = _decode_frames_png_or_apng(
                         raw, rows, cols, max_frames_per_file
                     )
-                elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                elif is_gif(raw):
                     # corrupt header/tail handled inside (shared stance)
                     decoded = _decode_frames_gif(raw, rows, cols, max_frames_per_file)
                 elif len(raw) >= 12 and raw[4:8] == b"ftyp":
@@ -293,6 +295,16 @@ CHUNK_SCHEMA = (
     "camId string, timestamp timestamp, src_rows int, src_cols int, "
     "rows int, cols int, codec string, chunk binary"
 )
+
+# the all-null metadata row for a container whose probe fails — ONE
+# definition (r14 review: four copy-pasted fromkeys tuples meant a new
+# metadata column could miss a corrupt-file branch and KeyError at
+# row-build time, the branch hardest to hit in tests)
+_META_KEYS = ("duration_s", "width", "height", "n_frames", "codec", "fps")
+
+
+def _null_meta() -> dict:
+    return dict.fromkeys(_META_KEYS)
 
 
 def iter_chunk_rows(
@@ -388,7 +400,7 @@ def iter_chunk_rows(
             # APNG is inter-frame like GIF: decode source-side (shared
             # animated-vs-still dispatch)
             decoded = _decode_frames_png_or_apng(raw, rows, cols, max_frames)
-        elif raw[:6] in (b"GIF87a", b"GIF89a"):
+        elif is_gif(raw):
             # GIF frames are inter-frame (palette + canvas compositing
             # state), so a chunk is NOT independently decodable — GIF
             # decodes source-side and ships raw-bgr, the same stance as
@@ -557,19 +569,15 @@ def video_container_metadata(
                     try:
                         meta = probe_y4m(b)
                     except Y4MError:
-                        meta = dict.fromkeys(
-                            ("duration_s", "width", "height", "n_frames", "codec", "fps")
-                        )
+                        meta = _null_meta()
                 elif is_avi(b):
                     from distributed_video_analytics_flink_spark.sources.avi import probe_avi
 
                     try:
                         meta = probe_avi(b)
                     except AviError:
-                        meta = dict.fromkeys(
-                            ("duration_s", "width", "height", "n_frames", "codec", "fps")
-                        )
-                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                        meta = _null_meta()
+                elif is_gif(b):
                     from distributed_video_analytics_flink_spark.sources.gif import (
                         GifError,
                         probe_gif,
@@ -578,9 +586,7 @@ def video_container_metadata(
                     try:
                         meta = probe_gif(b)
                     except GifError:
-                        meta = dict.fromkeys(
-                            ("duration_s", "width", "height", "n_frames", "codec", "fps")
-                        )
+                        meta = _null_meta()
                 elif b.startswith(b"\x89PNG") and len(b) >= 24:
                     from distributed_video_analytics_flink_spark.sources.apng import (
                         ApngError,
@@ -592,10 +598,7 @@ def video_container_metadata(
                         try:
                             meta = probe_apng(b)
                         except ApngError:
-                            meta = dict.fromkeys(
-                                ("duration_s", "width", "height", "n_frames",
-                                 "codec", "fps")
-                            )
+                            meta = _null_meta()
                     else:
                         # still PNG: IHDR is always the first chunk
                         import struct as _struct

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import gzip
 import os
+import zlib
 from dataclasses import dataclass
 
 
@@ -65,7 +66,15 @@ def _maybe_gunzip(raw: bytes) -> bytes:
     if raw[:2] == b"\x1f\x8b":
         try:
             return gzip.decompress(raw)  # walks ALL members (CC layout)
-        except OSError as e:
+        except (OSError, EOFError, zlib.error) as e:
+            # gzip.decompress leaks EOFError on a truncated stream and
+            # zlib.error on corrupt deflate — both must stay inside the
+            # WarcError contract (r14 review) or a chopped .gz segment
+            # kills the scan task with a foreign exception. Because the
+            # whole blob decompresses eagerly, a truncated gzip is a LOUD
+            # strict-head failure (zero records parse); salvaging the
+            # readable member prefix would need a streaming member walker
+            # — the documented trade for the stdlib-only reader.
             raise WarcError(f"gzip layer failed: {e}") from e
     return raw
 

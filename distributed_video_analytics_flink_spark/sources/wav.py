@@ -48,6 +48,11 @@ def parse_wav_header(data: bytes) -> WavHeader:
         (size,) = struct.unpack_from("<I", data, pos + 4)
         body = pos + 8
         if cid == b"fmt " and size >= 16:
+            if body + 16 > len(data):
+                # a fmt chunk whose DECLARED size runs past the buffer:
+                # struct.unpack_from would leak struct.error through every
+                # except WavError guard and kill the scan task (r14 review)
+                raise WavError("truncated fmt chunk")
             audio_format, n_ch, rate = struct.unpack_from("<HHI", data, body)
             bits = struct.unpack_from("<H", data, body + 14)[0]
             fmt = (audio_format, n_ch, rate, bits)
@@ -59,6 +64,10 @@ def parse_wav_header(data: bytes) -> WavHeader:
     audio_format, n_ch, rate, bits = fmt
     if audio_format != 1 or bits != 16:
         raise WavError(f"unsupported format {audio_format}/{bits}-bit (PCM 16 only)")
+    if n_ch == 0:
+        # declared zero channels: the frame-size division below would be
+        # ZeroDivisionError — outside the WavError contract (r14 review)
+        raise WavError("fmt declares zero channels")
     off, nbytes = datachunk
     frame_bytes = 2 * n_ch
     n_frames = nbytes // frame_bytes

@@ -345,3 +345,30 @@ def test_audio_stream_through_results_sink_equals_batch(spark, tmp_path):
         for r in _norm(spark.read.format("wavaudio").load(str(data_dir))).collect()
     )
     assert streamed == batch and len(streamed) == 8
+
+
+def test_hostile_wav_headers_stay_inside_the_wav_error_contract():
+    """r14 review: zero-channel fmt and a truncated fmt chunk previously
+    leaked ZeroDivisionError / struct.error through every except-WavError
+    guard and killed the scan task."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from distributed_video_analytics_flink_spark.sources.wav import (
+        WavError,
+        encode_wav,
+        parse_wav_header,
+    )
+
+    wav = bytearray(encode_wav(np.zeros(4, np.int16), 8000))
+    struct.pack_into("<H", wav, 22, 0)  # n_channels = 0
+    with pytest.raises(WavError):
+        parse_wav_header(bytes(wav))
+    # fmt chunk declares 16 payload bytes but the buffer ends first;
+    # pad to the 44-byte RIFF minimum so the length gate passes
+    head = bytes(wav)[:12] + b"fmt " + struct.pack("<I", 40) + b"\x01\x00" * 8
+    head = head + b"\x00" * (44 - len(head)) if len(head) < 44 else head
+    with pytest.raises(WavError):
+        parse_wav_header(head)

@@ -487,3 +487,52 @@ def test_jpeg_stuffed_bytes_roundtrip():
     out = decode_jpeg(b)
     assert out.shape == img.shape
     assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 3
+
+
+def test_grayscale_scan_is_non_interleaved_regardless_of_declared_factors():
+    """r14 review: T.81 A.2.2 makes a single-component scan
+    NON-interleaved — the MCU is one data unit and the declared sampling
+    factors play no role in block layout. A grayscale JPEG declaring 2x2
+    factors (legal; libjpeg/ffmpeg decode it) previously desynced the
+    entropy stream and raised JpegError, silently dropping real hardware
+    grayscale MJPEG frames."""
+    import struct
+
+    import numpy as np
+
+    from distributed_video_analytics_flink_spark.sources import jpeg as J
+
+    rng = np.random.default_rng(5)
+    h, w = 16, 24
+    plane = rng.integers(0, 256, (h, w)).astype(np.float64)
+
+    def enc_gray(sampling_byte: int) -> bytes:
+        qt = J._quality_scale(J._QL, 90)
+        out = bytearray(b"\xff\xd8")
+        out += J._seg(0xDB, bytes([0]) + bytes(qt[J._ZZ].astype(np.uint8).tolist()))
+        sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, sampling_byte, 0])
+        out += J._seg(0xC0, sof)
+        out += J._seg(0xC4, bytes([0x00]) + bytes(J._DC_COUNTS) + bytes(J._DC_SYMBOLS))
+        out += J._seg(0xC4, bytes([0x10]) + bytes(J._AC_COUNTS) + bytes(J._AC_SYMBOLS))
+        out += J._seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        bw = J._BitWriter()
+        q = qt.reshape(8, 8).astype(np.float64)
+        bx_n, by_n = -(-w // 8), -(-h // 8)
+        padded = J._pad_plane(plane, by_n * 8, bx_n * 8)
+        pred = 0
+        for by in range(by_n):  # raster data-unit order: non-interleaved
+            for bx in range(bx_n):
+                blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                quant = (
+                    np.floor(J._fdct2(blk) / q + 0.5).astype(np.int64).reshape(64)
+                )
+                quant[1:] = np.clip(quant[1:], -1023, 1023)
+                pred = J._encode_block(bw, quant[J._ZZ], pred, J._DC_ENC, J._AC_ENC)
+        out += bw.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    base = J.decode_jpeg(enc_gray(0x11))
+    for sampling in (0x22, 0x21, 0x12):
+        got = J.decode_jpeg(enc_gray(sampling))
+        assert np.array_equal(base, got), hex(sampling)

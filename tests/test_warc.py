@@ -133,3 +133,18 @@ def test_warc_stream_equals_batch(spark, tmp_path):
     a = {tuple(r) for r in streamed.select(cols).collect()}  # 7 fixture rows
     b = {tuple(r) for r in batch.select(cols).collect()}
     assert a == b and len(b) == 7
+
+
+def test_truncated_gzip_stays_inside_the_warc_error_contract():
+    """r14 review: gzip.decompress raises EOFError on truncation and
+    zlib.error on corrupt deflate — both must surface as WarcError (the
+    one sanctioned failure mode), never a foreign exception."""
+    blob = build_warc(RECS, gzipped=True)
+    with pytest.raises(WarcError):
+        list(iter_warc_records(blob[:-20]))
+    corrupt = bytearray(blob)
+    corrupt[len(corrupt) // 2] ^= 0xFF
+    try:
+        list(iter_warc_records(bytes(corrupt)))
+    except WarcError:
+        pass  # fine either way: parse or WarcError, never EOFError/zlib.error
