@@ -567,17 +567,24 @@ def _url_fixture_frame(spark: SparkSession):
 
     register_warc_source(spark)
     root = tempfile.mkdtemp(prefix="dvafs-urls-")
-    seg_dir = os.path.join(root, "segments")
-    os.makedirs(seg_dir)
-    for name, blob in _url_fixture_segments().items():
-        with open(os.path.join(seg_dir, name), "wb") as fh:
-            fh.write(blob)
-    df = (
-        spark.read.format("warc")
-        .load(seg_dir)
-        .filter(F.col("http_status") == 200)
-        .select("target_uri", F.decode("body", "UTF-8").alias("text"))
-    )
+    try:
+        seg_dir = os.path.join(root, "segments")
+        os.makedirs(seg_dir)
+        for name, blob in _url_fixture_segments().items():
+            with open(os.path.join(seg_dir, name), "wb") as fh:
+                fh.write(blob)
+        df = (
+            spark.read.format("warc")
+            .load(seg_dir)
+            .filter(F.col("http_status") == 200)
+            .select("target_uri", F.decode("body", "UTF-8").alias("text"))
+        )
+    except BaseException:
+        # cleanup-on-error: the caller's try/finally only guards AFTER
+        # this returns (r14 review — a failed fixture write leaked the
+        # tempdir on every failing run)
+        shutil.rmtree(root, ignore_errors=True)
+        raise
     return df, root, shutil
 
 

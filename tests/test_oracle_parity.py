@@ -74,3 +74,27 @@ def test_entry_smoke(spark):
     qs = e.queries()
     for name in e.oracle_sql():
         assert name in qs
+
+
+def test_documents_fixture_has_no_empty_text():
+    """Fixture contract for multimodal_image_roundtrip (r14 review): the
+    Spark side clamps the derived image height to >= 1
+    (``max(1, ceil(len/192))``) while the DuckDB oracle computes a plain
+    CEIL that yields 0 for empty text — identical on non-empty documents,
+    divergent on an empty one. De-armed by contract: every generated
+    scale factor must contain no empty/null text, so a testdata
+    regeneration that introduces one fails HERE, loudly, instead of
+    hash-mismatching a driver round."""
+    import glob
+
+    import duckdb
+
+    paths = sorted(glob.glob("/root/testdata/sf*/documents.parquet"))
+    assert paths, "no documents fixtures found"
+    con = duckdb.connect()
+    for path in paths:
+        (n_empty,) = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{path}') "
+            "WHERE text IS NULL OR length(text) = 0"
+        ).fetchone()
+        assert n_empty == 0, f"{path}: {n_empty} empty/null texts"
