@@ -591,7 +591,8 @@ def decode_image(payload: bytes) -> np.ndarray:
     "multimodal_image_roundtrip",
     oracle="""
     SELECT doc_id,
-           CAST(CEIL(CAST(strlen(text) AS DOUBLE) / 192) AS INTEGER) AS img_h,
+           CAST(GREATEST(CEIL(CAST(strlen(text) AS DOUBLE) / 192), 1) AS INTEGER)
+               AS img_h,
            64 AS img_w,
            md5(text) AS recovered_md5,
            TRUE AS roundtrip_ok

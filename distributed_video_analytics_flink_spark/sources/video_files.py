@@ -45,7 +45,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 from distributed_video_analytics_flink_spark.schemas import FRAME_SCHEMA
 from distributed_video_analytics_flink_spark.sources.gif import is_gif
-from distributed_video_analytics_flink_spark.sources.gif import is_gif
 from distributed_video_analytics_flink_spark.sources.avi import (
     AviError,
     decode_avi,

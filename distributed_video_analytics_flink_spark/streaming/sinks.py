@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -259,8 +260,18 @@ def merge_results_batch(
     try:
         existing_all = spark.read.parquet(path)
         has_existing = True
-    except Exception as e:  # PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA
-        if type(e).__name__ not in ("AnalysisException",):
+    except AnalysisException as e:
+        # Only the two "no existing table" conditions may downgrade to a
+        # fresh write: PATH_NOT_FOUND (first batch ever) and
+        # UNABLE_TO_INFER_SCHEMA (path exists but holds no parquet yet).
+        # Any OTHER AnalysisException (e.g. an existing but momentarily
+        # unreadable table) must propagate — treating it as "no table"
+        # would let the dynamic overwrite below silently drop previously
+        # upserted rows in every touched partition (r14 advice).
+        cond = e.getCondition() if hasattr(e, "getCondition") else None
+        if cond is None and hasattr(e, "getErrorClass"):
+            cond = e.getErrorClass()
+        if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
             raise
         has_existing = False
     if has_existing:

@@ -366,9 +366,14 @@ def test_hostile_wav_headers_stay_inside_the_wav_error_contract():
     struct.pack_into("<H", wav, 22, 0)  # n_channels = 0
     with pytest.raises(WavError):
         parse_wav_header(bytes(wav))
-    # fmt chunk declares 16 payload bytes but the buffer ends first;
-    # pad to the 44-byte RIFF minimum so the length gate passes
-    head = bytes(wav)[:12] + b"fmt " + struct.pack("<I", 40) + b"\x01\x00" * 8
-    head = head + b"\x00" * (44 - len(head)) if len(head) < 44 else head
-    with pytest.raises(WavError):
+    # fmt chunk declares 16 payload bytes but sits at the very end of the
+    # buffer, so body+16 runs past len(data) — this (r15 advice) actually
+    # exercises the truncated-fmt guard instead of falling through to the
+    # missing-data-chunk path: a data chunk comes FIRST so the 44-byte
+    # length gate passes without padding after the fmt header.
+    head = bytes(wav)[:12]  # RIFF....WAVE
+    head += b"data" + struct.pack("<I", 16) + b"\x00" * 16
+    head += b"fmt " + struct.pack("<I", 16)  # declared payload absent
+    assert len(head) == 44
+    with pytest.raises(WavError, match="truncated fmt chunk"):
         parse_wav_header(head)

@@ -77,14 +77,14 @@ def test_entry_smoke(spark):
 
 
 def test_documents_fixture_has_no_empty_text():
-    """Fixture contract for multimodal_image_roundtrip (r14 review): the
-    Spark side clamps the derived image height to >= 1
-    (``max(1, ceil(len/192))``) while the DuckDB oracle computes a plain
-    CEIL that yields 0 for empty text — identical on non-empty documents,
-    divergent on an empty one. De-armed by contract: every generated
-    scale factor must contain no empty/null text, so a testdata
-    regeneration that introduces one fails HERE, loudly, instead of
-    hash-mismatching a driver round."""
+    """Fixture contract for multimodal_image_roundtrip, kept as
+    defense-in-depth: the empty-text oracle divergence itself is FIXED
+    as of r15 (the oracle now computes ``GREATEST(CEIL(len/192), 1)``,
+    matching the engine's ``max(1, ceil(len/192))`` clamp on all inputs),
+    but a NULL text would still crash the engine's mapInPandas roundtrip
+    (``bytes(None)``) while the oracle emits a NULL row — so a testdata
+    regeneration that introduces empty/null text fails HERE, loudly,
+    instead of hash-mismatching a driver round."""
     import glob
 
     import duckdb
