@@ -695,3 +695,305 @@ def corpus_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [tuple(r) for r in rows], "norm_url string, n_dups long, kept_uri string"
     ).orderBy("norm_url")
+
+
+# --- Web-pipeline capstone (VERDICT r14 #3) -------------------------------
+# The r13/r14 web stages each stand alone; this composes them into the one
+# accounting query a real CC-pipeline user runs first (the
+# curation_pipeline_v2 pattern applied to the WARC leg). Pipeline-local
+# constants: a line repeated across >= K surviving documents is boiler;
+# packed sequences carry this token budget.
+_WEB_LINE_DUP_K = 2
+_WEB_PACK_BUDGET = 32
+
+
+def _pipeline_fixture_segments() -> dict[str, bytes]:
+    """Two segments, six pages, each built to be dropped by exactly one
+    stage (or to survive them all): A + its URL-variant twin (url dedup
+    folds them), B (survives; shares the cookie-banner block with A so
+    line rewrite fires corpus-wide), C on the blocklisted tracker host,
+    D too short for Gopher's word-count gate, E nav-only (empty
+    extraction). The cookie banner appears on A, B AND D on purpose —
+    D dies at the Gopher gate first, so the banner's corpus-wide count
+    among SURVIVORS is exactly 2 (the stage order is observable)."""
+    from distributed_video_analytics_flink_spark.sources.warc import build_warc
+
+    cookie = (
+        b"<div class=\"cookie\"><p>We use cookies to improve the experience"
+        b" of this site and to analyze the traffic we receive</p></div>"
+    )
+    nav = (
+        b"<nav><ul><li><a href=\"/\">Home</a></li>"
+        b"<li><a href=\"/about\">About</a></li></ul></nav>"
+    )
+    page_a = (
+        b"<html><body>" + cookie
+        + b"<article><p>Spark structured streaming processes the unbounded"
+        b" event flow with watermarks and checkpoints so that late data"
+        b" lands in the correct window every time</p>"
+        b"<p>The engine keeps state in a versioned store and recovers the"
+        b" exact offsets of every source after a failure without losing a"
+        b" single record</p></article></body></html>"
+    )
+    page_b = (
+        b"<html><body>" + cookie
+        + b"<article><p>A broadcast join ships the small dimension table to"
+        b" every executor and avoids the shuffle of the large fact side"
+        b" completely</p>"
+        b"<p>Partition pruning reads only the directories that match the"
+        b" filter so a query over one day touches a tiny fraction of the"
+        b" table</p></article></body></html>"
+    )
+    page_c = (
+        b"<html><body><p>Content on a blocked tracker host never reaches"
+        b" the dedup or quality stages at all</p></body></html>"
+    )
+    page_d = (
+        b"<html><body>" + cookie
+        + b"<p>This page is intentionally brief and says almost nothing of"
+        b" real substance beyond this single sentence</p></body></html>"
+    )
+    page_e = b"<html><body>" + nav + (
+        b"<footer><a href=\"/privacy\">Privacy policy</a></footer>"
+        b"</body></html>"
+    )
+    seg_1 = build_warc(
+        [
+            dict(
+                warc_type="response",
+                target_uri="http://www.Example.com:80/a/?utm_source=tw",
+                http_body=page_a,
+                status=200,
+            ),
+            dict(
+                warc_type="response",
+                target_uri="http://example.com/a",
+                http_body=page_a,
+                status=200,
+            ),
+            dict(
+                warc_type="response",
+                target_uri="http://example.com/b",
+                http_body=page_b,
+                status=200,
+            ),
+        ]
+    )
+    seg_2 = build_warc(
+        [
+            dict(
+                warc_type="response",
+                target_uri="http://tracker.bad.example/c",
+                http_body=page_c,
+                status=200,
+            ),
+            dict(
+                warc_type="response",
+                target_uri="http://example.com/d",
+                http_body=page_d,
+                status=200,
+            ),
+            dict(
+                warc_type="response",
+                target_uri="http://example.com/e",
+                http_body=page_e,
+                status=200,
+            ),
+        ],
+        gzipped=True,
+    )
+    return {"seg-pipe1.warc": seg_1, "seg-pipe2.warc.gz": seg_2}
+
+
+@query(
+    "corpus_web_pipeline",
+    oracle="""
+    SELECT CAST(6 AS BIGINT) AS n_pages,
+           CAST(5 AS BIGINT) AS n_after_url_dedup,
+           CAST(4 AS BIGINT) AS n_after_host_gate,
+           CAST(2 AS BIGINT) AS n_after_gopher,
+           CAST(2 AS BIGINT) AS n_boiler_lines_dropped,
+           CAST(91 AS BIGINT) AS clean_tokens,
+           CAST(3 AS BIGINT) AS n_bins,
+           '3a3ed64e219e3c870eb6a453dd5d09b2' AS corpus_md5
+    """,
+)
+def corpus_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WEB-PIPELINE CAPSTONE (VERDICT r14 #3): every r13/r14 web
+    stage composed into one accounting row over purpose-built WARC
+    segments — WARC ingest -> HTML boilerplate extraction
+    (html_extract_columns, the jusText-family block classifier) -> URL
+    normalization dedup (with_url_columns) -> broadcast host blocklist
+    gate -> Gopher rule gate (the exact published thresholds, on the
+    EXTRACTED text) -> corpus-wide line-level rewrite (a newline-line
+    repeated across >= 2 surviving docs is boiler; documents are
+    rebuilt without it) -> fixed-budget sequence packing. Every stage
+    population is VALUES-pinned, plus the md5 of the final concatenated
+    clean corpus — the exact bytes a training pipeline would ship.
+
+    The fixture encodes one kill per stage: a URL-variant twin (folds),
+    a tracker-host page (blocked), a short page (Gopher word count), a
+    nav-only page (empty extraction), and a cookie banner shared by
+    three pages of which only two survive to the line stage — so the
+    banner count among survivors (2) also proves the stage ORDER.
+
+    100 TB shape: each stage keeps its standalone query's plan — the
+    extraction is a zero-shuffle scan projection; url dedup groups on
+    the canonical short-string key; the blocklist is a broadcast
+    anti-join at the scan edge; the Gopher gate is one explode +
+    partial-aggregable groupBy; the line stage shuffles (doc, line-pos,
+    16-byte fp) rows only, bodies rejoin exactly once (the
+    text_line_rewrite argument); packing needs one window over the
+    surviving docs. Bodies cross the wire exactly twice end to end:
+    the Arrow hop out of the WARC reader and the one rejoin."""
+    import os
+    import shutil
+    import tempfile
+
+    from distributed_video_analytics_flink_spark.sources.warc_datasource import (
+        register_warc_source,
+    )
+
+    register_warc_source(spark)
+    root = tempfile.mkdtemp(prefix="dvafs-webpipe-")
+    try:
+        seg_dir = os.path.join(root, "segments")
+        os.makedirs(seg_dir)
+        for name, blob in _pipeline_fixture_segments().items():
+            with open(os.path.join(seg_dir, name), "wb") as fh:
+                fh.write(blob)
+
+        main_text, _, _, _ = html_extract_columns("decode(body, 'UTF-8')")
+        pages = (
+            spark.read.format("warc")
+            .load(seg_dir)
+            .filter(
+                (F.col("http_status") == 200)
+                & F.col("http_content_type").startswith("text/html")
+            )
+            .select("target_uri", main_text.alias("main_text"))
+        )
+        n_pages = pages.count()
+
+        deduped = (
+            with_url_columns(pages)
+            .groupBy("norm_url")
+            .agg(
+                F.min(F.struct("target_uri", "main_text", "host")).alias("r")
+            )
+            .select("norm_url", "r.target_uri", "r.main_text", "r.host")
+        )
+        n_after_url_dedup = deduped.count()
+
+        block = spark.createDataFrame(
+            [(h,) for h in _HOST_BLOCKLIST], "host string"
+        )
+        gated_host = deduped.join(F.broadcast(block), "host", "left_anti")
+        n_after_host_gate = gated_host.count()
+
+        # Gopher gate on the EXTRACTED text (tokens split at the space
+        # and newline separators main_text is built from)
+        tok = gated_host.select(
+            "norm_url", F.explode(F.split("main_text", "[ \n]")).alias("t")
+        )
+        req = ("the", "be", "to", "of", "and", "that", "have", "with")
+        ts = tok.groupBy("norm_url").agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.length("t")).alias("sum_len"),
+            F.sum(F.col("t").rlike("[a-zA-Z]").cast("long")).alias("n_alpha"),
+            F.countDistinct(
+                F.when(F.col("t").isin(*req), F.col("t"))
+            ).alias("n_req_stop"),
+        )
+        n_sym = (
+            F.length("main_text")
+            - F.length(F.replace(F.col("main_text"), F.lit("#"), F.lit("")))
+            + (
+                F.length("main_text")
+                - F.length(
+                    F.replace(F.col("main_text"), F.lit("..."), F.lit(""))
+                )
+            )
+            / 3
+        ).cast("long")
+        survivors = (
+            gated_host.withColumn("n_sym", n_sym)
+            .join(ts, "norm_url")
+            .filter(
+                F.col("n_tok").between(50, 100000)
+                & (3 * F.col("n_tok") <= F.col("sum_len"))
+                & (F.col("sum_len") <= 10 * F.col("n_tok"))
+                & (10 * F.col("n_sym") <= F.col("n_tok"))
+                & (5 * F.col("n_alpha") >= 4 * F.col("n_tok"))
+                & (F.col("n_req_stop") >= 2)
+            )
+            .select("norm_url", "main_text")
+        )
+        n_after_gopher = survivors.count()
+
+        # corpus-wide line rewrite over the survivors (newline lines)
+        lines = survivors.select(
+            "norm_url", F.posexplode(F.split("main_text", "\n")).alias("i", "line")
+        ).select("norm_url", "i", F.md5("line").alias("fp"))
+        boiler = (
+            lines.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= _WEB_LINE_DUP_K)
+            .select("fp")
+        )
+        n_boiler_dropped = lines.join(boiler, "fp").count()
+        kept_idx = (
+            lines.join(boiler, "fp", "left_anti")
+            .groupBy("norm_url")
+            .agg(F.sort_array(F.collect_list("i")).alias("ks"))
+        )
+        clean = (
+            survivors.join(kept_idx, "norm_url", "left")
+            .withColumn("ls", F.split("main_text", "\n"))
+            .withColumn(
+                "clean",
+                F.expr(
+                    "array_join(transform("
+                    "coalesce(ks, cast(array() as array<int>)),"
+                    " i -> element_at(ls, i + 1)), '\n')"
+                ),
+            )
+            .select(
+                "norm_url",
+                "clean",
+                F.size(F.split("clean", "[ \n]")).cast("long").alias("n_tok"),
+            )
+        )
+        agg = clean.agg(
+            F.sum("n_tok").alias("clean_tokens"),
+            F.md5(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct("norm_url", "clean"))
+                    ),
+                    F.lit("").cast("string"),
+                    lambda acc, s: F.when(acc == "", s["clean"]).otherwise(
+                        F.concat(acc, F.lit("\n\n"), s["clean"])
+                    ),
+                )
+            ).alias("corpus_md5"),
+        ).collect()[0]  # bounded: one accounting row
+
+        row = (
+            n_pages,
+            n_after_url_dedup,
+            n_after_host_gate,
+            n_after_gopher,
+            n_boiler_dropped,
+            agg["clean_tokens"],
+            (agg["clean_tokens"] - 1) // _WEB_PACK_BUDGET + 1,
+            agg["corpus_md5"],
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "n_pages long, n_after_url_dedup long, n_after_host_gate long,"
+        " n_after_gopher long, n_boiler_lines_dropped long,"
+        " clean_tokens long, n_bins long, corpus_md5 string",
+    )

@@ -1,0 +1,65 @@
+"""Pins for the web-pipeline capstone (operators/web.py::
+corpus_web_pipeline) beyond its VALUES oracle: stage-order observability
+and the exact final corpus bytes.
+
+The VALUES oracle already pins the populations against an independent
+hand computation; these tests pin the PROPERTIES that make the capstone
+meaningful — that the cookie banner on the Gopher-dropped page does NOT
+count toward the boiler threshold (stage order), and that the final
+digest is the md5 of the exact two cleaned articles in norm_url order.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+
+def test_pipeline_row_and_stage_order(spark):
+    from distributed_video_analytics_flink_spark.operators.web import (
+        _WEB_PACK_BUDGET,
+        corpus_web_pipeline,
+    )
+
+    row = corpus_web_pipeline(spark, "/root/testdata/sf0.001").collect()[0]
+    # populations: one kill per stage (6 -> 5 url-dedup -> 4 host gate
+    # -> 2 gopher)
+    assert (
+        row["n_pages"],
+        row["n_after_url_dedup"],
+        row["n_after_host_gate"],
+        row["n_after_gopher"],
+    ) == (6, 5, 4, 2)
+    # stage order: the banner appears on THREE pages (A, B, D) but D dies
+    # at the Gopher gate first, so exactly the 2 surviving copies drop —
+    # a pipeline that line-deduped before gating would still drop 2 here
+    # but would ALSO change clean_tokens for D; the conjunction of these
+    # two pins distinguishes the orders
+    assert row["n_boiler_lines_dropped"] == 2
+    assert row["n_bins"] == (row["clean_tokens"] - 1) // _WEB_PACK_BUDGET + 1
+
+
+def test_pipeline_final_bytes():
+    """The pinned corpus_md5 is the digest of the two cleaned articles
+    (cookie banner removed, paragraphs intact) in norm_url order —
+    recomputed here from the fixture's own page text, independent of the
+    engine."""
+    from distributed_video_analytics_flink_spark.operators.registry import QUERIES
+
+    a = (
+        "Spark structured streaming processes the unbounded event flow"
+        " with watermarks and checkpoints so that late data lands in the"
+        " correct window every time\n"
+        "The engine keeps state in a versioned store and recovers the"
+        " exact offsets of every source after a failure without losing a"
+        " single record"
+    )
+    b = (
+        "A broadcast join ships the small dimension table to every"
+        " executor and avoids the shuffle of the large fact side"
+        " completely\n"
+        "Partition pruning reads only the directories that match the"
+        " filter so a query over one day touches a tiny fraction of the"
+        " table"
+    )
+    digest = hashlib.md5((a + "\n\n" + b).encode()).hexdigest()
+    assert f"'{digest}'" in QUERIES["corpus_web_pipeline"].oracle
