@@ -1665,6 +1665,31 @@ def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("did").isNotNull().alias("is_delta"),
         )
     )
+    delta_pairs = incremental_band_pairs(all_bands).withColumn(
+        "carried", F.lit(False)
+    )
+    return carried.unionByName(delta_pairs)
+
+
+def incremental_band_pairs(all_bands: DataFrame) -> DataFrame:
+    """The delta x corpus banded LSH pair join over ONE materialized band
+    table carrying an ``is_delta`` flag (columns: doc_id, bh, band_id,
+    band_hash, is_delta) — the core of dedup_incremental_pairs, shared
+    with the streaming maintenance path
+    (streaming/corpus.py::maintain_incremental_pairs) so batch and
+    stream can never band or dedup differently. The delta slice is the
+    hint("shuffle_hash") BUILD side (a delta fits a per-task hash table;
+    the corpus probe side streams unsorted — ShuffledHashJoin/BuildLeft
+    plan-pinned by tests/test_incremental_pairs.py); delta-delta double
+    emission is killed row-locally (a<b only when BOTH endpoints are
+    delta); multi-band agreement dedups by the first-match predicate.
+    Returns (doc_a, doc_b) pairs with at least one delta endpoint."""
+    from distributed_video_analytics_flink_spark.operators.dedup import (
+        N_BANDS,
+        _first_match_pred,
+    )
+
+    first_match = _first_match_pred(lambda s, i: f"{s}.bh[{i}]", N_BANDS)
     delta_bands = (
         all_bands.filter("is_delta")
         .select("doc_id", "bh", "band_id", "band_hash")
@@ -1672,7 +1697,7 @@ def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     da, ab = delta_bands.alias("a"), all_bands.alias("b")
-    delta_pairs = (
+    return (
         da.join(
             ab,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -1684,7 +1709,5 @@ def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
             F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
-            F.lit(False).alias("carried"),
         )
     )
-    return carried.unionByName(delta_pairs)

@@ -4,8 +4,10 @@ pattern-subscribe, file replay, rate), the stateful motion operator
 Parquet results table, PNG side-output, Kafka)."""
 
 from distributed_video_analytics_flink_spark.streaming.corpus import (
+    maintain_incremental_pairs,
     prepare_corpus_stream,
     stream_curated_corpus,
+    stream_incremental_pairs,
 )
 from distributed_video_analytics_flink_spark.streaming.fps import camera_fps
 from distributed_video_analytics_flink_spark.streaming.joins import (
@@ -42,7 +44,9 @@ __all__ = [
     "file_frame_stream",
     "kafka_frame_stream",
     "parse_frames",
+    "maintain_incremental_pairs",
     "prepare_corpus_stream",
     "rate_frame_stream",
     "stream_curated_corpus",
+    "stream_incremental_pairs",
 ]

@@ -70,3 +70,137 @@ def stream_curated_corpus(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def maintain_incremental_pairs(
+    batch_df: DataFrame, state_dir: str, ts_col: str = "ingest_ts"
+) -> None:
+    """foreachBatch body maintaining an at-rest near-dup PAIR state
+    incrementally — the streaming twin of the batch
+    dedup_incremental_pairs (VERDICT r14 #7). State under ``state_dir``:
+    ``sigs/`` (doc_id + the 16 MinHash columns) and ``pairs/``
+    (doc_a, doc_b). Per micro-batch (the crawl delta): the batch's
+    latest text per doc_id re-signs, every at-rest pair with a
+    re-emitted endpoint is tombstoned (an arriving doc_id is
+    added-or-changed; stream deletion does not exist), and the
+    delta x corpus banded join — the SAME shared core the batch query
+    runs (operators/curation.py::incremental_band_pairs, one banding
+    implementation by design) — regenerates that endpoint's pairs
+    against the updated signature table. After any prefix of batches,
+    ``pairs/`` equals a full LSH recompute over the latest-text corpus
+    (pinned by tests/test_incremental_pairs.py's stream==batch test).
+
+    Idempotent across crash-retry BY CONSTRUCTION, unlike the
+    append-only corpus sink above: re-running a batch anti-joins the
+    same endpoints out and re-derives the same pairs/signatures, so the
+    state converges to the same bytes (last-write-wins overwrite, the
+    merge_results_batch posture).
+
+    Scale honesty: the signature/pair state rewrites WHOLE per batch
+    here (two localCheckpoint + overwrite cycles). At 100 TB both
+    tables bucket by doc_id / doc_a and only affected buckets rewrite
+    (the dynamic-partition-overwrite pattern the results sink uses);
+    the join cost already scales with the delta, not the corpus."""
+    from pyspark.errors import AnalysisException
+
+    from distributed_video_analytics_flink_spark.operators.curation import (
+        incremental_band_pairs,
+    )
+    from distributed_video_analytics_flink_spark.operators.dedup import (
+        _bands_from_sigs,
+        _materialize,
+        minhash_signature_df,
+    )
+
+    spark = batch_df.sparkSession
+    sigs_path = f"{state_dir}/sigs"
+    pairs_path = f"{state_dir}/pairs"
+
+    def _read_state(path: str) -> DataFrame | None:
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException as e:
+            # only the two no-existing-state conditions may downgrade
+            # (the merge_results_batch discipline — anything else would
+            # silently drop maintained pairs on a transient read error)
+            cond = e.getCondition() if hasattr(e, "getCondition") else None
+            if cond is None and hasattr(e, "getErrorClass"):
+                cond = e.getErrorClass()
+            if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+                raise
+            return None
+
+    # latest text per doc_id within the batch (struct max: ts then text —
+    # deterministic under ts ties, unlike dropDuplicates)
+    delta_docs = (
+        batch_df.select("doc_id", F.struct(ts_col, "text").alias("s"))
+        .groupBy("doc_id")
+        .agg(F.max("s").alias("s"))
+        .select("doc_id", F.col(f"s.text").alias("text"))
+    )
+    delta_sigs = minhash_signature_df(delta_docs)
+    batch_ids = delta_docs.select("doc_id")
+
+    old_sigs = _read_state(sigs_path)
+    if old_sigs is not None:
+        updated_sigs = old_sigs.join(batch_ids, "doc_id", "left_anti").unionByName(
+            delta_sigs
+        )
+    else:
+        updated_sigs = delta_sigs
+    # pin the new state BEFORE overwriting the directory it reads from
+    updated_sigs = updated_sigs.localCheckpoint(eager=True)
+    updated_sigs.write.mode("overwrite").parquet(sigs_path)
+
+    old_pairs = _read_state(pairs_path)
+    if old_pairs is not None:
+        ga = batch_ids.withColumnRenamed("doc_id", "gid")
+        carried = (
+            old_pairs.join(ga, old_pairs.doc_a == ga.gid, "left_anti")
+            .join(ga, F.col("doc_b") == ga.gid, "left_anti")
+            .select("doc_a", "doc_b")
+        )
+    else:
+        carried = None
+
+    all_bands = _materialize(
+        _bands_from_sigs(updated_sigs)
+        .join(
+            batch_ids.withColumnRenamed("doc_id", "did"),
+            F.col("doc_id") == F.col("did"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "bh",
+            "band_id",
+            "band_hash",
+            F.col("did").isNotNull().alias("is_delta"),
+        )
+    )
+    new_pairs = incremental_band_pairs(all_bands)
+    if carried is not None:
+        new_pairs = carried.unionByName(new_pairs)
+    new_pairs = new_pairs.localCheckpoint(eager=True)
+    new_pairs.write.mode("overwrite").parquet(pairs_path)
+
+
+def stream_incremental_pairs(
+    docs: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    ts_col: str = "ingest_ts",
+) -> StreamingQuery:
+    """Drive maintain_incremental_pairs from a streaming documents frame:
+    the near-dup pair set stays maintained ONLINE while documents arrive
+    (``docs`` must carry ``doc_id``, ``text`` and ``ts_col``)."""
+    return (
+        docs.writeStream.foreachBatch(
+            lambda batch_df, _bid: maintain_incremental_pairs(
+                batch_df, state_dir, ts_col
+            )
+        )
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -57,3 +57,94 @@ def test_delta_band_join_builds_on_the_delta(spark):
 
     m = re.search(r"ShuffledHashJoin [^\n]*band_hash[^\n]*", plan)
     assert m and "BuildLeft" in m.group(0), m.group(0) if m else plan[:2000]
+
+
+def test_stream_maintained_pairs_equal_full_recompute(spark, tmp_path):
+    """The STREAMING twin (streaming/corpus.py::stream_incremental_pairs,
+    VERDICT r14 #7): docs arrive across three micro-batches — including a
+    doc_id RE-EMITTED with changed text (its old pair must tombstone) and
+    a pair formed in batch 2 that must CARRY untouched through batch 3 —
+    and the maintained ``pairs/`` state must equal a full LSH recompute
+    over the latest-text corpus, via two directed exceptAll diffs."""
+    import json as _json
+    import os as _os
+
+    from distributed_video_analytics_flink_spark.operators.dedup import (
+        N_BANDS,
+        _bands_from_sigs,
+        _first_match_pred,
+        minhash_signature_df,
+    )
+    from distributed_video_analytics_flink_spark.streaming import (
+        stream_incremental_pairs,
+    )
+
+    t_a = "alpha beta gamma delta epsilon zeta"
+    t_b = "uno dos tres cuatro cinco seis"
+    t_c = "completely different replacement text arrives now"
+    t_d = "unique unrelated content with nothing shared here"
+    batches = [
+        # batch 1: (1, 3) pair forms
+        [(1, t_a), (2, t_b), (3, t_a)],
+        # batch 2: doc 3 CHANGES (tombstones (1, 3)); 6 pairs with 1;
+        # 4 pairs with 2
+        [(3, t_c), (4, t_b), (6, t_a)],
+        # batch 3: unrelated doc — (1, 6) and (2, 4) must carry
+        [(7, t_d)],
+    ]
+    data_dir = tmp_path / "docs_in"
+    data_dir.mkdir()
+    for i, batch in enumerate(batches):
+        p = data_dir / f"b{i}.jsonl"
+        p.write_text(
+            "\n".join(
+                _json.dumps(
+                    {
+                        "doc_id": d,
+                        "text": t,
+                        "ingest_ts": f"2024-06-01T00:0{i}:00.000+00:00",
+                    }
+                )
+                for d, t in batch
+            )
+        )
+        _os.utime(p, (1_700_000_000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(data_dir))
+    )
+    q = stream_incremental_pairs(
+        stream, str(tmp_path / "state"), str(tmp_path / "ck")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    maintained = spark.read.parquet(str(tmp_path / "state" / "pairs"))
+    got = sorted((r["doc_a"], r["doc_b"]) for r in maintained.collect())
+    assert got == [(1, 6), (2, 4)]  # tombstoned (1,3) gone; both carried
+
+    # full recompute over the latest-text corpus, engine machinery
+    final = {d: t for batch in batches for d, t in batch}
+    docs = spark.createDataFrame(list(final.items()), "doc_id long, text string")
+    bands = _bands_from_sigs(minhash_signature_df(docs))
+    fa, fb = bands.alias("a"), bands.alias("b")
+    full = (
+        fa.join(
+            fb,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(_first_match_pred(lambda s, i: f"{s}.bh[{i}]", N_BANDS))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    assert maintained.exceptAll(full).count() == 0
+    assert full.exceptAll(maintained).count() == 0
+
+    # the maintained signature state matches a full re-sign too
+    sigs = spark.read.parquet(str(tmp_path / "state" / "sigs"))
+    full_sigs = minhash_signature_df(docs)
+    assert sigs.exceptAll(full_sigs).count() == 0
+    assert full_sigs.exceptAll(sigs).count() == 0
