@@ -73,35 +73,43 @@ MERGES: tuple[tuple[str, str], ...] = (
 # fmt: on
 
 
-def learn_merges(vocab: tuple[str, ...], n_merges: int) -> list[tuple[str, str]]:
-    """Reference BPE learner (uniform word weights, lexicographically
-    smallest most-frequent pair) — exists to prove MERGES is reproducible
-    from FIXTURE_VOCAB, not for runtime use."""
-    words = [tuple(w) for w in sorted(vocab)]
-    merges: list[tuple[str, str]] = []
+def learn_merges(
+    vocab: tuple[str, ...],
+    n_merges: int,
+    weights: dict[str, int] | None = None,
+    with_counts: bool = False,
+):
+    """Reference BPE learner (the textbook Sennrich-2016 loop;
+    lexicographically smallest most-frequent pair on ties). Uniform word
+    weights by default — proving MERGES reproduces from FIXTURE_VOCAB —
+    or frequency-weighted via ``weights`` (the reference the distributed
+    trainer text_bpe_train_merges is pinned against; ONE loop by design,
+    r15 review). ``with_counts`` appends each merge's winning weight."""
+    syms = {w: tuple(w) for w in sorted(vocab)}
+    wt = {w: 1 if weights is None else weights[w] for w in syms}
+    merges: list = []
     for _ in range(n_merges):
         pairs: dict[tuple[str, str], int] = {}
-        for w in words:
-            for i in range(len(w) - 1):
-                pairs[w[i], w[i + 1]] = pairs.get((w[i], w[i + 1]), 0) + 1
+        for w, s in syms.items():
+            c = wt[w]
+            for i in range(len(s) - 1):
+                pairs[s[i], s[i + 1]] = pairs.get((s[i], s[i + 1]), 0) + c
         if not pairs:
             break
         best_count = max(pairs.values())
         a, b = min(p for p, c in pairs.items() if c == best_count)
-        merges.append((a, b))
-        merged = []
-        for w in words:
+        merges.append((a, b, best_count) if with_counts else (a, b))
+        for w, s in syms.items():
             out: list[str] = []
             i = 0
-            while i < len(w):
-                if i < len(w) - 1 and w[i] == a and w[i + 1] == b:
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
                     out.append(a + b)
                     i += 2
                 else:
-                    out.append(w[i])
+                    out.append(s[i])
                     i += 1
-            merged.append(tuple(out))
-        words = merged
+            syms[w] = tuple(out)
     return merges
 
 

@@ -4769,6 +4769,25 @@ def sim_ivf_pq_retrain_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _coarse_assigner(Cmat: "np.ndarray", norms: "np.ndarray"):
+    """Pandas UDF assigning each embedding its coarse cell (argmax
+    quantized cosine, first-max tie = lowest cent_id) for a GIVEN
+    centroid tensor — one assignment arithmetic for every (centroids,
+    norms) pair the full-retrain roll compares (r15 review: the old/new
+    twins were byte-identical bodies differing only in closure)."""
+
+    @F.pandas_udf("int")
+    def _assign(embs: pd.Series) -> pd.Series:
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in embs])
+        dots = _np_q(V[:, None, :] * Cmat[None, :, :] * _Q).sum(axis=2)
+        vn = np.sqrt(_np_q(V * V * _Q).sum(axis=1).astype(np.float64))
+        return pd.Series(
+            np.argmax(dots / (vn[:, None] * norms[None, :]), axis=1).astype(np.int32)
+        )
+
+    return _assign
+
+
 def _duck_full_retrain_coarse_ctes() -> str:
     """Coarse-quantizer retrain oracle CTEs (the FULL roll, VERDICT r14
     #4): one Lloyd round over the union corpus — M-step means grouped by
@@ -4987,19 +5006,10 @@ def sim_ivf_pq_full_retrain_checked(spark: SparkSession, sf_dir: str) -> DataFra
 
         # COARSE retrain: one Lloyd round over the union (E-step under
         # the old centroids, exact-integer M-step, empty cells keep
-        # their old centroid)
-        c_norm = cn
-
-        @F.pandas_udf("int")
-        def _assign_old(embs: pd.Series) -> pd.Series:
-            V = np.asarray([np.asarray(v, dtype=np.float64) for v in embs])
-            dots = _np_q(V[:, None, :] * C[None, :, :] * _Q).sum(axis=2)
-            vn = np.sqrt(_np_q(V * V * _Q).sum(axis=1).astype(np.float64))
-            return pd.Series(
-                np.argmax(dots / (vn[:, None] * c_norm[None, :]), axis=1).astype(
-                    np.int32
-                )
-            )
+        # their old centroid). ONE assignment arithmetic for both tensor
+        # sets (r15 review): _coarse_assigner closes over (C, cn) here
+        # and (C1, cn1) below.
+        _assign_old = _coarse_assigner(C, cn)
 
         assigned = union.select(
             "vec_id", "embedding", _assign_old("embedding").alias("cell_old")
@@ -5023,14 +5033,7 @@ def sim_ivf_pq_full_retrain_checked(spark: SparkSession, sf_dir: str) -> DataFra
         order = np.lexsort((np.arange(len(C1)), -probe_cos))
         probes2 = [int(i) for i in order[:_N_PROBE]]
 
-        @F.pandas_udf("int")
-        def _assign_new(embs: pd.Series) -> pd.Series:
-            V = np.asarray([np.asarray(v, dtype=np.float64) for v in embs])
-            dots = _np_q(V[:, None, :] * C1[None, :, :] * _Q).sum(axis=2)
-            vn = np.sqrt(_np_q(V * V * _Q).sum(axis=1).astype(np.float64))
-            return pd.Series(
-                np.argmax(dots / (vn[:, None] * cn1[None, :]), axis=1).astype(np.int32)
-            )
+        _assign_new = _coarse_assigner(C1, cn1)
 
         n_reassigned = (
             assigned.withColumn("cell_new", _assign_new("embedding"))

@@ -9,6 +9,8 @@ integer counts divided once at the end (deterministic across engines).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -920,6 +922,55 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The Gopher rule gate (Rae et al. 2021, App. A1.1) as SHARED pieces —
+# ONE copy of the published thresholds by design (r15 review: the web
+# capstone re-implemented them inline): the required-stopword set, the
+# four per-document token aggregates, the symbol-count column, and the
+# five cross-multiplied integer predicates. text_gopher_rules and
+# corpus_web_pipeline both compose these.
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_token_aggs(token_col: str = "token") -> list:
+    """The four per-document aggregates the gate needs, over an exploded
+    token column."""
+    t = F.col(token_col)
+    return [
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.length(token_col)).alias("sum_len"),
+        F.sum(t.rlike("[a-zA-Z]").cast("long")).alias("n_alpha"),
+        F.countDistinct(
+            F.when(t.isin(*GOPHER_REQUIRED_STOPWORDS), t)
+        ).alias("n_req_stop"),
+    ]
+
+
+def gopher_symbol_count(text_col: str):
+    """Symbol count ('#' occurrences + ellipsis occurrences) as
+    replace-length arithmetic on the raw text column — scan-side, no
+    second tokenization."""
+    c = F.col(text_col)
+    return (
+        (F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit(""))))
+        + (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+
+
+def gopher_ok_predicates() -> dict:
+    """The five published threshold predicates over columns named
+    (n_tok, sum_len, n_alpha, n_sym, n_req_stop) — every test
+    CROSS-MULTIPLIES in integers, so the booleans are bit-identical on
+    any engine at any scale."""
+    return {
+        "ok_word_count": F.col("n_tok").between(50, 100000),
+        "ok_mean_word_len": (3 * F.col("n_tok") <= F.col("sum_len"))
+        & (F.col("sum_len") <= 10 * F.col("n_tok")),
+        "ok_symbol_ratio": 10 * F.col("n_sym") <= F.col("n_tok"),
+        "ok_alpha_ratio": 5 * F.col("n_alpha") >= 4 * F.col("n_tok"),
+        "ok_stopwords": F.col("n_req_stop") >= 2,
+    }
+
+
 @query(
     "text_gopher_rules",
     oracle="""
@@ -989,32 +1040,10 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok_word_count passes 277/500 at sf0.01)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    req = ("the", "be", "to", "of", "and", "that", "have", "with")
-    ts = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tok"),
-        F.sum(F.length("token")).alias("sum_len"),
-        F.sum(F.col("token").rlike("[a-zA-Z]").cast("long")).alias("n_alpha"),
-        F.countDistinct(
-            F.when(F.col("token").isin(*req), F.col("token"))
-        ).alias("n_req_stop"),
-    )
-    n_sym = (
-        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit(""))))
-        + (
-            F.length("text")
-            - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
-        )
-        / 3
-    ).cast("long")
-    sym = docs.select("doc_id", n_sym.alias("n_sym"))
+    ts = tok.groupBy("doc_id").agg(*gopher_token_aggs("token"))
+    sym = docs.select("doc_id", gopher_symbol_count("text").alias("n_sym"))
     j = ts.join(sym, "doc_id")
-    ok_wc = F.col("n_tok").between(50, 100000)
-    ok_mwl = (3 * F.col("n_tok") <= F.col("sum_len")) & (
-        F.col("sum_len") <= 10 * F.col("n_tok")
-    )
-    ok_sym = 10 * F.col("n_sym") <= F.col("n_tok")
-    ok_alpha = 5 * F.col("n_alpha") >= 4 * F.col("n_tok")
-    ok_stop = F.col("n_req_stop") >= 2
+    ok = gopher_ok_predicates()
     return j.select(
         "doc_id",
         "n_tok",
@@ -1022,14 +1051,8 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_alpha",
         "n_sym",
         "n_req_stop",
-        ok_wc.cast("int").alias("ok_word_count"),
-        ok_mwl.cast("int").alias("ok_mean_word_len"),
-        ok_sym.cast("int").alias("ok_symbol_ratio"),
-        ok_alpha.cast("int").alias("ok_alpha_ratio"),
-        ok_stop.cast("int").alias("ok_stopwords"),
-        (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop)
-        .cast("int")
-        .alias("passes_gopher"),
+        *[pred.cast("int").alias(name) for name, pred in ok.items()],
+        reduce(lambda a, b: a & b, ok.values()).cast("int").alias("passes_gopher"),
     )
 
 
@@ -1119,7 +1142,10 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
-        .filter(F.col("tok").rlike("^[a-z]+$"))
+        # \A..\z, not ^..$: Java-regex $ matches BEFORE a trailing newline
+        # while the oracle's RE2 $ does not — a doc ending "word\n" would
+        # weight the token on one engine only (r15 review)
+        .filter(F.col("tok").rlike(r"\A[a-z]+\z"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("w"))
         .withColumn("enc", F.regexp_replace("tok", "(.)", "<$1>"))

@@ -701,8 +701,10 @@ def corpus_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The r13/r14 web stages each stand alone; this composes them into the one
 # accounting query a real CC-pipeline user runs first (the
 # curation_pipeline_v2 pattern applied to the WARC leg). Pipeline-local
-# constants: a line repeated across >= K surviving documents is boiler;
-# packed sequences carry this token budget.
+# constants: a line appearing in >= K DISTINCT surviving documents is
+# boiler (an intra-document repeat alone is content, not boilerplate —
+# enforced via countDistinct, r15 review); packed sequences carry this
+# token budget.
 _WEB_LINE_DUP_K = 2
 _WEB_PACK_BUDGET = 32
 
@@ -863,8 +865,23 @@ def corpus_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             with open(os.path.join(seg_dir, name), "wb") as fh:
                 fh.write(blob)
 
+        from functools import reduce
+
+        from distributed_video_analytics_flink_spark.operators.dedup import (
+            _materialize,
+        )
+        from distributed_video_analytics_flink_spark.operators.text_analysis import (
+            gopher_ok_predicates,
+            gopher_symbol_count,
+            gopher_token_aggs,
+        )
+
         main_text, _, _, _ = html_extract_columns("decode(body, 'UTF-8')")
-        pages = (
+        # every stage frame is materialized once: the stage counts below
+        # are separate actions, and without the pins each would re-run
+        # the WARC scan + extraction upstream (r15 review — the docstring
+        # promises bodies cross the wire exactly twice)
+        pages = _materialize(
             spark.read.format("warc")
             .load(seg_dir)
             .filter(
@@ -888,56 +905,39 @@ def corpus_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         block = spark.createDataFrame(
             [(h,) for h in _HOST_BLOCKLIST], "host string"
         )
-        gated_host = deduped.join(F.broadcast(block), "host", "left_anti")
+        gated_host = _materialize(
+            deduped.join(F.broadcast(block), "host", "left_anti")
+        )
         n_after_host_gate = gated_host.count()
 
         # Gopher gate on the EXTRACTED text (tokens split at the space
-        # and newline separators main_text is built from)
+        # and newline separators main_text is built from) — the SHARED
+        # published-threshold pieces, one copy with text_gopher_rules
         tok = gated_host.select(
-            "norm_url", F.explode(F.split("main_text", "[ \n]")).alias("t")
+            "norm_url", F.explode(F.split("main_text", "[ \n]")).alias("token")
         )
-        req = ("the", "be", "to", "of", "and", "that", "have", "with")
-        ts = tok.groupBy("norm_url").agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            F.sum(F.length("t")).alias("sum_len"),
-            F.sum(F.col("t").rlike("[a-zA-Z]").cast("long")).alias("n_alpha"),
-            F.countDistinct(
-                F.when(F.col("t").isin(*req), F.col("t"))
-            ).alias("n_req_stop"),
-        )
-        n_sym = (
-            F.length("main_text")
-            - F.length(F.replace(F.col("main_text"), F.lit("#"), F.lit("")))
-            + (
-                F.length("main_text")
-                - F.length(
-                    F.replace(F.col("main_text"), F.lit("..."), F.lit(""))
-                )
-            )
-            / 3
-        ).cast("long")
-        survivors = (
-            gated_host.withColumn("n_sym", n_sym)
+        ts = tok.groupBy("norm_url").agg(*gopher_token_aggs("token"))
+        survivors = _materialize(
+            gated_host.withColumn("n_sym", gopher_symbol_count("main_text"))
             .join(ts, "norm_url")
-            .filter(
-                F.col("n_tok").between(50, 100000)
-                & (3 * F.col("n_tok") <= F.col("sum_len"))
-                & (F.col("sum_len") <= 10 * F.col("n_tok"))
-                & (10 * F.col("n_sym") <= F.col("n_tok"))
-                & (5 * F.col("n_alpha") >= 4 * F.col("n_tok"))
-                & (F.col("n_req_stop") >= 2)
-            )
+            .filter(reduce(lambda a, b: a & b, gopher_ok_predicates().values()))
             .select("norm_url", "main_text")
         )
         n_after_gopher = survivors.count()
 
-        # corpus-wide line rewrite over the survivors (newline lines)
-        lines = survivors.select(
-            "norm_url", F.posexplode(F.split("main_text", "\n")).alias("i", "line")
-        ).select("norm_url", "i", F.md5("line").alias("fp"))
+        # corpus-wide line rewrite over the survivors (newline lines); a
+        # line is boiler when it appears in >= K distinct DOCUMENTS (per
+        # the constant's contract — an intra-document repeat alone is
+        # content, not boilerplate; r15 review)
+        lines = _materialize(
+            survivors.select(
+                "norm_url",
+                F.posexplode(F.split("main_text", "\n")).alias("i", "line"),
+            ).select("norm_url", "i", F.md5("line").alias("fp"))
+        )
         boiler = (
             lines.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.countDistinct("norm_url").alias("c"))
             .filter(F.col("c") >= _WEB_LINE_DUP_K)
             .select("fp")
         )

@@ -106,6 +106,9 @@ def maintain_incremental_pairs(
     from distributed_video_analytics_flink_spark.operators.curation import (
         incremental_band_pairs,
     )
+    from distributed_video_analytics_flink_spark.streaming.sinks import (
+        is_missing_table_error,
+    )
     from distributed_video_analytics_flink_spark.operators.dedup import (
         _bands_from_sigs,
         _materialize,
@@ -120,13 +123,10 @@ def maintain_incremental_pairs(
         try:
             return spark.read.parquet(path)
         except AnalysisException as e:
-            # only the two no-existing-state conditions may downgrade
-            # (the merge_results_batch discipline — anything else would
-            # silently drop maintained pairs on a transient read error)
-            cond = e.getCondition() if hasattr(e, "getCondition") else None
-            if cond is None and hasattr(e, "getErrorClass"):
-                cond = e.getErrorClass()
-            if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            # only a genuinely-missing state may downgrade (the shared
+            # merge_results_batch policy — anything else would silently
+            # drop maintained pairs on a transient read error)
+            if not is_missing_table_error(e):
                 raise
             return None
 

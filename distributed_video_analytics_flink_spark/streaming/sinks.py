@@ -26,6 +26,21 @@ from pyspark.sql.streaming import StreamingQuery
 
 from distributed_video_analytics_flink_spark.streaming.sources import TS_OPTS
 
+
+def is_missing_table_error(e: AnalysisException) -> bool:
+    """True iff ``e`` means "no table exists here yet" — PATH_NOT_FOUND
+    (first write ever) or UNABLE_TO_INFER_SCHEMA (path exists but holds
+    no parquet yet). The ONE policy every read-state-or-start-fresh site
+    must share (merge_results_batch here, the streaming pair maintenance
+    in corpus.py — r15 review): any OTHER AnalysisException (an existing
+    but momentarily unreadable table) must propagate, because
+    downgrading it to "no table" lets the caller's overwrite silently
+    drop previously-written rows."""
+    cond = e.getCondition() if hasattr(e, "getCondition") else None
+    if cond is None and hasattr(e, "getErrorClass"):
+        cond = e.getErrorClass()
+    return cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+
 RESULTS_TABLE_DDL = """
 CREATE TABLE IF NOT EXISTS {table} (
   id STRING, camera_id STRING, day STRING,
@@ -261,17 +276,7 @@ def merge_results_batch(
         existing_all = spark.read.parquet(path)
         has_existing = True
     except AnalysisException as e:
-        # Only the two "no existing table" conditions may downgrade to a
-        # fresh write: PATH_NOT_FOUND (first batch ever) and
-        # UNABLE_TO_INFER_SCHEMA (path exists but holds no parquet yet).
-        # Any OTHER AnalysisException (e.g. an existing but momentarily
-        # unreadable table) must propagate — treating it as "no table"
-        # would let the dynamic overwrite below silently drop previously
-        # upserted rows in every touched partition (r14 advice).
-        cond = e.getCondition() if hasattr(e, "getCondition") else None
-        if cond is None and hasattr(e, "getErrorClass"):
-            cond = e.getErrorClass()
-        if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+        if not is_missing_table_error(e):
             raise
         has_existing = False
     if has_existing:

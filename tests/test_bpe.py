@@ -223,45 +223,12 @@ def test_chain_column_matches_heap_on_hostile_text(spark):
     assert got[None] is None
 
 
-def _learn_merges_weighted(
-    word_weights: dict[str, int], n_merges: int
-) -> list[tuple[str, str, int]]:
-    """Independent frequency-weighted BPE learner (the textbook
-    Sennrich-2016 loop over a word->count dict, ties broken by
-    lexicographically smallest pair) — the reference
-    text_bpe_train_merges' distributed trajectory is pinned against."""
-    words = {tuple(w): c for w, c in word_weights.items()}
-    merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
-        pairs: dict[tuple[str, str], int] = {}
-        for w, c in words.items():
-            for i in range(len(w) - 1):
-                pairs[w[i], w[i + 1]] = pairs.get((w[i], w[i + 1]), 0) + c
-        if not pairs:
-            break
-        best_count = max(pairs.values())
-        a, b = min(p for p, c in pairs.items() if c == best_count)
-        merges.append((a, b, best_count))
-        out = {}
-        for w, c in words.items():
-            nw: list[str] = []
-            i = 0
-            while i < len(w):
-                if i < len(w) - 1 and w[i] == a and w[i + 1] == b:
-                    nw.append(a + b)
-                    i += 2
-                else:
-                    nw.append(w[i])
-                    i += 1
-            out[tuple(nw)] = out.get(tuple(nw), 0) + c
-        words = out
-    return merges
-
-
 def test_bpe_train_merges_matches_reference_learner(spark):
-    """The distributed trainer's trajectory == the pure-Python weighted
-    learner run on the identical word-frequency table (same tie-break),
-    at sf0.001."""
+    """The distributed trainer's trajectory == the reference learner
+    (functions/bpe.py::learn_merges, frequency-weighted — ONE loop shared
+    with the pinned-table reproduction test) run on the identical
+    word-frequency table, at sf0.001."""
+    import re
     from collections import Counter
 
     from distributed_video_analytics_flink_spark.operators.text_analysis import (
@@ -274,13 +241,17 @@ def test_bpe_train_merges_matches_reference_learner(spark):
     texts = [
         r["text"] for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
     ]
+    # fullmatch == the engine's \A[a-z]+\z (a trailing-newline token must
+    # be rejected on every engine and in this reference too — r15 review)
     weights = Counter(
         tok
         for t in texts
         for tok in t.lower().split(" ")
-        if tok and tok.isascii() and tok.isalpha() and tok == tok.lower()
+        if re.fullmatch("[a-z]+", tok)
     )
-    expect = _learn_merges_weighted(dict(weights), _BPE_TRAIN_ROUNDS)
+    expect = learn_merges(
+        tuple(weights), _BPE_TRAIN_ROUNDS, weights=dict(weights), with_counts=True
+    )
     got = [(r["lhs"], r["rhs"], r["pair_weight"]) for r in sorted(rows, key=lambda r: r["rank"])]
     assert got == expect
     assert [r["merged"] for r in sorted(rows, key=lambda r: r["rank"])] == [

@@ -148,3 +148,46 @@ def test_stream_maintained_pairs_equal_full_recompute(spark, tmp_path):
     full_sigs = minhash_signature_df(docs)
     assert sigs.exceptAll(full_sigs).count() == 0
     assert full_sigs.exceptAll(sigs).count() == 0
+
+
+def test_stream_pair_maintenance_is_retry_idempotent(spark, tmp_path):
+    """The docstring claims idempotency across crash-retry BY
+    CONSTRUCTION (a foreachBatch re-run after a crash-before-checkpoint
+    re-applies the same batch): re-running maintain_incremental_pairs on
+    the SAME batch frame must leave both state tables byte-equal."""
+    from distributed_video_analytics_flink_spark.streaming import (
+        maintain_incremental_pairs,
+    )
+
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "2024-06-01T00:00:00"),
+            (3, "alpha beta gamma delta epsilon zeta", "2024-06-01T00:00:01"),
+        ],
+        "doc_id long, text string, ingest_ts string",
+    )
+    maintain_incremental_pairs(b1, state)
+    b2 = spark.createDataFrame(
+        [(6, "alpha beta gamma delta epsilon zeta", "2024-06-01T00:01:00")],
+        "doc_id long, text string, ingest_ts string",
+    )
+    maintain_incremental_pairs(b2, state)
+    pairs_once = sorted(
+        tuple(r) for r in spark.read.parquet(f"{state}/pairs").collect()
+    )
+    sigs_once = sorted(
+        tuple(r) for r in spark.read.parquet(f"{state}/sigs").collect()
+    )
+    # the crash-retry: batch 2 delivered again
+    maintain_incremental_pairs(b2, state)
+    assert (
+        sorted(tuple(r) for r in spark.read.parquet(f"{state}/pairs").collect())
+        == pairs_once
+    )
+    assert (
+        sorted(tuple(r) for r in spark.read.parquet(f"{state}/sigs").collect())
+        == sigs_once
+    )
+    # and the state is the expected one: all three docs pairwise near-dup
+    assert pairs_once == [(1, 3), (1, 6), (3, 6)]
