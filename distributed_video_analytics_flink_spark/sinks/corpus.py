@@ -92,10 +92,19 @@ def compact_corpus(
     hot partitions, not the table. Returns {lang: (files_before,
     files_after)} for the partitions rewritten.
 
-    Crash-safety note: the rewrite is read -> materialize (lineage broken
-    before its own partition is replaced) -> overwrite, same discipline as
-    merge_results_batch (streaming/sinks.py); on a cluster stage to a
-    temp prefix + rename, or use a table format's transactional rewrite."""
+    Crash-safety / concurrency (r15, per ADVICE r14): the rewrite STAGES
+    to a hidden temp prefix next to the partition and swaps by directory
+    rename — never a dynamic overwrite of a live directory. The fence is
+    verified on a FROZEN directory: the partition is renamed aside
+    first, its listing (name, size, mtime_ns — a same-name rewrite
+    changes mtime/size, closing the old frozenset blind spot) is
+    compared to the pre-read snapshot, and only then does the staged
+    data take the live name; on any mismatch the original directory is
+    renamed back untouched and the compaction aborts loudly. A crash
+    mid-swap leaves either the original or the fully-staged directory
+    (plus debris under hidden names a re-run clears) — never a
+    half-written live partition. On an object store without rename,
+    swap via a manifest pointer (the sinks/index_store.py pattern)."""
     import math
     import os
 
@@ -118,42 +127,52 @@ def compact_corpus(
             continue
         lang = entry.split("=", 1)[1]
 
-        def _listing() -> frozenset:
-            return frozenset(
-                f
-                for f in os.listdir(pdir)
-                if f.endswith(".parquet") and not f.startswith(("_", "."))
-            )
+        def _listing(d: str) -> frozenset:
+            out = set()
+            for f in os.listdir(d):
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    st = os.stat(os.path.join(d, f))
+                    out.add((f, st.st_size, st.st_mtime_ns))
+            return frozenset(out)
 
-        # WRITER CONTRACT (r14 review, the compact_ivf_pq_index fence
-        # pattern): quiesce the streaming ingest for the partition being
-        # rewritten — a micro-batch file landing between this snapshot
-        # and the dynamic overwrite would be replaced away. The fence
-        # re-lists immediately before the overwrite and aborts loudly on
-        # any change; the remaining window is the write itself, which the
-        # quiesce contract owns.
-        snapshot = _listing()
+        # WRITER CONTRACT (r14 review, hardened r15 per ADVICE): the
+        # streaming ingest should quiesce the partition being rewritten,
+        # and the fence now PROVES it did — stage the compacted bytes to
+        # a hidden sibling, rename the live directory aside (freezing
+        # it), verify the frozen listing against the pre-read snapshot
+        # ((name, size, mtime_ns): same-name rewrites change it), and
+        # only then let the staged data take the live name. A file that
+        # lands at ANY point before the freeze is detected; the old
+        # unguarded window (re-list -> overwrite) is gone.
+        snapshot = _listing(pdir)
         part = (
             spark.read.parquet(root)
             .filter(F.col("lang") == lang)
             .localCheckpoint(eager=True)
         )
-        if _listing() != snapshot:
+        stage = os.path.join(root, f".compact-{lang}.stage")
+        retired = os.path.join(root, f".compact-{lang}.old")
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)  # debris from a crash
+        shutil.rmtree(retired, ignore_errors=True)
+        (
+            part.drop("lang")  # the directory key, not a data column
+            .repartition(want, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        os.rename(pdir, retired)  # freeze the live partition
+        if _listing(retired) != snapshot:
+            os.rename(retired, pdir)  # restore untouched
+            shutil.rmtree(stage, ignore_errors=True)
             raise RuntimeError(
                 f"corpus partition {entry!r} changed during compaction "
                 "(concurrent ingest?): quiesce the writers and retry"
             )
-        (
-            part.repartition(want, "doc_id")
-            # lang leads the sort so the dynamic-partition writer's required
-            # ordering (partition columns first) is already satisfied and it
-            # does NOT inject its own non-stable re-sort over the clustering
-            .sortWithinPartitions("lang", "doc_id")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("lang")
-            .parquet(root)
-        )
+        os.rename(stage, pdir)  # staged bytes take the live name
+        shutil.rmtree(retired)
         after = len(
             [
                 f

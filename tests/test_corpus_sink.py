@@ -136,3 +136,49 @@ def test_compact_corpus_binpacks_and_preserves(spark, tmp_path):
     assert got == want
     # second run: everything already compact -> no-op
     assert compact_corpus(spark, out, target_bytes=1 << 30) == {}
+
+
+def test_compact_corpus_fence_detects_concurrent_ingest(spark, tmp_path, monkeypatch):
+    """The hardened fence (r15, ADVICE r14): a file landing in the
+    partition AFTER the snapshot (here: injected during the compaction's
+    own materialization step) must abort the swap with a loud error and
+    leave the live directory fully intact — original files untouched AND
+    the late arrival preserved; no staged debris takes the live name."""
+    import pytest
+
+    from distributed_video_analytics_flink_spark.sinks.corpus import compact_corpus
+
+    # patch the CONCRETE class: Spark 4's classic DataFrame subclasses the
+    # base and overrides localCheckpoint, shadowing a base-class patch
+    DataFrame = type(spark.range(1))
+
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("lang") == "en")
+    out = str(tmp_path / "corpus_root")
+    write_curated_corpus(docs, out, files_per_lang=8)
+    root = os.path.join(out, "corpus")
+    pdir = os.path.join(root, "lang=en")
+    before = sorted(os.listdir(pdir))
+
+    sentinel = os.path.join(pdir, "zz-late-microbatch.parquet")
+    orig = DataFrame.localCheckpoint
+
+    def hooked(self, eager=True):
+        # simulate a streaming micro-batch landing mid-compaction
+        if not os.path.exists(sentinel):
+            with open(sentinel, "wb") as fh:
+                fh.write(b"late")
+        return orig(self, eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", hooked)
+    with pytest.raises(RuntimeError, match="changed during compaction"):
+        compact_corpus(spark, out, target_bytes=1 << 30)
+    monkeypatch.setattr(DataFrame, "localCheckpoint", orig)
+
+    # live directory restored: every original file plus the late arrival
+    after = sorted(os.listdir(pdir))
+    assert set(before) <= set(after) and os.path.exists(sentinel)
+    # no hidden stage/old debris holds the live name hostage, and a retry
+    # after the writer quiesces (sentinel removed) succeeds
+    os.remove(sentinel)
+    done = compact_corpus(spark, out, target_bytes=1 << 30)
+    assert "en" in done
