@@ -140,18 +140,22 @@ def encode_py(word: str) -> list[str]:
         syms = out
 
 
-def bpe_token_count_col(text_col: str) -> Column:
+def bpe_token_count_col(
+    text_col: str, merges: tuple[tuple[str, str], ...] = MERGES
+) -> Column:
     """Spark column: exact BPE token count of a whitespace-separated text
-    column under MERGES. Pure JVM string expressions. Total over arbitrary
-    text (r14 review): ``(?s)`` wraps newlines as symbols too (bare ``.``
-    skips them, silently undercounting multiline documents vs the heap
-    encoder), and each literal ``<`` in the input — whose wrapped form
-    ``<<>`` carries two brackets — is compensated by subtracting the
-    input's own ``<`` count, so the bracket-counting trick stays exact.
-    Merge rules contain only lowercase letters, so a literal ``<``/``>``
-    symbol can never false-match a rule."""
+    column under ``merges`` (default: the pinned table; the trained-table
+    pack query passes the merges it just learned). Pure JVM string
+    expressions. Total over arbitrary text (r14 review): ``(?s)`` wraps
+    newlines as symbols too (bare ``.`` skips them, silently
+    undercounting multiline documents vs the heap encoder), and each
+    literal ``<`` in the input — whose wrapped form ``<<>`` carries two
+    brackets — is compensated by subtracting the input's own ``<``
+    count, so the bracket-counting trick stays exact. Merge rules
+    contain only lowercase letters, so a literal ``<``/``>`` symbol can
+    never false-match a rule."""
     enc = F.regexp_replace(F.col(text_col), "(?s)(.)", "<$1>")
-    for a, b in MERGES:
+    for a, b in merges:
         enc = F.replace(enc, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
     n_symbols = F.length(enc) - F.length(F.replace(enc, F.lit("<"), F.lit("")))
     n_spaces = F.length(F.col(text_col)) - F.length(

@@ -1711,3 +1711,106 @@ def incremental_band_pairs(all_bands: DataFrame) -> DataFrame:
             F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
         )
     )
+
+
+def _pack_trained_bpe_oracle() -> str:
+    """Replay: the 12-round training loop (the SAME shared CTE list the
+    trainer's oracle uses — one replay of the loop by design), then each
+    document encodes under the LEARNED chain — twelve nested replaces
+    whose pair literals come from the b{k} argmax CTEs — and packs under
+    the per-language token-budget window."""
+    from distributed_video_analytics_flink_spark.operators.text_analysis import (
+        _bpe_train_ctes,
+        _BPE_TRAIN_ROUNDS,
+    )
+
+    ctes, _rows = _bpe_train_ctes()
+    enc = "regexp_replace(text, '(.)', '<\\1>', 'gs')"
+    for k in range(1, _BPE_TRAIN_ROUNDS + 1):
+        enc = (
+            f"replace({enc}, (SELECT '<'||a||'><'||b||'>' FROM b{k}),"
+            f" (SELECT '<'||a||b||'>' FROM b{k}))"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    toks AS (
+      SELECT doc_id, lang,
+             CAST(length({enc}) - length(replace({enc}, '<', ''))
+               - (length(text) - length(replace(text, '<', '')))
+               - (length(text) - length(replace(text, ' ', '')))
+               AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tok,
+             CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tok
+      FROM toks
+    )
+    SELECT doc_id, lang, n_tok,
+           CAST(FLOOR((cum_tok - n_tok) / 512) AS BIGINT) AS bin_id
+    FROM packed
+    """
+    )
+
+
+@query(
+    "curation_pack_sequences_trained_bpe", oracle=_pack_trained_bpe_oracle()
+)
+def curation_pack_sequences_trained_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing under the merge table LEARNED IN-QUERY — the
+    train->use loop closed end to end (the r15 trainer's output actually
+    driving budget arithmetic, not just being emitted): run
+    text_bpe_train_merges' 12-round loop over this corpus, collect the
+    learned table (bounded: 12 rows — the model IS the driver-side
+    constant, the LSH-planes discipline), build the exact replace-chain
+    encoder under it (functions/bpe.py::bpe_token_count_col — the same
+    totality-hardened chain the pinned-table queries use), and pack each
+    language's docs into 512-token bins by the learned counts.
+
+    The DuckDB oracle replays the training loop via the SAME shared CTE
+    list as the trainer's own oracle, re-derives the twelve replace
+    literals from its argmax CTEs, and packs identically — so a drift in
+    training, the learned encoder, or the packing window in EITHER
+    engine hash-mismatches the round. Unlike curation_pack_sequences_bpe
+    (pinned 48-merge table), the counts here are corpus-dependent: a
+    different SF learns a different table and different budgets.
+
+    100 TB shape: training cost is the trainer's (corpus scanned once,
+    rounds on the vocab table); the packing pass is then the plain
+    pack_sequences plan — the learned chain is a scan-side Catalyst
+    projection (12 replaces), one window partitioned by lang, no extra
+    shuffle versus the whitespace variant."""
+    from distributed_video_analytics_flink_spark.functions.bpe import (
+        bpe_token_count_col,
+    )
+    from distributed_video_analytics_flink_spark.operators.text_analysis import (
+        text_bpe_train_merges,
+    )
+
+    learned = tuple(
+        (r["lhs"], r["rhs"])
+        for r in sorted(
+            text_bpe_train_merges(spark, sf_dir).collect(),
+            key=lambda r: r["rank"],
+        )
+    )  # bounded: _BPE_TRAIN_ROUNDS rows — the learned model itself
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", bpe_token_count_col("text", learned).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return packed.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.floor((F.col("cum_tok") - F.col("n_tok")) / 512).alias("bin_id"),
+    )

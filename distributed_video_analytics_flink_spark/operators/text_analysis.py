@@ -1063,13 +1063,15 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_TRAIN_ROUNDS = 12
 
 
-def _bpe_train_oracle() -> str:
-    """Nested-CTE replay of the merge-training loop: words0 is the
-    frequency-weighted distinct-word table (alphabetic tokens only, each
-    rendered in the engine's angle-bracket symbol framing), and each round
-    counts adjacent symbol pairs, picks the (weight DESC, lhs, rhs) argmax,
-    and applies that one merge as a single string replace — the same
-    left-to-right single-rule semantics functions/bpe.py proves exact.
+def _bpe_train_ctes() -> list:
+    """The merge-training replay as a CTE list — shared by the trainer's
+    own oracle and the trained-table pack oracle (ONE replay of the
+    loop): words0 is the frequency-weighted distinct-word table
+    (alphabetic tokens only, each rendered in the engine's angle-bracket
+    symbol framing), and each round counts adjacent symbol pairs, picks
+    the (weight DESC, lhs, rhs) argmax, and applies that one merge as a
+    single string replace — the same left-to-right single-rule semantics
+    functions/bpe.py proves exact.
 
     Every round CTE is MATERIALIZED: words{k} is referenced twice per
     round (by p{k+1} and words{k+1}) and b{k} three times, so DuckDB's
@@ -1106,6 +1108,11 @@ def _bpe_train_oracle() -> str:
             f"SELECT CAST({k} AS BIGINT) AS rank, a AS lhs, b AS rhs,"
             f" a||b AS merged, c AS pair_weight FROM b{k}"
         )
+    return [ctes, rows]
+
+
+def _bpe_train_oracle() -> str:
+    ctes, rows = _bpe_train_ctes()
     return "WITH " + ",\n    ".join(ctes) + "\n    " + " UNION ALL ".join(rows)
 
 
