@@ -228,6 +228,19 @@ HEADLINE = [
     # append-recall staleness signal (codebook retrain + version roll
     # through the store, recall recovery hash-pinned)
     "sim_ivf_pq_retrain_checked",
+    # round 15: distributed BPE merge training and its train->use closure
+    # (packing under the in-query learned table), the WARC-leg capstone
+    # accounting query, and the full IVF+PQ roll (coarse quantizer
+    # retrained too, at-rest layout re-partitioned)
+    "text_bpe_train_merges",
+    "curation_pack_sequences_trained_bpe",
+    "corpus_web_pipeline",
+    "sim_ivf_pq_full_retrain_checked",
+    # round 15: the retrieval/selection scorers — exact fixed-point BM25
+    # (rational idf, micro-unit saturation) and DSIR-style hashed-bigram
+    # importance selection (fit pass bounded by 256 buckets)
+    "text_bm25_topk",
+    "curation_dsir_importance",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

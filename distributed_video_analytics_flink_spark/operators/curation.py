@@ -1814,3 +1814,147 @@ def curation_pack_sequences_trained_bpe(spark: SparkSession, sf_dir: str) -> Dat
         "n_tok",
         F.floor((F.col("cum_tok") - F.col("n_tok")) / 512).alias("bin_id"),
     )
+
+
+# --- DSIR-style importance resampling (r15) ---------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023, NeurIPS —
+# arXiv:2302.03169): score every raw-pool document by how much its hashed
+# n-gram distribution resembles a target domain, then keep the top of the
+# ranking. The public recipe hashes word n-grams into a fixed bucket space
+# (10k buckets in the paper; 256 here to match the repo's hashed-feature
+# convention, _CLS_BUCKETS) and weighs each occurrence by the
+# target-vs-raw likelihood ratio. The paper sums LOG ratios; log() differs
+# across libm builds, so — exactly like text_tfidf_topk's rational idf —
+# the engine sums Laplace-smoothed probability RATIOS in fixed-point
+# integers instead: per-gram micro-ratio =
+#   ((c_target+1) * (N_raw+B) * 1e6) div ((c_raw+1) * (N_target+B))
+# (128-bit: decimal(38,0) here, HUGEINT in the oracle), which preserves
+# the "looks like the target" ordering signal and is bit-exact in both
+# engines. Ranking uses the LENGTH-NORMALIZED mean ratio (integral div by
+# the doc's gram count) so selection is about content, not document size.
+_DSIR_BUCKETS = 256
+_DSIR_TOPK = 25
+
+
+def _dsir_bucket_sql(gram_expr: str, engine: str) -> str:
+    """Hash one word-bigram into the fixed DSIR bucket space — md5-prefix
+    fold per the module-header contract in operators/dedup.py."""
+    if engine == "spark":
+        return (
+            f"cast(conv(substring(md5({gram_expr}), 1, 8), 16, 10) as bigint)"
+            f" % {_DSIR_BUCKETS}"
+        )
+    return f"('0x' || substring(md5({gram_expr}), 1, 8))::BIGINT % {_DSIR_BUCKETS}"
+
+
+@query(
+    "curation_dsir_importance",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, (source = 'src0') AS is_target, string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bi AS (
+      SELECT doc_id, is_target,
+             {_dsir_bucket_sql(
+                 "unnest(list_transform(generate_series(1, len(t) - 1), "
+                 "i -> array_to_string(list_slice(t, i, i + 1), ' ')))",
+                 "duck",
+             )} AS bucket
+      FROM base
+    ),
+    counts AS (
+      SELECT bucket,
+             CAST(COUNT(*) FILTER (WHERE is_target) AS BIGINT) AS c_t,
+             CAST(COUNT(*) FILTER (WHERE NOT is_target) AS BIGINT) AS c_r
+      FROM bi GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(c_t) AS BIGINT) AS n_t, CAST(SUM(c_r) AS BIGINT) AS n_r
+      FROM counts
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(SUM(
+               (CAST(c.c_t + 1 AS HUGEINT) * (t.n_r + {_DSIR_BUCKETS}) * 1000000)
+               // (CAST(c.c_r + 1 AS HUGEINT) * (t.n_t + {_DSIR_BUCKETS}))
+             ) AS BIGINT) AS dsir_weight_micro,
+             CAST(COUNT(*) AS BIGINT) AS n_grams
+      FROM bi b JOIN counts c USING (bucket) CROSS JOIN tot t
+      WHERE NOT b.is_target
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, dsir_weight_micro,
+           dsir_weight_micro // n_grams AS mean_ratio_micro, n_grams
+    FROM scored
+    ORDER BY mean_ratio_micro DESC, doc_id ASC
+    LIMIT {_DSIR_TOPK}
+    """,
+)
+def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection (Xie et al. 2023): treat one source
+    (``src0``) as the target domain, hash every word-bigram occurrence into
+    256 buckets (_DSIR_BUCKETS), fit target and raw bucket distributions in
+    ONE conditional-aggregation pass, then score every raw-pool document by
+    its summed fixed-point likelihood ratio and keep the top 25 by
+    length-normalized mean ratio (ties broken on doc_id — total order).
+
+    Exactness: the paper's log-ratio sum is replaced by a Laplace-smoothed
+    probability-ratio sum in micro-units (the module-comment formula);
+    every product runs in 128-bit (decimal(38,0) / HUGEINT) and every
+    division is integral, so both engines keep identical documents with
+    identical weights — no float crosses a decision boundary.
+
+    100 TB shape: the fit pass is a partial-aggregable groupBy onto
+    _DSIR_BUCKETS rows (shuffle bounded by buckets x tasks, corpus-size
+    independent — the sketches discipline); the bucket table + the 1-row
+    totals broadcast to the scoring pass, which is scan -> explode ->
+    broadcast-join -> per-doc partial agg; the top-k is
+    TakeOrderedAndProject (per-partition heads, never a global sort). The
+    corpus is scanned twice (fit, then score) — inherent to DSIR's
+    fit-then-score shape, each pass embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (F.col("source") == "src0").alias("is_target"),
+        F.split("text", " ").alias("t"),
+    ).filter(F.size("t") >= 2)
+    bucket_expr = _dsir_bucket_sql("concat_ws(' ', slice(t, i, 2))", "spark")
+    bi = base.select(
+        "doc_id",
+        "is_target",
+        F.explode(
+            F.expr(f"transform(sequence(1, size(t) - 1), i -> {bucket_expr})")
+        ).alias("bucket"),
+    )
+    counts = bi.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("c_r"),
+    )
+    tot = counts.agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
+    )  # 1 row
+    ratio = (
+        f"cast((cast(c_t + 1 as decimal(38,0)) * (n_r + {_DSIR_BUCKETS}) * 1000000)"
+        f" div (cast(c_r + 1 as decimal(38,0)) * (n_t + {_DSIR_BUCKETS})) as bigint)"
+    )
+    scored = (
+        bi.filter(~F.col("is_target"))
+        .join(F.broadcast(counts), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr(ratio)).alias("dsir_weight_micro"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "dsir_weight_micro",
+            F.expr("dsir_weight_micro div n_grams").alias("mean_ratio_micro"),
+            "n_grams",
+        )
+        .orderBy(F.desc("mean_ratio_micro"), F.asc("doc_id"))
+        .limit(_DSIR_TOPK)
+    )

@@ -1187,3 +1187,121 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         trajectory,
         "rank long, lhs string, rhs string, merged string, pair_weight long",
     )
+
+
+# --- BM25 retrieval (r15) ----------------------------------------------------
+# Okapi BM25 (Robertson & Walker, public literature) with k1 = 1.2 and
+# b = 0.75, the decontamination/eval-overlap retrieval scorer. The engine's
+# exact-rational discipline applies twice:
+#   * the log() idf becomes the rational idf (N - df + 0.5) / (df + 0.5) =
+#     (2N - 2df + 1) / (2df + 1) — same monotone ordering, all integers
+#     (the text_tfidf_topk precedent);
+#   * the tf saturation tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) is
+#     cross-multiplied by 10*total_len (avgdl = total_len / N as a
+#     rational, never materialized as a float):
+#       22*tf*total_len  /  (10*tf*total_len + 3*total_len + 9*dl*N).
+# One 128-bit product each side (decimal(38,0) / HUGEINT), ONE integral
+# division into micro-units, integer SUM over query terms — bit-exact in
+# both engines at any summation order.
+_BM25_TERMS = ("merge", "window", "stream")
+_BM25_TOPK = 15
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_len
+      FROM docs
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(t) AS token FROM docs)
+      WHERE token IN {str(_BM25_TERMS)}
+      GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(SUM(
+               (CAST(22 AS HUGEINT) * tf.tf * s.total_len
+                  * (2 * s.n_docs - 2 * df.df + 1) * 1000000)
+               // ((CAST(10 AS HUGEINT) * tf.tf * s.total_len
+                     + 3 * s.total_len + 9 * d.dl * s.n_docs)
+                   * (2 * df.df + 1))
+             ) AS BIGINT) AS bm25_micro,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+      FROM tf JOIN df USING (token)
+           JOIN docs d ON tf.doc_id = d.doc_id
+           CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25_micro, n_terms_hit
+    FROM scored ORDER BY bm25_micro DESC, doc_id ASC LIMIT {_BM25_TOPK}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 retrieval for a fixed 3-term query over the corpus —
+    the standard lexical scorer a pipeline runs to pull train-set documents
+    that overlap an eval query (decontamination triage) or to mine
+    retrieval candidates. Exact fixed-point BM25 per the module comment:
+    true k1=1.2 / b=0.75 saturation and length normalization, rational idf
+    in place of the libm log, micro-unit integral division, integer sum
+    over terms; ties broken on doc_id — both engines keep the identical
+    ranking.
+
+    100 TB shape: the token explode filters to the query terms BEFORE the
+    per-(doc, term) count, so only matching postings shuffle (three terms'
+    worth, not the corpus); df and the corpus stats are a 3-row and a
+    1-row broadcast; the final top-k is TakeOrderedAndProject — per-
+    partition heads, no global sort. Everything else is scan-local."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+        F.size(F.split("text", " ")).cast("long").alias("dl"),
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )  # 1 row
+    tok = docs.select("doc_id", "dl", F.explode("t").alias("token")).filter(
+        F.col("token").isin(*_BM25_TERMS)
+    )
+    # dl is functionally dependent on doc_id: grouping by it rides along for
+    # free and saves re-joining the corpus for lengths — only matching
+    # postings ever shuffle.
+    from distributed_video_analytics_flink_spark.operators.dedup import _materialize
+
+    # Postings materialize once (narrow: one row per matching doc x term);
+    # df and the scoring leg both consume them — without this the
+    # scan+explode+filter pipeline runs twice (dedup.py::_materialize).
+    tf = _materialize(
+        tok.groupBy("doc_id", "dl", "token").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    term_micro = (
+        "cast((cast(22 as decimal(38,0)) * tf * total_len"
+        " * (2 * n_docs - 2 * df + 1) * 1000000)"
+        " div ((cast(10 as decimal(38,0)) * tf * total_len"
+        " + 3 * total_len + 9 * dl * n_docs)"
+        " * (2 * df + 1)) as bigint)"
+    )
+    scored = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr(term_micro)).alias("bm25_micro"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return scored.select("doc_id", "bm25_micro", "n_terms_hit").orderBy(
+        F.desc("bm25_micro"), F.asc("doc_id")
+    ).limit(_BM25_TOPK)

@@ -1,0 +1,158 @@
+"""Pins for the r15 retrieval/selection scorers:
+
+- ``text_bm25_topk`` (operators/text_analysis.py): the fixed-point BM25
+  is replicated in pure Python with ``fractions.Fraction`` — exact
+  rational arithmetic, no floats — and compared for EQUALITY, proving
+  the cross-multiplied micro-unit form really is
+  idf_rational * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) with k1=1.2,
+  b=0.75 floored to micro-units.
+- ``curation_dsir_importance`` (operators/curation.py): the hashed-bigram
+  Laplace-ratio weight is replicated with hashlib.md5 + Fraction and
+  compared exactly; selection semantics (target docs never emitted,
+  target-vocabulary docs outrank off-domain docs) are pinned on a
+  constructed corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from fractions import Fraction
+
+from distributed_video_analytics_flink_spark.operators.curation import (
+    _DSIR_BUCKETS,
+    curation_dsir_importance,
+)
+from distributed_video_analytics_flink_spark.operators.text_analysis import (
+    _BM25_TERMS,
+    text_bm25_topk,
+)
+
+
+def _write_docs(spark, tmp_path, rows):
+    """rows: list of (text, source)."""
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", src, len(t)) for i, (t, src) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+# --- pure-Python BM25 replica (exact rationals) ------------------------------
+
+K1 = Fraction(12, 10)
+B = Fraction(3, 4)
+
+
+def _bm25_replica(texts):
+    toks = [t.split(" ") for t in texts]
+    dls = [len(w) for w in toks]
+    n_docs = len(texts)
+    avgdl = Fraction(sum(dls), n_docs)
+    out = {}
+    for i, w in enumerate(toks):
+        score = 0
+        hits = 0
+        for term in _BM25_TERMS:
+            tf = w.count(term)
+            if tf == 0:
+                continue
+            df = sum(1 for ws in toks if term in ws)
+            idf = Fraction(2 * n_docs - 2 * df + 1, 2 * df + 1)
+            sat = (tf * (K1 + 1)) / (tf + K1 * (1 - B + B * Fraction(dls[i]) / avgdl))
+            score += int(idf * sat * 1_000_000)  # int() == floor for >= 0
+            hits += 1
+        if hits:
+            out[i] = (score, hits)
+    return out
+
+
+def test_bm25_equals_rational_replica(spark, tmp_path):
+    texts = [
+        "merge window stream merge stream extra tokens here now",
+        "merge merge merge merge",
+        "window alone in a much longer document with many filler words trailing",
+        "no query terms at all in this document",
+        "stream window",
+    ]
+    sf = _write_docs(spark, tmp_path, [(t, "s") for t in texts])
+    got = {
+        r["doc_id"]: (r["bm25_micro"], r["n_terms_hit"])
+        for r in text_bm25_topk(spark, sf).collect()
+    }
+    want = _bm25_replica(texts)
+    assert got == want
+    # doc 3 has no query terms: absent from the result, not scored 0
+    assert 3 not in got
+
+
+def test_bm25_saturation_and_length_norm(spark, tmp_path):
+    # Same tf of 'merge', one doc padded with filler: the longer doc must
+    # score LOWER (length normalization), and tf growth must saturate
+    # (score(tf=8) < 2 * score(tf=1) under k1=1.2).
+    texts = [
+        "merge alpha",
+        "merge " + " ".join(["filler"] * 30),
+        "merge merge merge merge merge merge merge merge alpha alpha alpha alpha alpha alpha alpha",
+    ]
+    sf = _write_docs(spark, tmp_path, [(t, "s") for t in texts])
+    got = {r["doc_id"]: r["bm25_micro"] for r in text_bm25_topk(spark, sf).collect()}
+    assert got[0] > got[1]
+    assert got[2] < 2 * got[0]
+
+
+# --- pure-Python DSIR replica -------------------------------------------------
+
+
+def _dsir_bucket(gram: str) -> int:
+    return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) % _DSIR_BUCKETS
+
+
+def _dsir_replica(rows):
+    """rows: list of (text, source); returns {doc_id: (weight, mean, n)}."""
+    grams = []
+    for i, (t, src) in enumerate(rows):
+        w = t.split(" ")
+        if len(w) < 2:
+            continue
+        for a, b in zip(w, w[1:]):
+            grams.append((i, src == "src0", _dsir_bucket(f"{a} {b}")))
+    c_t, c_r = {}, {}
+    for _, is_t, bkt in grams:
+        (c_t if is_t else c_r)[bkt] = (c_t if is_t else c_r).get(bkt, 0) + 1
+    n_t = sum(1 for _, is_t, _ in grams if is_t)
+    n_r = len(grams) - n_t
+    out = {}
+    for i, is_t, bkt in grams:
+        if is_t:
+            continue
+        ratio = Fraction(
+            (c_t.get(bkt, 0) + 1) * (n_r + _DSIR_BUCKETS) * 1_000_000,
+            (c_r.get(bkt, 0) + 1) * (n_t + _DSIR_BUCKETS),
+        )
+        w, n = out.get(i, (0, 0))
+        out[i] = (w + int(ratio), n + 1)
+    return {i: (w, w // n, n) for i, (w, n) in out.items()}
+
+
+def test_dsir_equals_python_replica(spark, tmp_path):
+    rows = [
+        ("spark shuffle join agg window", "src0"),
+        ("spark shuffle join agg window spark shuffle", "src0"),
+        ("spark shuffle join agg", "src1"),  # target-like raw doc
+        ("llama alpaca vicuna gecko iguana", "src1"),  # off-domain raw doc
+        ("spark shuffle llama alpaca", "src2"),  # mixed
+        ("solo", "src1"),  # < 2 tokens: no bigrams, excluded
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {
+        r["doc_id"]: (r["dsir_weight_micro"], r["mean_ratio_micro"], r["n_grams"])
+        for r in curation_dsir_importance(spark, sf).collect()
+    }
+    assert got == _dsir_replica(rows)
+    # target docs are never emitted; the 1-token doc has no bigrams
+    assert 0 not in got and 1 not in got and 5 not in got
+    # selection signal: target-vocabulary raw doc outranks the off-domain one
+    assert got[2][1] > got[3][1]
+    # mixed doc sits strictly between
+    assert got[2][1] > got[4][1] > got[3][1]
