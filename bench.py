@@ -241,6 +241,10 @@ HEADLINE = [
     # importance selection (fit pass bounded by 256 buckets)
     "text_bm25_topk",
     "curation_dsir_importance",
+    # round 15: the 1-bit binary-quantized serve (integer Hamming
+    # candidates + exact rerank) and its hash-pinned recall contract
+    "emb_binary_hamming_topk",
+    "sim_binary_recall_checked",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

@@ -5125,3 +5125,248 @@ def sim_ivf_pq_full_retrain_checked(spark: SparkSession, sf_dir: str) -> DataFra
         " recall_recovered boolean, old_version_gone boolean,"
         " layout_pruned boolean",
     )
+
+
+# --- 1-bit binary quantization + Hamming serving (r15) -----------------------
+# Sign-bit embedding compression (LSH sign-random-projection family,
+# Charikar 2002 — here the identity projection: bit i = [x_i > 0]), the
+# 32x-compression serving path modern vector stores ship ("binary
+# quantization"): score candidates by Hamming distance over packed codes
+# (pure integer XOR+popcount, SIMD-friendly, no floats), then rerank the
+# small survivor set with the exact quantized cosine. Codes pack into two
+# 32-bit words per 64-dim vector — staying clear of the BIGINT sign bit,
+# and the multi-word layout is what any dim > 64 needs anyway.
+_BIN_CAND = 50  # Hamming candidate pool
+_BIN_TOPK = 10  # reranked head
+
+
+def _bin_word_sql(col: str, lo: int, hi: int, engine: str) -> str:
+    """Pack sign bits of 1-based dims [lo, hi] little-endian into a BIGINT.
+    try_element_at / out-of-range NULL folds to 0 in BOTH engines, so a
+    short vector yields zero bits instead of an ANSI error."""
+    if engine == "spark":
+        return (
+            f"aggregate(transform(sequence({lo}, {hi}), i ->"
+            f" if(try_element_at({col}, i) > 0,"
+            f" shiftleft(cast(1 as bigint), i - {lo}), cast(0 as bigint))),"
+            f" cast(0 as bigint), (acc, v) -> acc + v)"
+        )
+    return (
+        f"CAST(list_sum(list_transform(generate_series({lo}, {hi}),"
+        f" i -> CASE WHEN {col}[i] > 0 THEN (1::BIGINT << (i - {lo}))"
+        f" ELSE 0 END)) AS BIGINT)"
+    )
+
+
+def _bin_cos_q(dot, na, nb):
+    """Total quantized cosine for the serve path: a zero-norm vector (all
+    bits unset — representable input, e.g. an all-zero embedding) scores
+    0.0 instead of raising DIVIDE_BY_ZERO under ANSI mode. Caught by
+    tests/test_binary_quantization.py's zero-vector fixture."""
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(
+        _cos_q(dot, na, nb)
+    )
+
+
+def _duck_bin_cos_q(dot: str, na: str, nb: str) -> str:
+    return (
+        f"CASE WHEN ({na}) = 0 OR ({nb}) = 0 THEN 0.0"
+        f" ELSE {_duck_cos_q(dot, na, nb)} END"
+    )
+
+
+def _bin_codes(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(_bin_word_sql("embedding", 1, 32, "spark")).alias("code_lo"),
+        F.expr(_bin_word_sql("embedding", 33, 64, "spark")).alias("code_hi"),
+    )
+
+
+_BIN_CODES_DUCK = f"""
+      SELECT vec_id, label, embedding,
+             {_bin_word_sql("embedding", 1, 32, "duck")} AS code_lo,
+             {_bin_word_sql("embedding", 33, 64, "duck")} AS code_hi
+      FROM embeddings
+"""
+
+
+@query(
+    "emb_binary_hamming_topk",
+    oracle=f"""
+    WITH codes AS ({_BIN_CODES_DUCK}),
+    q AS (SELECT embedding AS qv, code_lo AS q_lo, code_hi AS q_hi
+          FROM codes WHERE vec_id = 0),
+    cand AS (
+      SELECT c.vec_id, c.label, c.embedding, q.qv,
+             CAST(bit_count(xor(c.code_lo, q.q_lo))
+                  + bit_count(xor(c.code_hi, q.q_hi)) AS BIGINT) AS hamming
+      FROM codes c, q WHERE c.vec_id <> 0
+      ORDER BY hamming ASC, c.vec_id ASC LIMIT {_BIN_CAND}
+    )
+    SELECT vec_id, label, hamming,
+           {_duck_bin_cos_q(
+               _duck_dot_q("embedding", "qv"),
+               _duck_dot_q("embedding", "embedding"),
+               _duck_dot_q("qv", "qv"),
+           )} AS cosine
+    FROM cand ORDER BY cosine DESC, vec_id ASC LIMIT {_BIN_TOPK}
+    """,
+)
+def emb_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN serve: pack every embedding's sign bits into
+    two 32-bit words, pull the 50 nearest by Hamming distance to the query
+    (vec_id=0), then rerank ONLY those survivors with the exact quantized
+    cosine and emit the top 10. Both stages are totally ordered (hamming /
+    cosine with vec_id tie-break), so both engines keep identical rows.
+
+    100 TB shape: the Hamming stage is pure integer Catalyst — XOR +
+    popcount over two BIGINT columns (at rest, the 16-byte code column is
+    what the serving scan reads; 32x smaller than the float vectors) —
+    and its head is TakeOrderedAndProject: per-partition heaps, no global
+    sort, no shuffle of vectors. Float work (the exact cosine) happens on
+    exactly _BIN_CAND rows against the broadcast query. The rerank-the-
+    survivors discipline is the same as sim_ivf_pq_topk_refined's."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = _bin_codes(emb)
+    q = codes.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"),
+        F.col("code_lo").alias("q_lo"),
+        F.col("code_hi").alias("q_hi"),
+    )
+    cand = (
+        codes.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "qv",
+            (
+                F.bit_count(F.expr("code_lo ^ q_lo"))
+                + F.bit_count(F.expr("code_hi ^ q_hi"))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(_BIN_CAND)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            "hamming",
+            _bin_cos_q(
+                _dot_q("embedding", "qv"),
+                _dot_q("embedding", "embedding"),
+                _dot_q("qv", "qv"),
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(_BIN_TOPK)
+    )
+
+
+@query(
+    "sim_binary_recall_checked",
+    oracle=f"""
+    WITH codes AS ({_BIN_CODES_DUCK}),
+    q AS (SELECT embedding AS qv, code_lo AS q_lo, code_hi AS q_hi
+          FROM codes WHERE vec_id = 0),
+    brute AS (
+      SELECT c.vec_id FROM codes c, q WHERE c.vec_id <> 0
+      ORDER BY {_duck_bin_cos_q(
+          _duck_dot_q("c.embedding", "q.qv"),
+          _duck_dot_q("c.embedding", "c.embedding"),
+          _duck_dot_q("q.qv", "q.qv"),
+      )} DESC, c.vec_id ASC LIMIT {_BIN_TOPK}
+    ),
+    cand AS (
+      SELECT c.vec_id, c.embedding, q.qv,
+             CAST(bit_count(xor(c.code_lo, q.q_lo))
+                  + bit_count(xor(c.code_hi, q.q_hi)) AS BIGINT) AS hamming
+      FROM codes c, q WHERE c.vec_id <> 0
+      ORDER BY hamming ASC, c.vec_id ASC LIMIT {_BIN_CAND}
+    ),
+    rerank AS (
+      SELECT vec_id FROM cand
+      ORDER BY {_duck_bin_cos_q(
+          _duck_dot_q("embedding", "qv"),
+          _duck_dot_q("embedding", "embedding"),
+          _duck_dot_q("qv", "qv"),
+      )} DESC, vec_id ASC LIMIT {_BIN_TOPK}
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM brute b
+             WHERE b.vec_id IN (SELECT vec_id FROM cand)) AS recall_cand_at_10,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM brute b
+             WHERE b.vec_id IN (SELECT vec_id FROM rerank)) AS recall_at_10
+    """,
+)
+def sim_binary_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality contract for the binary-quantized serve: recall@10 of the
+    Hamming candidate pool and of the reranked head against the
+    brute-force cosine ground truth, for the same query vector. Every leg
+    is deterministic (quantized cosine, integer Hamming, fixed
+    tie-breaks), so the driver hash pins the EXACT recall values — a
+    packing bug, a wrong XOR word, or a broken rerank changes the counts
+    and fails the round (the sim_ivf_recall_checked discipline applied to
+    the 1-bit index).
+
+    100 TB: the brute leg runs on a sampled validation slice; the binary
+    leg is the production path (codes-only scan + 50-row float rerank)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = _bin_codes(emb)
+    q = codes.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"),
+        F.col("code_lo").alias("q_lo"),
+        F.col("code_hi").alias("q_hi"),
+    )
+    scored = codes.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    cos = _bin_cos_q(
+        _dot_q("embedding", "qv"),
+        _dot_q("embedding", "embedding"),
+        _dot_q("qv", "qv"),
+    )
+    brute = scored.select("vec_id", cos.alias("cosine")).orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    ).limit(_BIN_TOPK)
+    cand = (
+        scored.select(
+            "vec_id",
+            "embedding",
+            "qv",
+            (
+                F.bit_count(F.expr("code_lo ^ q_lo"))
+                + F.bit_count(F.expr("code_hi ^ q_hi"))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(_BIN_CAND)
+    )
+    # candidates feed three consumers (count, containment, rerank): 50 rows,
+    # materialize once (dedup.py::_materialize discipline)
+    from distributed_video_analytics_flink_spark.operators.dedup import _materialize
+
+    cand = _materialize(cand)
+    brute = _materialize(brute)
+    rerank = (
+        cand.select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(_BIN_TOPK)
+    )
+    n_candidates = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    r_cand = (
+        brute.join(cand.select("vec_id"), "vec_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("recall_cand_at_10"))
+    )
+    r_final = (
+        brute.join(rerank.select("vec_id"), "vec_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("recall_at_10"))
+    )
+    return n_candidates.crossJoin(r_cand).crossJoin(r_final)
