@@ -245,6 +245,9 @@ HEADLINE = [
     # candidates + exact rerank) and its hash-pinned recall contract
     "emb_binary_hamming_topk",
     "sim_binary_recall_checked",
+    # round 15: hybrid lexical+vector retrieval (reciprocal-rank fusion
+    # of the BM25 and cosine heads — O(k) fusion, leg-drift-sensitive)
+    "sim_hybrid_rrf_topk",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

@@ -5370,3 +5370,93 @@ def sim_binary_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("recall_at_10"))
     )
     return n_candidates.crossJoin(r_cand).crossJoin(r_final)
+
+
+# --- hybrid retrieval: reciprocal-rank fusion (r15) ---------------------------
+# RRF (Cormack, Clarke & Buettcher 2009): fuse a lexical and a vector
+# ranking by summing 1/(k + rank) over the legs' heads, k = 60 (the
+# paper's constant; the hybrid-search default shipped by production
+# search stacks). Integer fixed point keeps it cross-engine exact:
+# contribution = 1e9 div (60 + rank). The legs ARE the registered
+# queries — text_bm25_topk's top-15 and sim_cosine_topk's top-10 — so a
+# drift in either scorer changes the fusion and fails this row too.
+_RRF_K = 60
+_RRF_TOPK = 10
+
+
+def _rrf_oracle() -> str:
+    from distributed_video_analytics_flink_spark.operators.text_analysis import (
+        _BM25_TOPK,
+        _BM25_WITH_SQL,
+    )
+
+    cos = _duck_cos_q(
+        _duck_dot_q("e.embedding", "q.qv"),
+        _duck_dot_q("e.embedding", "e.embedding"),
+        _duck_dot_q("q.qv", "q.qv"),
+    )
+    return f"""{_BM25_WITH_SQL},
+    bm AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id ASC) AS r
+      FROM (SELECT doc_id, bm25_micro FROM scored
+            ORDER BY bm25_micro DESC, doc_id ASC LIMIT {_BM25_TOPK})
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    co AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS r
+      FROM (SELECT e.vec_id, {cos} AS cosine
+            FROM embeddings e, q WHERE e.vec_id <> 0
+            ORDER BY cosine DESC, e.vec_id ASC LIMIT 10)
+    )
+    SELECT COALESCE(bm.doc_id, co.vec_id) AS id,
+           CAST(COALESCE(1000000000 // ({_RRF_K} + bm.r), 0)
+                + COALESCE(1000000000 // ({_RRF_K} + co.r), 0) AS BIGINT)
+               AS rrf_micro,
+           (bm.doc_id IS NOT NULL) AS in_bm25,
+           (co.vec_id IS NOT NULL) AS in_cosine
+    FROM bm FULL OUTER JOIN co ON bm.doc_id = co.vec_id
+    ORDER BY rrf_micro DESC, id ASC LIMIT {_RRF_TOPK}
+    """
+
+
+@query("sim_hybrid_rrf_topk", oracle=_rrf_oracle())
+def sim_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval via reciprocal-rank fusion — the
+    modern two-tower search default (BM25 head + embedding-cosine head,
+    fused by 1e9 div (60 + rank), integral division so both engines agree
+    bit-for-bit). The legs are the registered queries themselves
+    (text_bm25_topk, sim_cosine_topk): documents rank by doc_id, vectors
+    by vec_id, and the fixtures share the id space, so the full-outer
+    fusion rewards documents surfaced by BOTH systems while keeping
+    single-leg hits.
+
+    100 TB shape: each leg is already scale-clean (TakeOrderedAndProject
+    heads — per-partition heaps, no global sort); the rank windows and the
+    full-outer join run on the 15- and 10-row HEADS, not the corpus, so
+    fusion cost is O(k) regardless of corpus size. This is the RRF
+    property that makes it the production hybrid default: it needs only
+    each system's top-k, never calibrated scores."""
+    from distributed_video_analytics_flink_spark.operators.text_analysis import (
+        text_bm25_topk,
+    )
+
+    bm_head = text_bm25_topk(spark, sf_dir)  # 15 rows
+    co_head = sim_cosine_topk(spark, sf_dir)  # 10 rows
+    w_bm = Window.orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+    w_co = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    bm = bm_head.select("doc_id", F.row_number().over(w_bm).alias("r_bm"))
+    co = co_head.select("vec_id", F.row_number().over(w_co).alias("r_co"))
+    fused = bm.join(co, bm["doc_id"] == co["vec_id"], "full_outer").select(
+        F.coalesce(bm["doc_id"], co["vec_id"]).alias("id"),
+        (
+            F.coalesce(F.expr(f"1000000000 div ({_RRF_K} + r_bm)"), F.lit(0))
+            + F.coalesce(F.expr(f"1000000000 div ({_RRF_K} + r_co)"), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+        bm["doc_id"].isNotNull().alias("in_bm25"),
+        co["vec_id"].isNotNull().alias("in_cosine"),
+    )
+    return fused.orderBy(F.desc("rrf_micro"), F.asc("id")).limit(_RRF_TOPK)

@@ -1207,9 +1207,9 @@ _BM25_TERMS = ("merge", "window", "stream")
 _BM25_TOPK = 15
 
 
-@query(
-    "text_bm25_topk",
-    oracle=f"""
+# The BM25 scored-CTE chain is shared with sim_hybrid_rrf_topk's oracle
+# (similarity.py) so the two engines' BM25 legs cannot drift apart.
+_BM25_WITH_SQL = f"""
     WITH docs AS (
       SELECT doc_id, string_split(text, ' ') AS t,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
@@ -1244,6 +1244,12 @@ _BM25_TOPK = 15
            CROSS JOIN stats s
       GROUP BY tf.doc_id
     )
+"""
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""{_BM25_WITH_SQL}
     SELECT doc_id, bm25_micro, n_terms_hit
     FROM scored ORDER BY bm25_micro DESC, doc_id ASC LIMIT {_BM25_TOPK}
     """,

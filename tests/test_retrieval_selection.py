@@ -156,3 +156,52 @@ def test_dsir_equals_python_replica(spark, tmp_path):
     assert got[2][1] > got[3][1]
     # mixed doc sits strictly between
     assert got[2][1] > got[4][1] > got[3][1]
+
+
+# --- RRF hybrid fusion ---------------------------------------------------------
+
+
+def test_rrf_rewards_both_leg_hits(spark, tmp_path):
+    from distributed_video_analytics_flink_spark.operators.similarity import (
+        sim_hybrid_rrf_topk,
+    )
+
+    sf = str(tmp_path)
+    # doc 1: top BM25 hit (dense query terms, short) AND top cosine hit
+    # (embedding equal to the query vector). doc 2: BM25-only. doc 3:
+    # cosine-only (no query terms, near-query embedding).
+    docs = [
+        (1, "merge window stream merge"),
+        (2, "merge window stream filler filler filler filler"),
+        (3, "no terms here at all"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    qv = [1.0, -1.0] * 32
+    emb = {
+        0: qv,  # the query vector
+        1: qv,  # identical -> cosine 1.0, rank 1
+        2: [-x for x in qv],  # antipode -> cosine -1.0, last
+        3: qv[:32] + [0.5 * x for x in qv[32:]],  # close -> rank 2
+    }
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in emb.items()],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    got = {r["id"]: r.asDict() for r in sim_hybrid_rrf_topk(spark, sf).collect()}
+    # with 3 corpus vectors the cosine HEAD (top-10) holds all of them:
+    # cosine ranks are 1 (identical), 2 (half-match), 3 (antipode)
+    # doc 1 hit both legs at rank 1: 2 * (1e9 // 61)
+    assert got[1]["in_bm25"] and got[1]["in_cosine"]
+    assert got[1]["rrf_micro"] == 2 * (1_000_000_000 // 61)
+    # doc 2: BM25 rank 2 + cosine rank 3 (antipode)
+    assert got[2]["in_bm25"] and got[2]["in_cosine"]
+    assert got[2]["rrf_micro"] == 1_000_000_000 // 62 + 1_000_000_000 // 63
+    # doc 3: cosine rank 2 only (no query terms -> BM25 never scores it)
+    assert got[3]["in_cosine"] and not got[3]["in_bm25"]
+    assert got[3]["rrf_micro"] == 1_000_000_000 // 62
+    # the double rank-1 hit dominates
+    assert got[1]["rrf_micro"] > got[2]["rrf_micro"] > got[3]["rrf_micro"]
