@@ -1851,7 +1851,8 @@ def _dsir_bucket_sql(gram_expr: str, engine: str) -> str:
     "curation_dsir_importance",
     oracle=f"""
     WITH base AS (
-      SELECT doc_id, (source = 'src0') AS is_target, string_split(text, ' ') AS t
+      SELECT doc_id, COALESCE(source = 'src0', FALSE) AS is_target,
+             string_split(text, ' ') AS t
       FROM documents WHERE len(string_split(text, ' ')) >= 2
     ),
     bi AS (
@@ -1916,7 +1917,10 @@ def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
-        (F.col("source") == "src0").alias("is_target"),
+        # eqNullSafe: a NULL source is raw-pool, not a NULL flag that
+        # Spark's conditional agg would count differently from the oracle's
+        # FILTER (WHERE NOT is_target) — review finding r15
+        F.col("source").eqNullSafe("src0").alias("is_target"),
         F.split("text", " ").alias("t"),
     ).filter(F.size("t") >= 2)
     bucket_expr = _dsir_bucket_sql("concat_ws(' ', slice(t, i, 2))", "spark")

@@ -66,11 +66,13 @@ def _duck_cos_q(dot: str, na: str, nb: str) -> str:
     return f"({dot}) / (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))"
 
 
-@query(
-    "sim_cosine_topk",
-    oracle=f"""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-    scored AS (
+# The cosine-head CTEs are shared with sim_hybrid_rrf_topk's oracle (the
+# _BM25_WITH_SQL discipline): the hybrid's vector leg replays the IDENTICAL
+# SQL, so a change to this query's k, tie-break, or query id cannot drift
+# the fusion's oracle silently.
+_COS_TOPK = 10
+_COS_Q_CTE = "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
+_COS_SCORED_SQL = f"""
       SELECT e.vec_id, e.label,
              {_duck_cos_q(
                  _duck_dot_q("e.embedding", "q.qv"),
@@ -79,9 +81,16 @@ def _duck_cos_q(dot: str, na: str, nb: str) -> str:
              )} AS cosine
       FROM embeddings e, q
       WHERE e.vec_id <> 0
-    )
+"""
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH {_COS_Q_CTE},
+    scored AS ({_COS_SCORED_SQL})
     SELECT vec_id, label, cosine FROM scored
-    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    ORDER BY cosine DESC, vec_id ASC LIMIT {_COS_TOPK}
     """,
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5325,38 +5334,42 @@ def sim_binary_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("code_lo").alias("q_lo"),
         F.col("code_hi").alias("q_hi"),
     )
-    scored = codes.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    # ONE scan projects BOTH metrics; brute, cand, and rerank all derive
+    # from the materialized result, so the parquet scan + interpreted
+    # sign-packing aggregates run once, not once per leg (the
+    # sim_ivf_recall_checked "one scan feeds brute, ivf, n_scanned"
+    # discipline — review finding r15)
+    from distributed_video_analytics_flink_spark.operators.dedup import _materialize
+
     cos = _bin_cos_q(
         _dot_q("embedding", "qv"),
         _dot_q("embedding", "embedding"),
         _dot_q("qv", "qv"),
     )
-    brute = scored.select("vec_id", cos.alias("cosine")).orderBy(
-        F.desc("cosine"), F.asc("vec_id")
-    ).limit(_BIN_TOPK)
-    cand = (
-        scored.select(
+    scored = _materialize(
+        codes.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
             "vec_id",
-            "embedding",
-            "qv",
             (
                 F.bit_count(F.expr("code_lo ^ q_lo"))
                 + F.bit_count(F.expr("code_hi ^ q_hi"))
             )
             .cast("long")
             .alias("hamming"),
+            cos.alias("cosine"),
         )
-        .orderBy(F.asc("hamming"), F.asc("vec_id"))
-        .limit(_BIN_CAND)
     )
-    # candidates feed three consumers (count, containment, rerank): 50 rows,
-    # materialize once (dedup.py::_materialize discipline)
-    from distributed_video_analytics_flink_spark.operators.dedup import _materialize
-
-    cand = _materialize(cand)
-    brute = _materialize(brute)
+    brute = _materialize(
+        scored.select("vec_id", "cosine")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(_BIN_TOPK)
+    )
+    cand = _materialize(
+        scored.orderBy(F.asc("hamming"), F.asc("vec_id")).limit(_BIN_CAND)
+    )
     rerank = (
-        cand.select("vec_id", cos.alias("cosine"))
+        cand.select("vec_id", "cosine")
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(_BIN_TOPK)
     )
@@ -5390,25 +5403,26 @@ def _rrf_oracle() -> str:
         _BM25_WITH_SQL,
     )
 
-    cos = _duck_cos_q(
-        _duck_dot_q("e.embedding", "q.qv"),
-        _duck_dot_q("e.embedding", "e.embedding"),
-        _duck_dot_q("q.qv", "q.qv"),
-    )
+    # Both legs replay the REGISTERED queries' shared SQL (_BM25_WITH_SQL /
+    # _COS_Q_CTE + _COS_SCORED_SQL) so neither leg's oracle can drift from
+    # its scorer. The BM25 head drops id 0 AFTER the top-k (the vector leg
+    # defines vec_id 0 as the query item itself, so the fused id space
+    # excludes it symmetrically — review finding r15).
     return f"""{_BM25_WITH_SQL},
     bm AS (
       SELECT doc_id,
              ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id ASC) AS r
-      FROM (SELECT doc_id, bm25_micro FROM scored
-            ORDER BY bm25_micro DESC, doc_id ASC LIMIT {_BM25_TOPK})
+      FROM (SELECT doc_id, bm25_micro FROM (
+              SELECT doc_id, bm25_micro FROM scored
+              ORDER BY bm25_micro DESC, doc_id ASC LIMIT {_BM25_TOPK})
+            WHERE doc_id <> 0)
     ),
-    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    {_COS_Q_CTE},
     co AS (
       SELECT vec_id,
              ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS r
-      FROM (SELECT e.vec_id, {cos} AS cosine
-            FROM embeddings e, q WHERE e.vec_id <> 0
-            ORDER BY cosine DESC, e.vec_id ASC LIMIT 10)
+      FROM (SELECT vec_id, cosine FROM ({_COS_SCORED_SQL}) cs
+            ORDER BY cosine DESC, vec_id ASC LIMIT {_COS_TOPK})
     )
     SELECT COALESCE(bm.doc_id, co.vec_id) AS id,
            CAST(COALESCE(1000000000 // ({_RRF_K} + bm.r), 0)
@@ -5430,7 +5444,8 @@ def sim_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (text_bm25_topk, sim_cosine_topk): documents rank by doc_id, vectors
     by vec_id, and the fixtures share the id space, so the full-outer
     fusion rewards documents surfaced by BOTH systems while keeping
-    single-leg hits.
+    single-leg hits. The query item (id 0 — the vector leg's own query)
+    is excluded from BOTH heads so the fused id space is symmetric.
 
     100 TB shape: each leg is already scale-clean (TakeOrderedAndProject
     heads — per-partition heaps, no global sort); the rank windows and the
@@ -5442,7 +5457,9 @@ def sim_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_bm25_topk,
     )
 
-    bm_head = text_bm25_topk(spark, sf_dir)  # 15 rows
+    # drop the query item (id 0) from the lexical head too: the vector leg
+    # structurally excludes vec_id 0, so fusion treats the id symmetrically
+    bm_head = text_bm25_topk(spark, sf_dir).filter(F.col("doc_id") != 0)
     co_head = sim_cosine_topk(spark, sf_dir)  # 10 rows
     w_bm = Window.orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
     w_co = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))

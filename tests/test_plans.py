@@ -67,8 +67,52 @@ def test_aggregations_are_partial(spark):
 
 
 def test_topk_uses_heap_not_global_sort(spark):
-    for name in ("sort_limit_topk", "sim_cosine_topk"):
+    for name in (
+        "sort_limit_topk",
+        "sim_cosine_topk",
+        # r15 heads: the SCALE.md story stakes these on per-partition heaps
+        "text_bm25_topk",
+        "emb_binary_hamming_topk",
+        "curation_dsir_importance",
+        "sim_hybrid_rrf_topk",
+    ):
         assert has_top_k(_q(spark, name)), name
+
+
+def test_bm25_postings_filter_below_first_exchange(spark):
+    """text_bm25_topk's 100 TB claim: the token IN-filter runs on the scan
+    side of the first shuffle, so only matching postings ever cross the
+    wire. In the formatted plan, operator numbers grow from the leaf scan
+    (1) toward the root — the IN-filter's number must be smaller than
+    every Exchange's. The postings materialization (localCheckpoint) would
+    hide the filter behind Scan ExistingRDD, so it is identity-patched for
+    the inspection (the test_corpus_sink monkeypatch precedent)."""
+    import re
+
+    from distributed_video_analytics_flink_spark.operators import dedup
+
+    orig = dedup._materialize
+    dedup._materialize = lambda df: df
+    try:
+        plan = formatted_plan(_q(spark, "text_bm25_topk"))
+    finally:
+        dedup._materialize = orig
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    filt = [
+        int(re.match(r"\((\d+)\)", b).group(1))
+        for b in blocks
+        if b.startswith("(")
+        and "Filter" in b.split("\n")[0]
+        and "IN (merge" in b
+    ]
+    exch = [
+        int(re.match(r"\((\d+)\)", b).group(1))
+        for b in blocks
+        if b.startswith("(")
+        and b.split("\n")[0].split(") ", 1)[1].startswith("Exchange")
+    ]
+    assert filt and exch, plan[:500]
+    assert min(filt) < min(exch)
 
 
 def test_codegen_in_final_plan(spark):

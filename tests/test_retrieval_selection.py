@@ -143,6 +143,7 @@ def test_dsir_equals_python_replica(spark, tmp_path):
         ("llama alpaca vicuna gecko iguana", "src1"),  # off-domain raw doc
         ("spark shuffle llama alpaca", "src2"),  # mixed
         ("solo", "src1"),  # < 2 tokens: no bigrams, excluded
+        ("spark shuffle join window", None),  # NULL source: raw pool, both engines
     ]
     sf = _write_docs(spark, tmp_path, rows)
     got = {
