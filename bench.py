@@ -248,6 +248,12 @@ HEADLINE = [
     # round 15: hybrid lexical+vector retrieval (reciprocal-rank fusion
     # of the BM25 and cosine heads — O(k) fusion, leg-drift-sensitive)
     "sim_hybrid_rrf_topk",
+    # round 15: the named-literature embedding-curation passes over the
+    # shared seed-cell assignment — SemDeDup (within-cluster semantic
+    # dedup, keep-least-prototypical) and hard-half prototypicality
+    # pruning
+    "sim_semdedup_checked",
+    "curation_proto_prune",
 ]
 
 MOTION_FRAMES_PER_CAM = 32

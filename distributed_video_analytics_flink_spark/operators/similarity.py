@@ -5477,3 +5477,218 @@ def sim_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         co["vec_id"].isNotNull().alias("in_cosine"),
     )
     return fused.orderBy(F.desc("rrf_micro"), F.asc("id")).limit(_RRF_TOPK)
+
+
+# --- SemDeDup + prototypicality pruning (r15) ---------------------------------
+# Two named-literature curation passes over the embedding space, both
+# driven by the SAME seed-anchored cell assignment the IVF family uses
+# (ivf_assignments — deterministic seeds vec_id < 10, argmax cosine,
+# tie cent_id ASC; a production run k-means-iterates the seeds first):
+#
+# * SemDeDup (Abbas et al. 2023, arXiv:2303.09540): within each cluster,
+#   pairs with cosine >= tau are semantic duplicates; of each pair the
+#   member MORE similar to the cluster anchor is removed (the paper keeps
+#   the example with the LOWEST centroid similarity — retain the less
+#   redundant variant). tau = 0.35, the fixture-calibrated value the
+#   sim_neardup family also uses.
+# * Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
+#   scaling laws", arXiv:2206.14486): rank each cluster by similarity to
+#   its anchor and KEEP the hard half (lowest similarity) — the
+#   large-dataset regime where pruning easy/prototypical examples beats
+#   random subsetting.
+_SEMDEDUP_TAU = 0.35
+
+
+def _seed_scored_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cent_id, embedding, ccos): every vector's seed-cell
+    assignment plus its quantized cosine to the cell's anchor (the seed
+    embedding itself) — shared by sim_semdedup_checked and
+    curation_proto_prune. Anchor table: 10 rows, broadcast."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    return (
+        ivf_assignments(spark, sf_dir)
+        .join(F.broadcast(seeds), "cent_id")
+        .select(
+            "vec_id",
+            "cent_id",
+            "embedding",
+            _cos_q(
+                _dot_q("embedding", "cv"),
+                _dot_q("embedding", "embedding"),
+                _dot_q("cv", "cv"),
+            ).alias("ccos"),
+        )
+    )
+
+
+_SEED_ASSIGN_DUCK = f"""
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cent_id, c.cv,
+             {_duck_cos_q(
+                 _duck_dot_q("e.embedding", "c.cv"),
+                 _duck_dot_q("e.embedding", "e.embedding"),
+                 _duck_dot_q("c.cv", "c.cv"),
+             )} AS ccos
+      FROM embeddings e, cents c
+    ),
+    a AS (
+      SELECT vec_id, embedding, cent_id, ccos
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY ccos DESC, cent_id ASC) AS rn
+            FROM scored)
+      WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "sim_semdedup_checked",
+    oracle=f"""
+    WITH {_SEED_ASSIGN_DUCK},
+    pairs AS (
+      SELECT x.cent_id, x.vec_id AS u, y.vec_id AS v,
+             x.ccos AS u_ccos, y.ccos AS v_ccos,
+             {_duck_cos_q(
+                 _duck_dot_q("x.embedding", "y.embedding"),
+                 _duck_dot_q("x.embedding", "x.embedding"),
+                 _duck_dot_q("y.embedding", "y.embedding"),
+             )} AS sim
+      FROM a x JOIN a y ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+    ),
+    dup AS (SELECT * FROM pairs WHERE sim >= {_SEMDEDUP_TAU}),
+    removed AS (
+      SELECT DISTINCT cent_id,
+             CASE WHEN u_ccos > v_ccos THEN u ELSE v END AS vec_id
+      FROM dup
+    ),
+    cells AS (SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
+              FROM a GROUP BY cent_id),
+    dupc AS (SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+             FROM dup GROUP BY cent_id),
+    remc AS (SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+             FROM removed GROUP BY cent_id)
+    SELECT c.cent_id, c.n_vectors,
+           CAST(COALESCE(d.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+           CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+           c.n_vectors - CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_kept
+    FROM cells c
+    LEFT JOIN dupc d ON c.cent_id = d.cent_id
+    LEFT JOIN remc r ON c.cent_id = r.cent_id
+    """,
+)
+def sim_semdedup_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) as a per-cluster accounting contract:
+    cluster by the seed-anchored assignment, call a within-cluster pair a
+    semantic duplicate at cosine >= 0.35, and of each duplicate pair
+    remove the member MORE similar to the cluster anchor (the paper's
+    keep-the-least-prototypical rule; cosine ties fall to the higher
+    vec_id, which the u < v pair orientation makes a single CASE). The
+    driver hash pins per-cell vector, duplicate-pair, removed, and kept
+    counts — assignment drift, a wrong pair orientation, or a flipped
+    keep rule all change the row.
+
+    100 TB shape: pair generation is confined to cells (the IVF
+    partitioning that makes ANN scans 1/K also bounds the dedup join —
+    the paper's own motivation for clustering first); embeddings shuffle
+    once, keyed by cent_id, and every downstream count is a
+    partial-aggregable groupBy. A hot cell is the known sim_neardup
+    skew case — the pair-cell blocking of sim_neardup_pairs_bucketed
+    drops in unchanged if cells grow unbounded."""
+    from distributed_video_analytics_flink_spark.operators.dedup import _materialize
+
+    a = _materialize(_seed_scored_assignments(spark, sf_dir))
+    x, y = a.alias("x"), a.alias("y")
+    sim = _cos_q(
+        _dot_q("x.embedding", "y.embedding"),
+        _dot_q("x.embedding", "x.embedding"),
+        _dot_q("y.embedding", "y.embedding"),
+    )
+    dup = (
+        x.join(
+            y,
+            (F.col("x.cent_id") == F.col("y.cent_id"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.cent_id").alias("cent_id"),
+            F.col("x.vec_id").alias("u"),
+            F.col("y.vec_id").alias("v"),
+            F.col("x.ccos").alias("u_ccos"),
+            F.col("y.ccos").alias("v_ccos"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= _SEMDEDUP_TAU)
+    )
+    dup = _materialize(dup)  # feeds pair counts AND the removal set
+    removed = dup.select(
+        "cent_id",
+        F.when(F.col("u_ccos") > F.col("v_ccos"), F.col("u"))
+        .otherwise(F.col("v"))
+        .alias("vec_id"),
+    ).distinct()
+    cells = a.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_vectors"))
+    dupc = dup.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    remc = removed.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_removed"))
+    return (
+        cells.join(dupc, "cent_id", "left")
+        .join(remc, "cent_id", "left")
+        .select(
+            "cent_id",
+            "n_vectors",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            (
+                F.col("n_vectors") - F.coalesce("n_removed", F.lit(0))
+            ).cast("long").alias("n_kept"),
+        )
+    )
+
+
+@query(
+    "curation_proto_prune",
+    oracle=f"""
+    WITH {_SEED_ASSIGN_DUCK},
+    ranked AS (
+      SELECT vec_id, cent_id, ccos,
+             ROW_NUMBER() OVER (PARTITION BY cent_id
+                                ORDER BY ccos ASC, vec_id ASC) AS proto_rank,
+             COUNT(*) OVER (PARTITION BY cent_id) AS n_cell
+      FROM a
+    )
+    SELECT vec_id, cent_id, ccos, proto_rank
+    FROM ranked WHERE proto_rank <= n_cell // 2
+    """,
+)
+def curation_proto_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality pruning (Sorscher et al. 2022): within each
+    seed-anchored cluster, rank vectors by similarity to the cluster
+    anchor ASCENDING and keep the hard half (floor(n/2) least prototypical
+    examples) — the large-dataset pruning rule that beats random
+    subsetting by discarding redundant easy examples. Ranks break ties on
+    vec_id, so the kept set is total-order deterministic and the driver
+    hash pins membership, rank, and the anchor similarity.
+
+    100 TB shape: assignment is the shared IVF pass; the rank is ONE
+    window partitioned by cent_id — per-cell work, never a global sort —
+    and the kept set streams out as a scan of that window (no second
+    shuffle). Cells are corpus/K sized; a pathological hot cell falls
+    back to the histogram-quota trick of curation_sample_exact_quota
+    (quantize ccos to integer micro-units first)."""
+    a = _seed_scored_assignments(spark, sf_dir)
+    w = Window.partitionBy("cent_id").orderBy(F.asc("ccos"), F.asc("vec_id"))
+    ranked = a.select(
+        "vec_id",
+        "cent_id",
+        "ccos",
+        F.row_number().over(w).alias("proto_rank"),
+        F.count(F.lit(1)).over(Window.partitionBy("cent_id")).alias("n_cell"),
+    )
+    return ranked.filter(
+        F.col("proto_rank") <= F.expr("n_cell div 2")
+    ).select("vec_id", "cent_id", "ccos", "proto_rank")
