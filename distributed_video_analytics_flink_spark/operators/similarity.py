@@ -5603,27 +5603,42 @@ def sim_semdedup_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_video_analytics_flink_spark.operators.dedup import _materialize
 
     a = _materialize(_seed_scored_assignments(spark, sf_dir))
-    x, y = a.alias("x"), a.alias("y")
-    sim = _cos_q(
-        _dot_q("x.embedding", "y.embedding"),
-        _dot_q("x.embedding", "x.embedding"),
-        _dot_q("y.embedding", "y.embedding"),
+    # Pair generation rides the Arrow-batched pair-cell scorer that
+    # sim_neardup_pairs already proves exact (numpy outer products, cell-
+    # bounded tasks) with cent_id standing in for the label block. The
+    # first cut of this query scored pairs with interpreted zip_with
+    # lambdas and recomputed self-norms PER PAIR — measured 45.9 s at
+    # sf0.1 vs ~1.6 s for the same pair volume through this scorer.
+    pairs = neardup_pairs_exact(
+        a.select(
+            "vec_id", F.col("cent_id").cast("int").alias("label"), "embedding"
+        ),
+        _EXACT_CELL_BUCKETS,
+        threshold=_SEMDEDUP_TAU,
     )
+    ccos = a.select("vec_id", "ccos")
     dup = (
-        x.join(
-            y,
-            (F.col("x.cent_id") == F.col("y.cent_id"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        pairs.withColumnRenamed("label", "cent_id")
+        .join(
+            ccos.select(
+                F.col("vec_id").alias("vec_a"), F.col("ccos").alias("u_ccos")
+            ),
+            "vec_a",
+        )
+        .join(
+            ccos.select(
+                F.col("vec_id").alias("vec_b"), F.col("ccos").alias("v_ccos")
+            ),
+            "vec_b",
         )
         .select(
-            F.col("x.cent_id").alias("cent_id"),
-            F.col("x.vec_id").alias("u"),
-            F.col("y.vec_id").alias("v"),
-            F.col("x.ccos").alias("u_ccos"),
-            F.col("y.ccos").alias("v_ccos"),
-            sim.alias("sim"),
+            "cent_id",
+            F.col("vec_a").alias("u"),
+            F.col("vec_b").alias("v"),
+            "u_ccos",
+            "v_ccos",
+            F.col("cosine").alias("sim"),
         )
-        .filter(F.col("sim") >= _SEMDEDUP_TAU)
     )
     dup = _materialize(dup)  # feeds pair counts AND the removal set
     removed = dup.select(
