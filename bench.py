@@ -295,7 +295,15 @@ MOTION_MAX_RUNS = 6
 # remaining queries time a single run instead of min-of-2, and the
 # motion/corpus repeat caps drop to 2. The JSON reports degraded=true and
 # the elapsed seconds so rounds stay comparable.
-BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "480"))
+#
+# r16 (VERDICT r15 #2): the default was 480 s, sized for a ~100-query
+# headline set; at 160 queries three of four healthy recordings (driver
+# r15 502.8 s, judge r15 483.0 s) tripped `degraded: true` on elapsed
+# time alone with zero failing legs, eroding the flag's signal (it was
+# designed to mark NOISY recordings, not structurally-full ones). 700 s
+# fits the current set with ~40% headroom; the emitted `budget_s` field
+# keeps recordings self-describing across budget changes.
+BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "700"))
 _T_START = time.time()
 
 
@@ -773,6 +781,7 @@ def main() -> None:
         "n_failed": len(errors),
         "degraded": _over_budget(),
         "elapsed_s": round(time.time() - _T_START, 1),
+        "budget_s": BENCH_BUDGET_S,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "motion_fps_640x480": motion_fps,

@@ -84,9 +84,16 @@ def learn_merges(
     weights by default — proving MERGES reproduces from FIXTURE_VOCAB —
     or frequency-weighted via ``weights`` (the reference the distributed
     trainer text_bpe_train_merges is pinned against; ONE loop by design,
-    r15 review). ``with_counts`` appends each merge's winning weight."""
+    r15 review). ``with_counts`` appends each merge's winning weight.
+
+    ``vocab`` entries must be DISTINCT (r16, ADVICE r15): words are keyed
+    by a dict, so a duplicate entry would silently collapse to one row
+    and under-count its pairs — callers that want multiplicity pass it
+    through ``weights``. A word absent from a caller-supplied ``weights``
+    map defaults to weight 1 instead of raising."""
+    assert len(set(vocab)) == len(vocab), "vocab entries must be distinct"
     syms = {w: tuple(w) for w in sorted(vocab)}
-    wt = {w: 1 if weights is None else weights[w] for w in syms}
+    wt = {w: 1 if weights is None else weights.get(w, 1) for w in syms}
     merges: list = []
     for _ in range(n_merges):
         pairs: dict[tuple[str, str], int] = {}

@@ -1726,10 +1726,18 @@ def _pack_trained_bpe_oracle() -> str:
 
     ctes, _rows = _bpe_train_ctes()
     enc = "regexp_replace(text, '(.)', '<\\1>', 'gs')"
+    # COALESCE (r16, ADVICE r15): if the vocabulary exhausts before
+    # _BPE_TRAIN_ROUNDS, the engine breaks its loop early while the empty
+    # b{k} CTE yields a NULL scalar subquery that would NULL-propagate
+    # n_tok for every document. chr(1)||chr(1) can never occur in enc
+    # (every encoded char is fenced as '<c>', so no two raw chars are
+    # ever adjacent), making an exhausted round an identity replace —
+    # exactly the engine's early break.
     for k in range(1, _BPE_TRAIN_ROUNDS + 1):
         enc = (
-            f"replace({enc}, (SELECT '<'||a||'><'||b||'>' FROM b{k}),"
-            f" (SELECT '<'||a||b||'>' FROM b{k}))"
+            f"replace({enc},"
+            f" COALESCE((SELECT '<'||a||'><'||b||'>' FROM b{k}), chr(1)||chr(1)),"
+            f" COALESCE((SELECT '<'||a||b||'>' FROM b{k}), ''))"
         )
     return (
         "WITH "

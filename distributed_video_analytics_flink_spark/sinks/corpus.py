@@ -102,16 +102,64 @@ def compact_corpus(
     data take the live name; on any mismatch the original directory is
     renamed back untouched and the compaction aborts loudly. A crash
     mid-swap leaves either the original or the fully-staged directory
-    (plus debris under hidden names a re-run clears) — never a
-    half-written live partition. On an object store without rename,
-    swap via a manifest pointer (the sinks/index_store.py pattern)."""
+    (plus debris under hidden names) — never a half-written live
+    partition — and the NEXT invocation's recovery preamble puts the
+    surviving copy back under the live name before any debris is
+    cleared (r16, per ADVICE r15: a crash between the two renames
+    leaves the only copy under the hidden ``.compact-<lang>.old`` name,
+    invisible to Spark readers; blindly clearing it as debris would be
+    data loss, and if ingest has already recreated the live directory
+    the retired files are MERGED back in rather than dropped). On an
+    object store without rename, swap via a manifest pointer (the
+    sinks/index_store.py pattern)."""
     import math
     import os
+    import shutil
 
     root = os.path.join(path, "corpus")
     done: dict = {}
     if not os.path.isdir(root):
         return done
+
+    # --- crash recovery (runs BEFORE any debris clearing) -------------
+    # States a crash can leave, keyed by what survives:
+    #   live missing + retired present          -> the swap never happened:
+    #       the retired dir IS the partition; rename it back. Any stage
+    #       dir is then debris (the compaction simply re-runs).
+    #   live present + retired present + stage  -> the swap never happened
+    #       AND ingest recreated the live dir with NEW rows: the retired
+    #       files are the only copy of the pre-crash data and are
+    #       disjoint from the fresh ingest — move them into the live dir
+    #       (Spark part-file names are content-UUID'd; collisions are
+    #       skipped defensively and left for a loud re-run).
+    #   live present + retired present, NO stage -> the swap COMPLETED
+    #       (stage was renamed to live) and only the retired cleanup was
+    #       lost: retired holds superseded copies of rows already live —
+    #       clear it, do NOT merge (merging would duplicate rows).
+    for entry in sorted(os.listdir(root)):
+        if not (entry.startswith(".compact-") and entry.endswith(".old")):
+            continue
+        lang = entry[len(".compact-") : -len(".old")]
+        retired = os.path.join(root, entry)
+        live = os.path.join(root, f"lang={lang}")
+        stage = os.path.join(root, f".compact-{lang}.stage")
+        if not os.path.isdir(live):
+            os.rename(retired, live)
+            shutil.rmtree(stage, ignore_errors=True)
+        elif os.path.isdir(stage):
+            for f in os.listdir(retired):
+                dst = os.path.join(live, f)
+                if (
+                    f.endswith(".parquet")
+                    and not f.startswith(("_", "."))
+                    and not os.path.exists(dst)
+                ):
+                    os.rename(os.path.join(retired, f), dst)
+            shutil.rmtree(retired, ignore_errors=True)
+            shutil.rmtree(stage, ignore_errors=True)
+        else:
+            shutil.rmtree(retired, ignore_errors=True)
+
     for entry in sorted(os.listdir(root)):
         if not entry.startswith("lang="):
             continue
@@ -152,9 +200,10 @@ def compact_corpus(
         )
         stage = os.path.join(root, f".compact-{lang}.stage")
         retired = os.path.join(root, f".compact-{lang}.old")
-        import shutil
-
-        shutil.rmtree(stage, ignore_errors=True)  # debris from a crash
+        # safe: the recovery preamble above already promoted/merged any
+        # crash-surviving copies, so anything still here is true debris —
+        # and the live directory exists (we are iterating its entry).
+        shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(retired, ignore_errors=True)
         (
             part.drop("lang")  # the directory key, not a data column

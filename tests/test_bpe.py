@@ -293,3 +293,51 @@ def test_learned_table_roundtrips_through_encoders(spark):
     sample_words = {w for r in got[:10] for w in r["text"].split(" ")[:5]}
     for w in sample_words:
         assert len(encode_heap(w, learned)) == chain_count_py(w, learned)
+
+
+def test_trained_pack_oracle_parity_on_exhausted_vocab(spark, tmp_path):
+    """ADVICE r15: when the vocabulary fully merges before
+    _BPE_TRAIN_ROUNDS, the engine breaks its training loop early and
+    packs under the shorter learned table, while the oracle's empty b{k}
+    CTEs used to NULL-propagate n_tok through the scalar-subquery
+    replaces — a guaranteed hash mismatch on a degenerate corpus. The
+    COALESCE(chr(1)||chr(1)) sentinel makes an exhausted round an
+    identity replace; engine and oracle must agree on this corpus whose
+    single word 'ab' exhausts after one merge."""
+    import os
+
+    import duckdb
+
+    from distributed_video_analytics_flink_spark.operators.curation import (
+        _pack_trained_bpe_oracle,
+        curation_pack_sequences_trained_bpe,
+    )
+    from distributed_video_analytics_flink_spark.operators.text_analysis import (
+        text_bpe_train_merges,
+    )
+    from tests.oracle_harness import compare, duck_connection
+
+    sf_dir = str(tmp_path / "degenerate_sf")
+    os.makedirs(sf_dir)
+    duckdb.sql(
+        f"""
+        COPY (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang,
+                 source, CAST(n_chars AS BIGINT) AS n_chars
+          FROM (VALUES
+            (1, 'ab ab', 'en', 'web', 5),
+            (2, 'ab', 'en', 'web', 2),
+            (3, 'ab ab ab', 'de', 'web', 8)
+          ) t(doc_id, text, lang, source, n_chars)
+        ) TO '{sf_dir}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    # precondition: the loop really exhausts early on this corpus
+    assert text_bpe_train_merges(spark, sf_dir).count() == 1
+
+    res = compare(
+        curation_pack_sequences_trained_bpe(spark, sf_dir),
+        duck_connection(sf_dir),
+        _pack_trained_bpe_oracle(),
+    )
+    assert res["hash_match"], res
