@@ -121,7 +121,9 @@ def test_stream_maintained_pairs_equal_full_recompute(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
 
-    maintained = spark.read.parquet(str(tmp_path / "state" / "pairs"))
+    maintained = spark.read.parquet(str(tmp_path / "state" / "pairs")).drop(
+        "bucket"
+    )
     got = sorted((r["doc_a"], r["doc_b"]) for r in maintained.collect())
     assert got == [(1, 6), (2, 4)]  # tombstoned (1,3) gone; both carried
 
@@ -144,7 +146,7 @@ def test_stream_maintained_pairs_equal_full_recompute(spark, tmp_path):
     assert full.exceptAll(maintained).count() == 0
 
     # the maintained signature state matches a full re-sign too
-    sigs = spark.read.parquet(str(tmp_path / "state" / "sigs"))
+    sigs = spark.read.parquet(str(tmp_path / "state" / "sigs")).drop("bucket")
     full_sigs = minhash_signature_df(docs)
     assert sigs.exceptAll(full_sigs).count() == 0
     assert full_sigs.exceptAll(sigs).count() == 0
@@ -173,21 +175,110 @@ def test_stream_pair_maintenance_is_retry_idempotent(spark, tmp_path):
         "doc_id long, text string, ingest_ts string",
     )
     maintain_incremental_pairs(b2, state)
-    pairs_once = sorted(
-        tuple(r) for r in spark.read.parquet(f"{state}/pairs").collect()
-    )
-    sigs_once = sorted(
-        tuple(r) for r in spark.read.parquet(f"{state}/sigs").collect()
-    )
+    def _pairs():
+        return sorted(
+            (r["doc_a"], r["doc_b"])
+            for r in spark.read.parquet(f"{state}/pairs").collect()
+        )
+
+    def _sigs():
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{state}/sigs").drop("bucket").collect()
+        )
+
+    pairs_once, sigs_once = _pairs(), _sigs()
     # the crash-retry: batch 2 delivered again
     maintain_incremental_pairs(b2, state)
-    assert (
-        sorted(tuple(r) for r in spark.read.parquet(f"{state}/pairs").collect())
-        == pairs_once
-    )
-    assert (
-        sorted(tuple(r) for r in spark.read.parquet(f"{state}/sigs").collect())
-        == sigs_once
-    )
+    assert _pairs() == pairs_once
+    assert _sigs() == sigs_once
     # and the state is the expected one: all three docs pairwise near-dup
     assert pairs_once == [(1, 3), (1, 6), (3, 6)]
+
+
+def test_untouched_bucket_files_unchanged_across_batch(spark, tmp_path):
+    """The 100 TB contract of the bucketed state (VERDICT r15 #3): a
+    micro-batch's state I/O is a dynamic-partition overwrite of ONLY the
+    affected buckets. A batch whose delta lands entirely in bucket 2
+    must leave bucket 1's sig and pair files byte-identical — same
+    names, sizes, and mtimes — while bucket 2's change."""
+    import os
+
+    from distributed_video_analytics_flink_spark.streaming import (
+        maintain_incremental_pairs,
+    )
+    from distributed_video_analytics_flink_spark.streaming.corpus import (
+        _STATE_BUCKETS,
+    )
+
+    assert _STATE_BUCKETS == 16  # doc_id choices below depend on it
+    state = str(tmp_path / "state")
+
+    def _listing(sub):
+        d = os.path.join(state, sub)
+        if not os.path.isdir(d):
+            return None
+        out = set()
+        for f in os.listdir(d):
+            if not f.startswith(("_", ".")):
+                st = os.stat(os.path.join(d, f))
+                out.add((f, st.st_size, st.st_mtime_ns))
+        return frozenset(out)
+
+    t1 = "alpha beta gamma delta epsilon zeta"
+    t2 = "uno dos tres cuatro cinco seis"
+    # batch 1: docs 1 and 17 -> bucket 1 sigs; pair (1, 17) -> bucket 1
+    b1 = spark.createDataFrame(
+        [(1, t1, "2024-06-01T00:00:00"), (17, t1, "2024-06-01T00:00:01")],
+        "doc_id long, text string, ingest_ts string",
+    )
+    maintain_incremental_pairs(b1, state)
+    sigs1, pairs1 = _listing("sigs/bucket=1"), _listing("pairs/bucket=1")
+    assert sigs1 and pairs1  # bucket 1 state exists
+
+    # batch 2: docs 2 and 18 -> bucket 2 only; no endpoint touches 1/17
+    b2 = spark.createDataFrame(
+        [(2, t2, "2024-06-01T00:01:00"), (18, t2, "2024-06-01T00:01:01")],
+        "doc_id long, text string, ingest_ts string",
+    )
+    maintain_incremental_pairs(b2, state)
+
+    assert _listing("sigs/bucket=1") == sigs1  # byte-identical: untouched
+    assert _listing("pairs/bucket=1") == pairs1
+    assert _listing("sigs/bucket=2") and _listing("pairs/bucket=2")
+    # and the maintained state is still globally right
+    got = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(f"{state}/pairs").collect()
+    )
+    assert got == [(1, 17), (2, 18)]
+
+
+def test_emptied_pair_bucket_is_cleared(spark, tmp_path):
+    """A re-emitted doc whose text no longer matches tombstones its pair;
+    if that empties the pair bucket, dynamic overwrite alone would leave
+    the stale file behind — the explicit clear must remove it."""
+    from distributed_video_analytics_flink_spark.streaming import (
+        maintain_incremental_pairs,
+    )
+
+    state = str(tmp_path / "state")
+    t1 = "alpha beta gamma delta epsilon zeta"
+    b1 = spark.createDataFrame(
+        [(1, t1, "2024-06-01T00:00:00"), (17, t1, "2024-06-01T00:00:01")],
+        "doc_id long, text string, ingest_ts string",
+    )
+    maintain_incremental_pairs(b1, state)
+    # doc 17 changes: pair (1, 17) tombstones; nothing new forms
+    b2 = spark.createDataFrame(
+        [(17, "totally different replacement body now", "2024-06-01T00:01:00")],
+        "doc_id long, text string, ingest_ts string",
+    )
+    maintain_incremental_pairs(b2, state)
+    import pyspark.errors
+
+    try:
+        n = spark.read.parquet(f"{state}/pairs").count()
+    except pyspark.errors.AnalysisException:
+        n = 0  # the whole pairs table emptied — also a correct outcome
+    assert n == 0
