@@ -1245,10 +1245,12 @@ def sim_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_kmeans_lloyd",
-    oracle=f"""
-    WITH cents0 AS (
+# Shared one-Lloyd-round CTE chain, through the s2 per-(vector, cell)
+# quantized dot: consumed by sim_kmeans_lloyd's migration accounting AND
+# by _KMEANS_ASSIGN_DUCK (the k-means-anchored curation passes, r16 —
+# VERDICT r15 #5). ONE replay of the round on the oracle side, matching
+# the engine's single _lloyd_round helper.
+_DUCK_LLOYD_CTES = f"""cents0 AS (
       SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 10
     ),
     s1 AS (
@@ -1296,7 +1298,84 @@ def sim_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
              ANY_VALUE(ev.ne) AS ne
       FROM ev JOIN m ON ev.pos = m.pos
       GROUP BY ev.vec_id, m.cent_id
+    )"""
+
+# Round-2 assignment with its winning cosine and the vector itself — the
+# k-means-anchored analog of _SEED_ASSIGN_DUCK (same output CTE ``a``
+# interface: vec_id, embedding, cent_id, ccos).
+_KMEANS_ASSIGN_DUCK = f"""{_DUCK_LLOYD_CTES},
+    ka AS (
+      SELECT s2.vec_id, s2.cent_id,
+             s2.dot / (sqrt(CAST(s2.ne AS DOUBLE))
+                       * sqrt(CAST(cn.nc AS DOUBLE))) AS ccos,
+             ROW_NUMBER() OVER (
+               PARTITION BY s2.vec_id
+               ORDER BY s2.dot / (sqrt(CAST(s2.ne AS DOUBLE))
+                                  * sqrt(CAST(cn.nc AS DOUBLE))) DESC,
+                        s2.cent_id ASC) AS rn
+      FROM s2 JOIN cnorm cn ON s2.cent_id = cn.cent_id
     ),
+    a AS (
+      SELECT k.vec_id, e.embedding, k.cent_id, k.ccos
+      FROM ka k JOIN embeddings e ON e.vec_id = k.vec_id
+      WHERE k.rn = 1
+    )"""
+
+
+def _lloyd_round(emb: DataFrame):
+    """One exact-integer Lloyd round (E-step to the deterministic seeds,
+    distributed M-step), factored out of sim_kmeans_lloyd so the
+    k-means-anchored curation passes anchor on the SAME iterated
+    centroids (r16, VERDICT r15 #5 — one Lloyd implementation by
+    design). Returns ``(assigned, C1, cell_ids, c1_norm)``: the round-1
+    assignment frame (vec_id, embedding, cell1), the updated centroid
+    matrix (rows ordered by ascending surviving cell id), the surviving
+    cell ids, and the centroids' quantized norms. The centroid matrix is
+    driver-collected — a legitimate tiny constant (K x dim), the LSH-
+    planes discipline; every per-vector pass stays distributed."""
+    seed_rows = (
+        emb.filter(F.col("vec_id") < 10).orderBy("vec_id").select("embedding").collect()
+    )
+    C0 = np.asarray([np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows])
+    c0_norm = np.sqrt(_np_q(C0 * C0 * _Q).sum(axis=1).astype(np.float64))
+
+    @F.pandas_udf("int")
+    def _assign0(embs: pd.Series) -> pd.Series:
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in embs])
+        dots = _np_q(V[:, None, :] * C0[None, :, :] * _Q).sum(axis=2)
+        vn = np.sqrt(_np_q(V * V * _Q).sum(axis=1).astype(np.float64))
+        return pd.Series(np.argmax(dots / (vn[:, None] * c0_norm[None, :]), axis=1).astype(np.int32))
+
+    # round-1 assignment feeds both the M-step and the caller's migration
+    # count — compute it once (lazy local checkpoint, dedup.py's
+    # _materialize pattern)
+    assigned = emb.select(
+        "vec_id", "embedding", _assign0("embedding").alias("cell1")
+    ).localCheckpoint(eager=False)
+
+    # M-step: distributed exact-integer per-dimension means
+    mstep = (
+        assigned.select("cell1", F.posexplode("embedding").alias("pos", "val"))
+        .select("cell1", "pos", F.expr("cast(round(val * 1e6) as bigint)").alias("qv"))
+        .groupBy("cell1", "pos")
+        .agg(F.sum("qv").alias("sq"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    cells = sorted({r["cell1"] for r in mstep})
+    dim = max(r["pos"] for r in mstep) + 1
+    C1 = np.zeros((len(cells), dim), dtype=np.float64)
+    idx = {c: i for i, c in enumerate(cells)}
+    for r in mstep:
+        C1[idx[r["cell1"]], r["pos"]] = r["sq"] / 1e6 / r["n"]
+    c1_norm = np.sqrt(_np_q(C1 * C1 * _Q).sum(axis=1).astype(np.float64))
+    cell_ids = np.asarray(cells, dtype=np.int32)
+    return assigned, C1, cell_ids, c1_norm
+
+
+@query(
+    "sim_kmeans_lloyd",
+    oracle=f"""
+    WITH {_DUCK_LLOYD_CTES},
     a2 AS (
       SELECT vec_id, cent_id AS cell2 FROM (
         SELECT s2.vec_id, s2.cent_id,
@@ -1332,42 +1411,7 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     additional Lloyd round repeats the same two shuffles (assignment
     groupBy + M-step groupBy) — rounds compose linearly, nothing grows."""
     emb = load_table(spark, sf_dir, "embeddings")
-    seed_rows = (
-        emb.filter(F.col("vec_id") < 10).orderBy("vec_id").select("embedding").collect()
-    )
-    C0 = np.asarray([np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows])
-    c0_norm = np.sqrt(_np_q(C0 * C0 * _Q).sum(axis=1).astype(np.float64))
-
-    @F.pandas_udf("int")
-    def _assign0(embs: pd.Series) -> pd.Series:
-        V = np.asarray([np.asarray(v, dtype=np.float64) for v in embs])
-        dots = _np_q(V[:, None, :] * C0[None, :, :] * _Q).sum(axis=2)
-        vn = np.sqrt(_np_q(V * V * _Q).sum(axis=1).astype(np.float64))
-        return pd.Series(np.argmax(dots / (vn[:, None] * c0_norm[None, :]), axis=1).astype(np.int32))
-
-    # round-1 assignment feeds both the M-step and the final migration
-    # count — compute it once (lazy local checkpoint, dedup.py's
-    # _materialize pattern)
-    assigned = emb.select(
-        "vec_id", "embedding", _assign0("embedding").alias("cell1")
-    ).localCheckpoint(eager=False)
-
-    # M-step: distributed exact-integer per-dimension means
-    mstep = (
-        assigned.select("cell1", F.posexplode("embedding").alias("pos", "val"))
-        .select("cell1", "pos", F.expr("cast(round(val * 1e6) as bigint)").alias("qv"))
-        .groupBy("cell1", "pos")
-        .agg(F.sum("qv").alias("sq"), F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    cells = sorted({r["cell1"] for r in mstep})
-    dim = max(r["pos"] for r in mstep) + 1
-    C1 = np.zeros((len(cells), dim), dtype=np.float64)
-    idx = {c: i for i, c in enumerate(cells)}
-    for r in mstep:
-        C1[idx[r["cell1"]], r["pos"]] = r["sq"] / 1e6 / r["n"]
-    c1_norm = np.sqrt(_np_q(C1 * C1 * _Q).sum(axis=1).astype(np.float64))
-    cell_ids = np.asarray(cells, dtype=np.int32)
+    assigned, C1, cell_ids, c1_norm = _lloyd_round(emb)
 
     @F.pandas_udf("int")
     def _assign1(embs: pd.Series) -> pd.Series:
@@ -5547,10 +5591,12 @@ _SEED_ASSIGN_DUCK = f"""
 """
 
 
-@query(
-    "sim_semdedup_checked",
-    oracle=f"""
-    WITH {_SEED_ASSIGN_DUCK},
+def _semdedup_oracle(assign_cte: str) -> str:
+    """SemDeDup accounting SQL over any assignment CTE exposing ``a``
+    (vec_id, embedding, cent_id, ccos) — shared by the seed-anchored and
+    k-means-anchored variants so the two can never drift (r16)."""
+    return f"""
+    WITH {assign_cte},
     pairs AS (
       SELECT x.cent_id, x.vec_id AS u, y.vec_id AS v,
              x.ccos AS u_ccos, y.ccos AS v_ccos,
@@ -5580,35 +5626,74 @@ _SEED_ASSIGN_DUCK = f"""
     FROM cells c
     LEFT JOIN dupc d ON c.cent_id = d.cent_id
     LEFT JOIN remc r ON c.cent_id = r.cent_id
-    """,
-)
-def sim_semdedup_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023) as a per-cluster accounting contract:
-    cluster by the seed-anchored assignment, call a within-cluster pair a
-    semantic duplicate at cosine >= 0.35, and of each duplicate pair
-    remove the member MORE similar to the cluster anchor (the paper's
-    keep-the-least-prototypical rule; cosine ties fall to the higher
-    vec_id, which the u < v pair orientation makes a single CASE). The
-    driver hash pins per-cell vector, duplicate-pair, removed, and kept
-    counts — assignment drift, a wrong pair orientation, or a flipped
-    keep rule all change the row.
+    """
 
-    100 TB shape: pair generation is confined to cells (the IVF
-    partitioning that makes ANN scans 1/K also bounds the dedup join —
-    the paper's own motivation for clustering first); embeddings shuffle
-    once, keyed by cent_id, and every downstream count is a
-    partial-aggregable groupBy. A hot cell is the known sim_neardup
-    skew case — the pair-cell blocking of sim_neardup_pairs_bucketed
-    drops in unchanged if cells grow unbounded."""
+
+def _proto_prune_oracle(assign_cte: str) -> str:
+    """Prototypicality-pruning SQL over any assignment CTE exposing
+    ``a`` — shared by the seed- and k-means-anchored variants."""
+    return f"""
+    WITH {assign_cte},
+    ranked AS (
+      SELECT vec_id, cent_id, ccos,
+             ROW_NUMBER() OVER (PARTITION BY cent_id
+                                ORDER BY ccos ASC, vec_id ASC) AS proto_rank,
+             COUNT(*) OVER (PARTITION BY cent_id) AS n_cell
+      FROM a
+    )
+    SELECT vec_id, cent_id, ccos, proto_rank
+    FROM ranked WHERE proto_rank <= n_cell // 2
+    """
+
+
+def _kmeans_scored_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cent_id, embedding, ccos) against the ITERATED centroids:
+    one exact-integer Lloyd round (the shared _lloyd_round — seeds,
+    E-step, distributed M-step), then every vector's assignment to the
+    UPDATED centroid set with its winning quantized cosine. The
+    k-means-anchored twin of _seed_scored_assignments (r16, VERDICT r15
+    #5: SemDeDup/Sorscher cluster with iterated k-means in the papers;
+    the seed-anchored variants remain as the cheap first-pass)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _assigned, C1, cell_ids, c1_norm = _lloyd_round(emb)
+
+    @F.pandas_udf("struct<cent_id: int, ccos: double>")
+    def _assign_score(embs: pd.Series) -> pd.DataFrame:
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in embs])
+        dots = _np_q(V[:, None, :] * C1[None, :, :] * _Q).sum(axis=2)
+        vn = np.sqrt(_np_q(V * V * _Q).sum(axis=1).astype(np.float64))
+        cos = dots / (vn[:, None] * c1_norm[None, :])
+        best = np.argmax(cos, axis=1)  # ties -> first max = smallest cent_id
+        return pd.DataFrame(
+            {
+                "cent_id": cell_ids[best],
+                "ccos": cos[np.arange(len(best)), best],
+            }
+        )
+
+    return emb.select(
+        "vec_id", "embedding", _assign_score("embedding").alias("s")
+    ).select(
+        "vec_id",
+        F.col("s.cent_id").alias("cent_id"),
+        "embedding",
+        F.col("s.ccos").alias("ccos"),
+    )
+
+
+def _semdedup_accounting(a: DataFrame) -> DataFrame:
+    """SemDeDup per-cell accounting over a scored assignment frame
+    (vec_id, cent_id, embedding, ccos) — the ONE engine implementation
+    behind both the seed- and k-means-anchored queries. Pair generation
+    rides the Arrow-batched pair-cell scorer that sim_neardup_pairs
+    already proves exact (numpy outer products, cell-bounded tasks)
+    with cent_id standing in for the label block. The first cut of this
+    query scored pairs with interpreted zip_with lambdas and recomputed
+    self-norms PER PAIR — measured 45.9 s at sf0.1 vs ~1.6 s for the
+    same pair volume through this scorer."""
     from distributed_video_analytics_flink_spark.operators.dedup import _materialize
 
-    a = _materialize(_seed_scored_assignments(spark, sf_dir))
-    # Pair generation rides the Arrow-batched pair-cell scorer that
-    # sim_neardup_pairs already proves exact (numpy outer products, cell-
-    # bounded tasks) with cent_id standing in for the label block. The
-    # first cut of this query scored pairs with interpreted zip_with
-    # lambdas and recomputed self-norms PER PAIR — measured 45.9 s at
-    # sf0.1 vs ~1.6 s for the same pair volume through this scorer.
+    a = _materialize(a)
     pairs = neardup_pairs_exact(
         a.select(
             "vec_id", F.col("cent_id").cast("int").alias("label"), "embedding"
@@ -5665,21 +5750,67 @@ def sim_semdedup_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "curation_proto_prune",
-    oracle=f"""
-    WITH {_SEED_ASSIGN_DUCK},
-    ranked AS (
-      SELECT vec_id, cent_id, ccos,
-             ROW_NUMBER() OVER (PARTITION BY cent_id
-                                ORDER BY ccos ASC, vec_id ASC) AS proto_rank,
-             COUNT(*) OVER (PARTITION BY cent_id) AS n_cell
-      FROM a
+def _proto_prune_frame(a: DataFrame) -> DataFrame:
+    """Hard-half pruning over a scored assignment frame — ONE window
+    partitioned by cent_id; shared by both anchoring variants."""
+    w = Window.partitionBy("cent_id").orderBy(F.asc("ccos"), F.asc("vec_id"))
+    ranked = a.select(
+        "vec_id",
+        "cent_id",
+        "ccos",
+        F.row_number().over(w).alias("proto_rank"),
+        F.count(F.lit(1)).over(Window.partitionBy("cent_id")).alias("n_cell"),
     )
-    SELECT vec_id, cent_id, ccos, proto_rank
-    FROM ranked WHERE proto_rank <= n_cell // 2
-    """,
+    return ranked.filter(
+        F.col("proto_rank") <= F.expr("n_cell div 2")
+    ).select("vec_id", "cent_id", "ccos", "proto_rank")
+
+
+@query("sim_semdedup_checked", oracle=_semdedup_oracle(_SEED_ASSIGN_DUCK))
+def sim_semdedup_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) as a per-cluster accounting contract:
+    cluster by the seed-anchored assignment, call a within-cluster pair a
+    semantic duplicate at cosine >= 0.35, and of each duplicate pair
+    remove the member MORE similar to the cluster anchor (the paper's
+    keep-the-least-prototypical rule; cosine ties fall to the higher
+    vec_id, which the u < v pair orientation makes a single CASE). The
+    driver hash pins per-cell vector, duplicate-pair, removed, and kept
+    counts — assignment drift, a wrong pair orientation, or a flipped
+    keep rule all change the row.
+
+    100 TB shape: pair generation is confined to cells (the IVF
+    partitioning that makes ANN scans 1/K also bounds the dedup join —
+    the paper's own motivation for clustering first); embeddings shuffle
+    once, keyed by cent_id, and every downstream count is a
+    partial-aggregable groupBy. A hot cell is the known sim_neardup
+    skew case — the pair-cell blocking of sim_neardup_pairs_bucketed
+    drops in unchanged if cells grow unbounded (the planted-hot-cell
+    test pins the per-task bound)."""
+    return _semdedup_accounting(_seed_scored_assignments(spark, sf_dir))
+
+
+@query(
+    "sim_semdedup_kmeans_checked", oracle=_semdedup_oracle(_KMEANS_ASSIGN_DUCK)
 )
+def sim_semdedup_kmeans_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the ITERATED clustering (r16, VERDICT r15 #5): the
+    paper (Abbas et al. 2023, arXiv:2303.09540) clusters with k-means
+    before the within-cluster dedup — this variant anchors the SAME
+    accounting (_semdedup_accounting, one engine implementation) on the
+    assignment produced by a full exact-integer Lloyd round
+    (_lloyd_round, shared with sim_kmeans_lloyd) instead of the raw
+    seeds. The oracle replays the identical round via the shared
+    _DUCK_LLOYD_CTES chain, so centroid drift, assignment ties, or a
+    diverging E/M-step in EITHER engine hash-mismatches the row.
+
+    100 TB shape: one extra assignment pass + one (cells x dims)-row
+    M-step groupBy on top of the seed variant; pair generation stays
+    cell-blocked (the iterated cells are TIGHTER, so per-cell pair
+    volume only shrinks)."""
+    return _semdedup_accounting(_kmeans_scored_assignments(spark, sf_dir))
+
+
+@query("curation_proto_prune", oracle=_proto_prune_oracle(_SEED_ASSIGN_DUCK))
 def curation_proto_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prototypicality pruning (Sorscher et al. 2022): within each
     seed-anchored cluster, rank vectors by similarity to the cluster
@@ -5695,15 +5826,19 @@ def curation_proto_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle). Cells are corpus/K sized; a pathological hot cell falls
     back to the histogram-quota trick of curation_sample_exact_quota
     (quantize ccos to integer micro-units first)."""
-    a = _seed_scored_assignments(spark, sf_dir)
-    w = Window.partitionBy("cent_id").orderBy(F.asc("ccos"), F.asc("vec_id"))
-    ranked = a.select(
-        "vec_id",
-        "cent_id",
-        "ccos",
-        F.row_number().over(w).alias("proto_rank"),
-        F.count(F.lit(1)).over(Window.partitionBy("cent_id")).alias("n_cell"),
-    )
-    return ranked.filter(
-        F.col("proto_rank") <= F.expr("n_cell div 2")
-    ).select("vec_id", "cent_id", "ccos", "proto_rank")
+    return _proto_prune_frame(_seed_scored_assignments(spark, sf_dir))
+
+
+@query(
+    "curation_proto_prune_kmeans", oracle=_proto_prune_oracle(_KMEANS_ASSIGN_DUCK)
+)
+def curation_proto_prune_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality pruning over the ITERATED clustering (r16,
+    VERDICT r15 #5): Sorscher et al. 2022 rank against k-means cluster
+    centroids — this variant runs the SAME hard-half window
+    (_proto_prune_frame) on the _lloyd_round assignment, with the
+    oracle replaying the identical Lloyd round through the shared CTE
+    chain. Keep direction (hard half = LOWEST anchor similarity) is
+    pinned by the planted fixture in tests/test_semdedup_prune.py,
+    which drives both anchoring variants through the shared helpers."""
+    return _proto_prune_frame(_kmeans_scored_assignments(spark, sf_dir))
