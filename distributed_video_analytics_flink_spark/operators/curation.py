@@ -1841,23 +1841,26 @@ def curation_pack_sequences_trained_bpe(spark: SparkSession, sf_dir: str) -> Dat
 # engines. Ranking uses the LENGTH-NORMALIZED mean ratio (integral div by
 # the doc's gram count) so selection is about content, not document size.
 _DSIR_BUCKETS = 256
+_DSIR_BUCKETS_PAPER = 10_000  # Xie et al. 2023's default hash width
 _DSIR_TOPK = 25
 
 
-def _dsir_bucket_sql(gram_expr: str, engine: str) -> str:
+def _dsir_bucket_sql(gram_expr: str, engine: str, buckets: int = _DSIR_BUCKETS) -> str:
     """Hash one word-bigram into the fixed DSIR bucket space — md5-prefix
     fold per the module-header contract in operators/dedup.py."""
     if engine == "spark":
         return (
             f"cast(conv(substring(md5({gram_expr}), 1, 8), 16, 10) as bigint)"
-            f" % {_DSIR_BUCKETS}"
+            f" % {buckets}"
         )
-    return f"('0x' || substring(md5({gram_expr}), 1, 8))::BIGINT % {_DSIR_BUCKETS}"
+    return f"('0x' || substring(md5({gram_expr}), 1, 8))::BIGINT % {buckets}"
 
 
-@query(
-    "curation_dsir_importance",
-    oracle=f"""
+def _dsir_oracle(buckets: int) -> str:
+    """DSIR fit+score SQL at any hash width — shared by the 256-bucket
+    query and the paper-width (10k) variant so the plan shape is proven
+    width-independent (r16, VERDICT r15 #7)."""
+    return f"""
     WITH base AS (
       SELECT doc_id, COALESCE(source = 'src0', FALSE) AS is_target,
              string_split(text, ' ') AS t
@@ -1869,6 +1872,7 @@ def _dsir_bucket_sql(gram_expr: str, engine: str) -> str:
                  "unnest(list_transform(generate_series(1, len(t) - 1), "
                  "i -> array_to_string(list_slice(t, i, i + 1), ' ')))",
                  "duck",
+                 buckets,
              )} AS bucket
       FROM base
     ),
@@ -1885,8 +1889,8 @@ def _dsir_bucket_sql(gram_expr: str, engine: str) -> str:
     scored AS (
       SELECT b.doc_id,
              CAST(SUM(
-               (CAST(c.c_t + 1 AS HUGEINT) * (t.n_r + {_DSIR_BUCKETS}) * 1000000)
-               // (CAST(c.c_r + 1 AS HUGEINT) * (t.n_t + {_DSIR_BUCKETS}))
+               (CAST(c.c_t + 1 AS HUGEINT) * (t.n_r + {buckets}) * 1000000)
+               // (CAST(c.c_r + 1 AS HUGEINT) * (t.n_t + {buckets}))
              ) AS BIGINT) AS dsir_weight_micro,
              CAST(COUNT(*) AS BIGINT) AS n_grams
       FROM bi b JOIN counts c USING (bucket) CROSS JOIN tot t
@@ -1898,8 +1902,65 @@ def _dsir_bucket_sql(gram_expr: str, engine: str) -> str:
     FROM scored
     ORDER BY mean_ratio_micro DESC, doc_id ASC
     LIMIT {_DSIR_TOPK}
-    """,
-)
+    """
+
+
+def _dsir_importance_frame(
+    spark: SparkSession, sf_dir: str, buckets: int
+) -> DataFrame:
+    """The ONE engine implementation of the DSIR fit+score pass at any
+    hash width (shared by the 256-bucket and paper-width queries)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        # eqNullSafe: a NULL source is raw-pool, not a NULL flag that
+        # Spark's conditional agg would count differently from the oracle's
+        # FILTER (WHERE NOT is_target) — review finding r15
+        F.col("source").eqNullSafe("src0").alias("is_target"),
+        F.split("text", " ").alias("t"),
+    ).filter(F.size("t") >= 2)
+    bucket_expr = _dsir_bucket_sql("concat_ws(' ', slice(t, i, 2))", "spark", buckets)
+    bi = base.select(
+        "doc_id",
+        "is_target",
+        F.explode(
+            F.expr(f"transform(sequence(1, size(t) - 1), i -> {bucket_expr})")
+        ).alias("bucket"),
+    )
+    counts = bi.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("c_r"),
+    )
+    tot = counts.agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
+    )  # 1 row
+    ratio = (
+        f"cast((cast(c_t + 1 as decimal(38,0)) * (n_r + {buckets}) * 1000000)"
+        f" div (cast(c_r + 1 as decimal(38,0)) * (n_t + {buckets})) as bigint)"
+    )
+    scored = (
+        bi.filter(~F.col("is_target"))
+        .join(F.broadcast(counts), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr(ratio)).alias("dsir_weight_micro"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "dsir_weight_micro",
+            F.expr("dsir_weight_micro div n_grams").alias("mean_ratio_micro"),
+            "n_grams",
+        )
+        .orderBy(F.desc("mean_ratio_micro"), F.asc("doc_id"))
+        .limit(_DSIR_TOPK)
+    )
+
+
+@query("curation_dsir_importance", oracle=_dsir_oracle(_DSIR_BUCKETS))
 def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance selection (Xie et al. 2023): treat one source
     (``src0``) as the target domain, hash every word-bigram occurrence into
@@ -1922,51 +1983,25 @@ def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (per-partition heads, never a global sort). The
     corpus is scanned twice (fit, then score) — inherent to DSIR's
     fit-then-score shape, each pass embarrassingly parallel."""
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        # eqNullSafe: a NULL source is raw-pool, not a NULL flag that
-        # Spark's conditional agg would count differently from the oracle's
-        # FILTER (WHERE NOT is_target) — review finding r15
-        F.col("source").eqNullSafe("src0").alias("is_target"),
-        F.split("text", " ").alias("t"),
-    ).filter(F.size("t") >= 2)
-    bucket_expr = _dsir_bucket_sql("concat_ws(' ', slice(t, i, 2))", "spark")
-    bi = base.select(
-        "doc_id",
-        "is_target",
-        F.explode(
-            F.expr(f"transform(sequence(1, size(t) - 1), i -> {bucket_expr})")
-        ).alias("bucket"),
-    )
-    counts = bi.groupBy("bucket").agg(
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_t"),
-        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("c_r"),
-    )
-    tot = counts.agg(
-        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
-    )  # 1 row
-    ratio = (
-        f"cast((cast(c_t + 1 as decimal(38,0)) * (n_r + {_DSIR_BUCKETS}) * 1000000)"
-        f" div (cast(c_r + 1 as decimal(38,0)) * (n_t + {_DSIR_BUCKETS})) as bigint)"
-    )
-    scored = (
-        bi.filter(~F.col("is_target"))
-        .join(F.broadcast(counts), "bucket")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.expr(ratio)).alias("dsir_weight_micro"),
-            F.count(F.lit(1)).alias("n_grams"),
-        )
-    )
-    return (
-        scored.select(
-            "doc_id",
-            "dsir_weight_micro",
-            F.expr("dsir_weight_micro div n_grams").alias("mean_ratio_micro"),
-            "n_grams",
-        )
-        .orderBy(F.desc("mean_ratio_micro"), F.asc("doc_id"))
-        .limit(_DSIR_TOPK)
-    )
+    return _dsir_importance_frame(spark, sf_dir, _DSIR_BUCKETS)
+
+
+@query(
+    "curation_dsir_importance_10k_checked",
+    oracle=_dsir_oracle(_DSIR_BUCKETS_PAPER),
+)
+def curation_dsir_importance_10k_checked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DSIR at the PAPER's hash width (r16, VERDICT r15 #7): the same
+    fit+score pass (_dsir_importance_frame — one implementation, width a
+    parameter) at Xie et al. 2023's default 10,000 buckets. The plan
+    shape is width-independent by construction: the fit is still one
+    partial-aggregable groupBy onto at most 10k rows (a ~240 KB
+    broadcast at 3 BIGINTs/row — measured in tests and recorded in
+    SCALE.md), the totals still a 1-row crossJoin, the scoring pass the
+    same broadcast-join scan. Only the smoothing constant and the bucket
+    modulus change, so this row prices the width the paper actually
+    recommends while the 256-bucket query remains the cheap
+    collision-heavy variant."""
+    return _dsir_importance_frame(spark, sf_dir, _DSIR_BUCKETS_PAPER)

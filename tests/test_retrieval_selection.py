@@ -104,11 +104,11 @@ def test_bm25_saturation_and_length_norm(spark, tmp_path):
 # --- pure-Python DSIR replica -------------------------------------------------
 
 
-def _dsir_bucket(gram: str) -> int:
-    return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) % _DSIR_BUCKETS
+def _dsir_bucket(gram: str, buckets: int = _DSIR_BUCKETS) -> int:
+    return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) % buckets
 
 
-def _dsir_replica(rows):
+def _dsir_replica(rows, buckets: int = _DSIR_BUCKETS):
     """rows: list of (text, source); returns {doc_id: (weight, mean, n)}."""
     grams = []
     for i, (t, src) in enumerate(rows):
@@ -116,7 +116,7 @@ def _dsir_replica(rows):
         if len(w) < 2:
             continue
         for a, b in zip(w, w[1:]):
-            grams.append((i, src == "src0", _dsir_bucket(f"{a} {b}")))
+            grams.append((i, src == "src0", _dsir_bucket(f"{a} {b}", buckets)))
     c_t, c_r = {}, {}
     for _, is_t, bkt in grams:
         (c_t if is_t else c_r)[bkt] = (c_t if is_t else c_r).get(bkt, 0) + 1
@@ -127,8 +127,8 @@ def _dsir_replica(rows):
         if is_t:
             continue
         ratio = Fraction(
-            (c_t.get(bkt, 0) + 1) * (n_r + _DSIR_BUCKETS) * 1_000_000,
-            (c_r.get(bkt, 0) + 1) * (n_t + _DSIR_BUCKETS),
+            (c_t.get(bkt, 0) + 1) * (n_r + buckets) * 1_000_000,
+            (c_r.get(bkt, 0) + 1) * (n_t + buckets),
         )
         w, n = out.get(i, (0, 0))
         out[i] = (w + int(ratio), n + 1)
@@ -157,6 +157,39 @@ def test_dsir_equals_python_replica(spark, tmp_path):
     assert got[2][1] > got[3][1]
     # mixed doc sits strictly between
     assert got[2][1] > got[4][1] > got[3][1]
+
+
+def test_dsir_paper_width_replica_and_plan(spark, tmp_path):
+    """The 10k-bucket variant (VERDICT r15 #7): same engine pass at the
+    paper's width must equal the Fraction replica at that width, the fit
+    must stay a bounded broadcast (at most one row per OCCUPIED bucket),
+    and the top-k must remain per-partition heads, not a global sort."""
+    from distributed_video_analytics_flink_spark.operators.curation import (
+        _DSIR_BUCKETS_PAPER,
+        curation_dsir_importance_10k_checked,
+    )
+
+    rows = [
+        ("spark shuffle join agg window", "src0"),
+        ("spark shuffle join agg window spark shuffle", "src0"),
+        ("spark shuffle join agg", "src1"),
+        ("llama alpaca vicuna gecko iguana", "src1"),
+        ("spark shuffle llama alpaca", "src2"),
+        ("spark shuffle join window", None),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    df = curation_dsir_importance_10k_checked(spark, sf)
+    got = {
+        r["doc_id"]: (r["dsir_weight_micro"], r["mean_ratio_micro"], r["n_grams"])
+        for r in df.collect()
+    }
+    assert got == _dsir_replica(rows, _DSIR_BUCKETS_PAPER)
+    # at 10k buckets the tiny corpus's bigrams no longer collide: the
+    # in-domain raw doc ranks strictly above mixed above off-domain
+    assert got[2][1] > got[4][1] > got[3][1]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the fit table broadcasts
+    assert "TakeOrderedAndProject" in plan  # top-k = per-partition heads
 
 
 # --- RRF hybrid fusion ---------------------------------------------------------
