@@ -807,6 +807,153 @@ def _pipeline_fixture_segments() -> dict[str, bytes]:
     return {"seg-pipe1.warc": seg_1, "seg-pipe2.warc.gz": seg_2}
 
 
+def web_pipeline_extracted_pages(raw: DataFrame) -> DataFrame:
+    """The pipeline's PER-RECORD head over a warc-source frame (batch or
+    streaming — the projection is scan-shaped, so it runs inside a
+    micro-batch unchanged): HTTP 200 text/html filter + jusText-family
+    main-text extraction. Shared by the batch capstone and the streaming
+    twin (streaming/corpus.py::stream_web_pipeline, r16 — VERDICT r15
+    #8), so the two heads cannot drift."""
+    main_text, _, _, _ = html_extract_columns("decode(body, 'UTF-8')")
+    return raw.filter(
+        (F.col("http_status") == 200)
+        & F.col("http_content_type").startswith("text/html")
+    ).select("target_uri", main_text.alias("main_text"))
+
+
+def web_pipeline_accounting_row(pages: DataFrame) -> tuple:
+    """The CORPUS-WIDE stages of the web pipeline over an extracted-pages
+    frame (target_uri, main_text), returning the 8-field accounting
+    tuple. ONE implementation shared by the batch capstone and the
+    streaming twin: in streaming, the per-record head runs in-stream and
+    the micro-batches append to an at-rest pages table; these stages
+    then run over the accumulated table — URL dedup and the line-boiler
+    count are corpus-wide by definition (a duplicate URL or a shared
+    banner can span micro-batches), so they are exactly the batch plans
+    on the at-rest state, the maintain_incremental_pairs posture."""
+    from functools import reduce
+
+    from distributed_video_analytics_flink_spark.operators.dedup import (
+        _materialize,
+    )
+    from distributed_video_analytics_flink_spark.operators.text_analysis import (
+        gopher_ok_predicates,
+        gopher_symbol_count,
+        gopher_token_aggs,
+    )
+
+    spark = pages.sparkSession
+    # every stage frame is materialized once: the stage counts below
+    # are separate actions, and without the pins each would re-run
+    # the upstream scan + extraction (r15 review — the docstring
+    # promises bodies cross the wire exactly twice)
+    pages = _materialize(pages)
+    n_pages = pages.count()
+
+    deduped = (
+        with_url_columns(pages)
+        .groupBy("norm_url")
+        .agg(F.min(F.struct("target_uri", "main_text", "host")).alias("r"))
+        .select("norm_url", "r.target_uri", "r.main_text", "r.host")
+    )
+    n_after_url_dedup = deduped.count()
+
+    block = spark.createDataFrame(
+        [(h,) for h in _HOST_BLOCKLIST], "host string"
+    )
+    gated_host = _materialize(
+        deduped.join(F.broadcast(block), "host", "left_anti")
+    )
+    n_after_host_gate = gated_host.count()
+
+    # Gopher gate on the EXTRACTED text (tokens split at the space
+    # and newline separators main_text is built from) — the SHARED
+    # published-threshold pieces, one copy with text_gopher_rules
+    tok = gated_host.select(
+        "norm_url", F.explode(F.split("main_text", "[ \n]")).alias("token")
+    )
+    ts = tok.groupBy("norm_url").agg(*gopher_token_aggs("token"))
+    survivors = _materialize(
+        gated_host.withColumn("n_sym", gopher_symbol_count("main_text"))
+        .join(ts, "norm_url")
+        .filter(reduce(lambda a, b: a & b, gopher_ok_predicates().values()))
+        .select("norm_url", "main_text")
+    )
+    n_after_gopher = survivors.count()
+
+    # corpus-wide line rewrite over the survivors (newline lines); a
+    # line is boiler when it appears in >= K distinct DOCUMENTS (per
+    # the constant's contract — an intra-document repeat alone is
+    # content, not boilerplate; r15 review)
+    lines = _materialize(
+        survivors.select(
+            "norm_url",
+            F.posexplode(F.split("main_text", "\n")).alias("i", "line"),
+        ).select("norm_url", "i", F.md5("line").alias("fp"))
+    )
+    boiler = (
+        lines.groupBy("fp")
+        .agg(F.countDistinct("norm_url").alias("c"))
+        .filter(F.col("c") >= _WEB_LINE_DUP_K)
+        .select("fp")
+    )
+    n_boiler_dropped = lines.join(boiler, "fp").count()
+    kept_idx = (
+        lines.join(boiler, "fp", "left_anti")
+        .groupBy("norm_url")
+        .agg(F.sort_array(F.collect_list("i")).alias("ks"))
+    )
+    clean = (
+        survivors.join(kept_idx, "norm_url", "left")
+        .withColumn("ls", F.split("main_text", "\n"))
+        .withColumn(
+            "clean",
+            F.expr(
+                "array_join(transform("
+                "coalesce(ks, cast(array() as array<int>)),"
+                " i -> element_at(ls, i + 1)), '\n')"
+            ),
+        )
+        .select(
+            "norm_url",
+            "clean",
+            F.size(F.split("clean", "[ \n]")).cast("long").alias("n_tok"),
+        )
+    )
+    agg = clean.agg(
+        F.sum("n_tok").alias("clean_tokens"),
+        F.md5(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("norm_url", "clean"))
+                ),
+                F.lit("").cast("string"),
+                lambda acc, s: F.when(acc == "", s["clean"]).otherwise(
+                    F.concat(acc, F.lit("\n\n"), s["clean"])
+                ),
+            )
+        ).alias("corpus_md5"),
+    ).collect()[0]  # bounded: one accounting row
+
+    return (
+        n_pages,
+        n_after_url_dedup,
+        n_after_host_gate,
+        n_after_gopher,
+        n_boiler_dropped,
+        agg["clean_tokens"],
+        (agg["clean_tokens"] - 1) // _WEB_PACK_BUDGET + 1,
+        agg["corpus_md5"],
+    )
+
+
+WEB_PIPELINE_ROW_SCHEMA = (
+    "n_pages long, n_after_url_dedup long, n_after_host_gate long,"
+    " n_after_gopher long, n_boiler_lines_dropped long,"
+    " clean_tokens long, n_bins long, corpus_md5 string"
+)
+
+
 @query(
     "corpus_web_pipeline",
     oracle="""
@@ -865,135 +1012,97 @@ def corpus_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             with open(os.path.join(seg_dir, name), "wb") as fh:
                 fh.write(blob)
 
-        from functools import reduce
-
-        from distributed_video_analytics_flink_spark.operators.dedup import (
-            _materialize,
+        row = web_pipeline_accounting_row(
+            web_pipeline_extracted_pages(spark.read.format("warc").load(seg_dir))
         )
-        from distributed_video_analytics_flink_spark.operators.text_analysis import (
-            gopher_ok_predicates,
-            gopher_symbol_count,
-            gopher_token_aggs,
-        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame([row], WEB_PIPELINE_ROW_SCHEMA)
 
-        main_text, _, _, _ = html_extract_columns("decode(body, 'UTF-8')")
-        # every stage frame is materialized once: the stage counts below
-        # are separate actions, and without the pins each would re-run
-        # the WARC scan + extraction upstream (r15 review — the docstring
-        # promises bodies cross the wire exactly twice)
-        pages = _materialize(
-            spark.read.format("warc")
+
+@query(
+    "corpus_web_pipeline_stream_parity",
+    oracle="""
+    SELECT CAST(6 AS BIGINT) AS n_pages,
+           CAST(5 AS BIGINT) AS n_after_url_dedup,
+           CAST(4 AS BIGINT) AS n_after_host_gate,
+           CAST(2 AS BIGINT) AS n_after_gopher,
+           CAST(2 AS BIGINT) AS n_boiler_lines_dropped,
+           CAST(91 AS BIGINT) AS clean_tokens,
+           CAST(3 AS BIGINT) AS n_bins,
+           '3a3ed64e219e3c870eb6a453dd5d09b2' AS corpus_md5,
+           TRUE AS stream_equals_batch
+    """,
+)
+def corpus_web_pipeline_stream_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING twin of the web capstone, driver-checked (r16, VERDICT
+    r15 #8): the same WARC fixture segments arrive as a ``readStream``
+    (one file per trigger, so the URL-duplicate pair and the shared
+    cookie banner genuinely SPAN micro-batches), the per-record head
+    runs in-stream (streaming/corpus.py::stream_web_pipeline — the
+    shared web_pipeline_extracted_pages projection), micro-batches
+    append to the at-rest pages table, and the corpus-wide stages run
+    over the accumulated state (web_pipeline_accounting — the same
+    web_pipeline_accounting_row the batch capstone collapses to). The
+    output row is the STREAM-derived accounting plus a
+    ``stream_equals_batch`` boolean comparing it field-for-field to the
+    batch capstone's row computed in-query; the oracle pins both the
+    populations AND the parity TRUE, so a head/stage drift between the
+    two drivers fails the round.
+
+    100 TB shape: the head is a scan projection inside each micro-batch
+    (no stream-side shuffle); state I/O per batch is an append of the
+    batch's extracted pages only; the corpus-wide stages are the batch
+    plans on at-rest state, run on demand (per-batch maintenance of the
+    URL-dedup/line-boiler aggregates would be the
+    maintain_incremental_pairs pattern — recompute-on-read is the
+    honest baseline priced here)."""
+    import os
+    import shutil
+    import tempfile
+
+    from distributed_video_analytics_flink_spark.sources.warc_datasource import (
+        register_warc_source,
+    )
+    from distributed_video_analytics_flink_spark.streaming.corpus import (
+        stream_web_pipeline,
+        web_pipeline_accounting,
+    )
+
+    register_warc_source(spark)
+    root = tempfile.mkdtemp(prefix="dvafs-webpipe-stream-")
+    try:
+        seg_dir = os.path.join(root, "segments")
+        os.makedirs(seg_dir)
+        for name, blob in _pipeline_fixture_segments().items():
+            with open(os.path.join(seg_dir, name), "wb") as fh:
+                fh.write(blob)
+
+        raw = (
+            spark.readStream.format("warc")
+            .option("maxFilesPerTrigger", "1")
             .load(seg_dir)
-            .filter(
-                (F.col("http_status") == 200)
-                & F.col("http_content_type").startswith("text/html")
-            )
-            .select("target_uri", main_text.alias("main_text"))
         )
-        n_pages = pages.count()
+        q = stream_web_pipeline(
+            raw, os.path.join(root, "state"), os.path.join(root, "ck")
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
-        deduped = (
-            with_url_columns(pages)
-            .groupBy("norm_url")
-            .agg(
-                F.min(F.struct("target_uri", "main_text", "host")).alias("r")
-            )
-            .select("norm_url", "r.target_uri", "r.main_text", "r.host")
+        stream_row = tuple(
+            web_pipeline_accounting(spark, os.path.join(root, "state"))
+            .collect()[0]  # bounded: one accounting row
         )
-        n_after_url_dedup = deduped.count()
-
-        block = spark.createDataFrame(
-            [(h,) for h in _HOST_BLOCKLIST], "host string"
-        )
-        gated_host = _materialize(
-            deduped.join(F.broadcast(block), "host", "left_anti")
-        )
-        n_after_host_gate = gated_host.count()
-
-        # Gopher gate on the EXTRACTED text (tokens split at the space
-        # and newline separators main_text is built from) — the SHARED
-        # published-threshold pieces, one copy with text_gopher_rules
-        tok = gated_host.select(
-            "norm_url", F.explode(F.split("main_text", "[ \n]")).alias("token")
-        )
-        ts = tok.groupBy("norm_url").agg(*gopher_token_aggs("token"))
-        survivors = _materialize(
-            gated_host.withColumn("n_sym", gopher_symbol_count("main_text"))
-            .join(ts, "norm_url")
-            .filter(reduce(lambda a, b: a & b, gopher_ok_predicates().values()))
-            .select("norm_url", "main_text")
-        )
-        n_after_gopher = survivors.count()
-
-        # corpus-wide line rewrite over the survivors (newline lines); a
-        # line is boiler when it appears in >= K distinct DOCUMENTS (per
-        # the constant's contract — an intra-document repeat alone is
-        # content, not boilerplate; r15 review)
-        lines = _materialize(
-            survivors.select(
-                "norm_url",
-                F.posexplode(F.split("main_text", "\n")).alias("i", "line"),
-            ).select("norm_url", "i", F.md5("line").alias("fp"))
-        )
-        boiler = (
-            lines.groupBy("fp")
-            .agg(F.countDistinct("norm_url").alias("c"))
-            .filter(F.col("c") >= _WEB_LINE_DUP_K)
-            .select("fp")
-        )
-        n_boiler_dropped = lines.join(boiler, "fp").count()
-        kept_idx = (
-            lines.join(boiler, "fp", "left_anti")
-            .groupBy("norm_url")
-            .agg(F.sort_array(F.collect_list("i")).alias("ks"))
-        )
-        clean = (
-            survivors.join(kept_idx, "norm_url", "left")
-            .withColumn("ls", F.split("main_text", "\n"))
-            .withColumn(
-                "clean",
-                F.expr(
-                    "array_join(transform("
-                    "coalesce(ks, cast(array() as array<int>)),"
-                    " i -> element_at(ls, i + 1)), '\n')"
-                ),
-            )
-            .select(
-                "norm_url",
-                "clean",
-                F.size(F.split("clean", "[ \n]")).cast("long").alias("n_tok"),
-            )
-        )
-        agg = clean.agg(
-            F.sum("n_tok").alias("clean_tokens"),
-            F.md5(
-                F.aggregate(
-                    F.array_sort(
-                        F.collect_list(F.struct("norm_url", "clean"))
-                    ),
-                    F.lit("").cast("string"),
-                    lambda acc, s: F.when(acc == "", s["clean"]).otherwise(
-                        F.concat(acc, F.lit("\n\n"), s["clean"])
-                    ),
-                )
-            ).alias("corpus_md5"),
-        ).collect()[0]  # bounded: one accounting row
-
-        row = (
-            n_pages,
-            n_after_url_dedup,
-            n_after_host_gate,
-            n_after_gopher,
-            n_boiler_dropped,
-            agg["clean_tokens"],
-            (agg["clean_tokens"] - 1) // _WEB_PACK_BUDGET + 1,
-            agg["corpus_md5"],
+        batch_row = web_pipeline_accounting_row(
+            web_pipeline_extracted_pages(spark.read.format("warc").load(seg_dir))
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
-        [row],
-        "n_pages long, n_after_url_dedup long, n_after_host_gate long,"
-        " n_after_gopher long, n_boiler_lines_dropped long,"
-        " clean_tokens long, n_bins long, corpus_md5 string",
+        [stream_row + (stream_row == batch_row,)],
+        WEB_PIPELINE_ROW_SCHEMA + ", stream_equals_batch boolean",
     )

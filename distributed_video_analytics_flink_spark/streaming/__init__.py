@@ -8,6 +8,8 @@ from distributed_video_analytics_flink_spark.streaming.corpus import (
     prepare_corpus_stream,
     stream_curated_corpus,
     stream_incremental_pairs,
+    stream_web_pipeline,
+    web_pipeline_accounting,
 )
 from distributed_video_analytics_flink_spark.streaming.fps import camera_fps
 from distributed_video_analytics_flink_spark.streaming.joins import (
@@ -49,4 +51,6 @@ __all__ = [
     "rate_frame_stream",
     "stream_curated_corpus",
     "stream_incremental_pairs",
+    "stream_web_pipeline",
+    "web_pipeline_accounting",
 ]

@@ -254,6 +254,54 @@ def maintain_incremental_pairs(
         shutil.rmtree(os.path.join(pairs_path, f"bucket={b}"), ignore_errors=True)
 
 
+def stream_web_pipeline(
+    raw_stream: DataFrame, state_dir: str, checkpoint: str
+) -> StreamingQuery:
+    """Streaming twin of the web-pipeline capstone's ingest (r16,
+    VERDICT r15 #8): ``raw_stream`` is a ``format("warc")`` readStream
+    frame; the pipeline's PER-RECORD head (HTTP 200/text-html filter +
+    jusText-family extraction — the SHARED
+    operators/web.py::web_pipeline_extracted_pages, so stream and batch
+    heads cannot drift) runs INSIDE the stream as a scan projection,
+    and each micro-batch appends its extracted pages to the at-rest
+    pages table under ``state_dir``. The corpus-wide stages (URL dedup,
+    host gate, Gopher, line-boiler rewrite, packing) then run over the
+    accumulated table via :func:`web_pipeline_accounting` — they span
+    micro-batches by definition (a duplicate URL or a shared cookie
+    banner can arrive in different triggers), so they are exactly the
+    batch plans on at-rest state, the maintain_incremental_pairs
+    posture. Append-only delivery is AT-LEAST-ONCE across crash-retry,
+    same honest contract as stream_curated_corpus above."""
+    from distributed_video_analytics_flink_spark.operators.web import (
+        web_pipeline_extracted_pages,
+    )
+
+    pages = web_pipeline_extracted_pages(raw_stream)
+
+    def _append(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(f"{state_dir}/pages")
+
+    return (
+        pages.writeStream.foreachBatch(_append)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def web_pipeline_accounting(spark, state_dir: str) -> DataFrame:
+    """The capstone's staged accounting over the stream-accumulated
+    pages table — the same web_pipeline_accounting_row the batch query
+    collapses to, so stream==batch equality is a one-row comparison."""
+    from distributed_video_analytics_flink_spark.operators.web import (
+        WEB_PIPELINE_ROW_SCHEMA,
+        web_pipeline_accounting_row,
+    )
+
+    row = web_pipeline_accounting_row(spark.read.parquet(f"{state_dir}/pages"))
+    return spark.createDataFrame([row], WEB_PIPELINE_ROW_SCHEMA)
+
+
 def stream_incremental_pairs(
     docs: DataFrame,
     state_dir: str,
