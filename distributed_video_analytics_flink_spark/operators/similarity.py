@@ -5842,3 +5842,117 @@ def curation_proto_prune_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by the planted fixture in tests/test_semdedup_prune.py,
     which drives both anchoring variants through the shared helpers."""
     return _proto_prune_frame(_kmeans_scored_assignments(spark, sf_dir))
+
+
+@query(
+    "emb_hard_negative_triplets",
+    oracle=f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, label AS a_label, embedding AS av
+      FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT a.anchor_id, e.vec_id,
+             CASE WHEN e.label = a.a_label THEN 'pos' ELSE 'neg' END AS role,
+             {_duck_cos_q(
+                 _duck_dot_q("e.embedding", "a.av"),
+                 _duck_dot_q("e.embedding", "e.embedding"),
+                 _duck_dot_q("a.av", "a.av"),
+             )} AS acos
+      FROM embeddings e JOIN anchors a ON e.vec_id <> a.anchor_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id, role
+                                   ORDER BY acos DESC, vec_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT anchor_id, role, CAST(rnk AS BIGINT) AS rnk, vec_id, acos
+    FROM ranked
+    WHERE (role = 'pos' AND rnk = 1) OR (role = 'neg' AND rnk <= 3)
+    """,
+)
+def emb_hard_negative_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training (DPR,
+    Karpukhin et al. 2020, arXiv:2004.04906; the SimCSE/ANCE recipe):
+    for each anchor vector, emit its best same-label neighbor as the
+    positive (rank 1) and the TOP-3 most-similar WRONG-label vectors as
+    the hard negatives — the "looks right, is wrong" examples that make
+    a contrastive batch informative, versus random negatives the model
+    separates trivially. Quantized cosine + (score DESC, vec_id ASC)
+    ties make both heads total-order deterministic, so the driver hash
+    pins triplet membership, roles, ranks, and scores.
+
+    100 TB shape: the anchor set is a bounded driver-side constant (5
+    rows here — in production the query batch, still thousands at most:
+    the LSH-planes discipline) shipped inside one Arrow-batched scorer
+    (_dots_q_udf: one numpy outer product per batch, no per-pair
+    lambdas); self-norms compute once per row (_self_norm_q_udf). The
+    corpus is scanned ONCE for all anchors; per-(anchor, role) heads
+    are one window over anchor-partitioned rows — at k anchors the
+    shuffle carries only rows that enter a head's partition, and the
+    mined triplets are |anchors| x 4 rows total. Swapping the exact
+    scan for the IVF serve (sim_ivf_pq_topk) turns this into the ANCE
+    approximate-mining variant without touching the head logic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    arows = (
+        emb.filter(F.col("vec_id") < 5)
+        .orderBy("vec_id")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )  # bounded: 5 anchors — the mined query batch IS the model input
+    a_ids = [int(r["vec_id"]) for r in arows]
+    a_labels = [int(r["label"]) for r in arows]
+    Amat = np.asarray(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in arows]
+    )
+    a_norm = np.sqrt(_np_q(Amat * Amat * _Q).sum(axis=1).astype(np.float64))
+
+    dots = _dots_q_udf([r["embedding"] for r in arows])
+    norm = _self_norm_q_udf()
+    scored = (
+        emb.select(
+            "vec_id",
+            "label",
+            F.posexplode(dots("embedding")).alias("ai", "dot"),
+            norm("embedding").alias("ne"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "ne",
+            "dot",
+            F.element_at(
+                F.array(*[F.lit(i) for i in a_ids]), F.col("ai") + 1
+            ).alias("anchor_id"),
+            F.element_at(
+                F.array(*[F.lit(l) for l in a_labels]), F.col("ai") + 1
+            ).alias("a_label"),
+            F.element_at(
+                F.array(*[F.lit(float(x)) for x in a_norm]), F.col("ai") + 1
+            ).alias("an"),
+        )
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.when(F.col("label") == F.col("a_label"), F.lit("pos"))
+            .otherwise(F.lit("neg"))
+            .alias("role"),
+            "vec_id",
+            # same op order as the oracle: dot / (sqrt(self) * sqrt(anchor))
+            (
+                F.col("dot")
+                / (F.sqrt(F.col("ne").cast("double")) * F.col("an"))
+            ).alias("acos"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "role").orderBy(
+        F.desc("acos"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(
+            ((F.col("role") == "pos") & (F.col("rnk") == 1))
+            | ((F.col("role") == "neg") & (F.col("rnk") <= 3))
+        )
+        .select("anchor_id", "role", "rnk", "vec_id", "acos")
+    )
