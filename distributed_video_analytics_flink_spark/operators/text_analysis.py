@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from distributed_video_analytics_flink_spark.operators.registry import query
@@ -437,8 +437,26 @@ def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative to the corpus) joined back to the exploded token stream on the
     token key — at 100 TB broadcast the high-frequency head and
     shuffle-join the long tail, or pre-bucket both sides by token."""
+    per_doc, total = _unigram_doc_stats(spark, sf_dir)
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tok",
+        (F.col("freq_sum").cast("double") / F.col("n_tok") / F.col("total")).alias(
+            "mean_token_prob"
+        ),
+        (F.col("n_rare").cast("double") / F.col("n_tok")).alias("rare_token_ratio"),
+    )
+
+
+def _unigram_doc_stats(spark: SparkSession, sf_dir: str):
+    """(per_doc, total): the unigram-LM fit+score core shared by
+    text_unigram_lm_score and text_ccnet_ppl_buckets (r16) — per-doc
+    token count, corpus-frequency sum, rare-token count (plus lang for
+    the per-language bucketing), and the 1-row corpus total."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
     tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     # corpus token total as a broadcast 1-row aggregate of the (small) tf
     # table — keeps the plan lazy; no extra pass over the exploded stream
@@ -447,18 +465,87 @@ def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.join(F.broadcast(tf), "token")
         .groupBy("doc_id")
         .agg(
+            F.any_value("lang").alias("lang"),
             F.count(F.lit(1)).alias("n_tok"),
             F.sum("cnt").alias("freq_sum"),
             F.count(F.when(F.col("cnt") <= 2, 1)).alias("n_rare"),
         )
     )
-    return per_doc.crossJoin(F.broadcast(total)).select(
+    return per_doc, total
+
+
+@query(
+    "text_ccnet_ppl_buckets",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+    ),
+    per_doc AS (
+      SELECT t.doc_id, ANY_VALUE(t.lang) AS lang,
+             CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(SUM(tf.cnt) AS BIGINT) AS freq_sum
+      FROM tok t JOIN tf ON t.token = tf.token
+      GROUP BY t.doc_id
+    ),
+    scored AS (
+      SELECT doc_id, lang, n_tok,
+             freq_sum * 1000000 // n_tok AS mean_freq_micro
+      FROM per_doc
+    ),
+    b AS (
+      SELECT *, NTILE(3) OVER (PARTITION BY lang
+                               ORDER BY mean_freq_micro DESC, doc_id ASC)
+                    AS tercile
+      FROM scored
+    )
+    SELECT doc_id, lang, n_tok, mean_freq_micro,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket,
+           tercile <= 2 AS kept
+    FROM b
+    """,
+)
+def text_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): rank each language's documents by
+    likelihood-under-corpus and split into head/middle/tail terciles;
+    CCNet trains on head+middle and drops the tail (``kept``). The
+    published recipe scores with a KenLM 5-gram; the engine's proxy is
+    the shared unigram-LM fit (_unigram_doc_stats — one implementation
+    with text_unigram_lm_score) in exact micro-units: mean_freq_micro =
+    (freq_sum * 1e6) div n_tok, integral so both engines order and
+    bucket identically (NTILE over a total order — score DESC, doc_id
+    ASC — is deterministic on both). A real deployment swaps the scorer
+    column; the bucketing plan is scorer-independent.
+
+    100 TB shape: the fit is the Zipf-bounded token aggregate; the
+    bucketing is ONE window partitioned by lang (per-language work,
+    never a global sort) — the curation_quality_percentile shape with a
+    fluency signal instead of a heuristic score."""
+    per_doc, _total = _unigram_doc_stats(spark, sf_dir)
+    scored = per_doc.select(
         "doc_id",
+        "lang",
         "n_tok",
-        (F.col("freq_sum").cast("double") / F.col("n_tok") / F.col("total")).alias(
-            "mean_token_prob"
-        ),
-        (F.col("n_rare").cast("double") / F.col("n_tok")).alias("rare_token_ratio"),
+        F.expr("freq_sum * 1000000 div n_tok").alias("mean_freq_micro"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("mean_freq_micro"), F.asc("doc_id")
+    )
+    return scored.withColumn("tercile", F.ntile(3).over(w)).select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        "mean_freq_micro",
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+        (F.col("tercile") <= 2).alias("kept"),
     )
 
 
