@@ -91,7 +91,8 @@ def learn_merges(
     and under-count its pairs — callers that want multiplicity pass it
     through ``weights``. A word absent from a caller-supplied ``weights``
     map defaults to weight 1 instead of raising."""
-    assert len(set(vocab)) == len(vocab), "vocab entries must be distinct"
+    if len(set(vocab)) != len(vocab):  # not assert: must survive python -O
+        raise ValueError("vocab entries must be distinct")
     syms = {w: tuple(w) for w in sorted(vocab)}
     wt = {w: 1 if weights is None else weights.get(w, 1) for w in syms}
     merges: list = []

@@ -493,7 +493,8 @@ def _unigram_doc_stats(spark: SparkSession, sf_dir: str):
     ),
     scored AS (
       SELECT doc_id, lang, n_tok,
-             freq_sum * 1000000 // n_tok AS mean_freq_micro
+             CAST(CAST(freq_sum AS HUGEINT) * 1000000 // n_tok AS BIGINT)
+                 AS mean_freq_micro
       FROM per_doc
     ),
     b AS (
@@ -527,11 +528,17 @@ def text_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a global sort) — the curation_quality_percentile shape with a
     fluency signal instead of a heuristic score."""
     per_doc, _total = _unigram_doc_stats(spark, sf_dir)
+    # 128-bit multiply (r16 review): at 100 TB a doc's freq_sum can pass
+    # 9.2e12, so * 1e6 overflows BIGINT — decimal(38,0) / HUGEINT per the
+    # module discipline; the quotient fits BIGINT again
     scored = per_doc.select(
         "doc_id",
         "lang",
         "n_tok",
-        F.expr("freq_sum * 1000000 div n_tok").alias("mean_freq_micro"),
+        F.expr(
+            "cast(cast(freq_sum as decimal(38,0)) * 1000000 div n_tok"
+            " as bigint)"
+        ).alias("mean_freq_micro"),
     )
     w = Window.partitionBy("lang").orderBy(
         F.desc("mean_freq_micro"), F.asc("doc_id")

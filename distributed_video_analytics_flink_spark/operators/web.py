@@ -921,7 +921,11 @@ def web_pipeline_accounting_row(pages: DataFrame) -> tuple:
         )
     )
     agg = clean.agg(
-        F.sum("n_tok").alias("clean_tokens"),
+        # coalesce (r16 review): zero survivors is a realistic state for
+        # the stream twin's accumulated pages (all short/nav pages so
+        # far) — SUM over no rows is NULL, and the n_bins arithmetic
+        # below must see 0, not None
+        F.coalesce(F.sum("n_tok"), F.lit(0)).alias("clean_tokens"),
         F.md5(
             F.aggregate(
                 F.array_sort(
@@ -1038,13 +1042,17 @@ def corpus_web_pipeline_stream_parity(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """STREAMING twin of the web capstone, driver-checked (r16, VERDICT
-    r15 #8): the same WARC fixture segments arrive as a ``readStream``
-    (one file per trigger, so the URL-duplicate pair and the shared
-    cookie banner genuinely SPAN micro-batches), the per-record head
-    runs in-stream (streaming/corpus.py::stream_web_pipeline — the
-    shared web_pipeline_extracted_pages projection), micro-batches
-    append to the at-rest pages table, and the corpus-wide stages run
-    over the accumulated state (web_pipeline_accounting — the same
+    r15 #8): the same WARC fixture segments ARRIVE INCREMENTALLY — each
+    segment is written to the watched directory only after the previous
+    micro-batch drains, so the URL-duplicate pair and the shared cookie
+    banner genuinely SPAN micro-batches (the source's append-only
+    directory contract, exactly how a crawl feeds it; deliberately not a
+    maxFilesPerTrigger knob — see FrameStreamReader.latestOffset). The
+    per-record head runs in-stream
+    (streaming/corpus.py::stream_web_pipeline — the shared
+    web_pipeline_extracted_pages projection), micro-batches append to
+    the at-rest pages table, and the corpus-wide stages run over the
+    accumulated state (web_pipeline_accounting — the same
     web_pipeline_accounting_row the batch capstone collapses to). The
     output row is the STREAM-derived accounting plus a
     ``stream_equals_batch`` boolean comparing it field-for-field to the
@@ -1076,20 +1084,17 @@ def corpus_web_pipeline_stream_parity(
     try:
         seg_dir = os.path.join(root, "segments")
         os.makedirs(seg_dir)
-        for name, blob in _pipeline_fixture_segments().items():
-            with open(os.path.join(seg_dir, name), "wb") as fh:
-                fh.write(blob)
-
-        raw = (
-            spark.readStream.format("warc")
-            .option("maxFilesPerTrigger", "1")
-            .load(seg_dir)
-        )
+        raw = spark.readStream.format("warc").load(seg_dir)
         q = stream_web_pipeline(
             raw, os.path.join(root, "state"), os.path.join(root, "ck")
         )
         try:
-            q.processAllAvailable()
+            # incremental arrival: drain between segment writes so the
+            # corpus-wide stages really see multi-batch state
+            for name, blob in _pipeline_fixture_segments().items():
+                with open(os.path.join(seg_dir, name), "wb") as fh:
+                    fh.write(blob)
+                q.processAllAvailable()
         finally:
             q.stop()
 

@@ -147,16 +147,26 @@ def compact_corpus(
             os.rename(retired, live)
             shutil.rmtree(stage, ignore_errors=True)
         elif os.path.isdir(stage):
+            stranded = []
             for f in os.listdir(retired):
+                if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                    continue
                 dst = os.path.join(live, f)
-                if (
-                    f.endswith(".parquet")
-                    and not f.startswith(("_", "."))
-                    and not os.path.exists(dst)
-                ):
+                if os.path.exists(dst):
+                    stranded.append(f)  # collision: do NOT clobber or drop
+                else:
                     os.rename(os.path.join(retired, f), dst)
-            shutil.rmtree(retired, ignore_errors=True)
             shutil.rmtree(stage, ignore_errors=True)
+            if stranded:
+                # r16 review: clearing the dir here would destroy the only
+                # copy of the skipped rows — leave them frozen and fail
+                # loudly so an operator resolves the collision by hand
+                raise RuntimeError(
+                    f"compaction recovery for {entry!r}: {len(stranded)} "
+                    f"retired file(s) collide with live names under "
+                    f"{retired!r} — resolve manually before re-running"
+                )
+            shutil.rmtree(retired, ignore_errors=True)
         else:
             shutil.rmtree(retired, ignore_errors=True)
 

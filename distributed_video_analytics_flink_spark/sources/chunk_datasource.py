@@ -110,10 +110,6 @@ class ChunkStreamReader(FrameStreamReader):
     def __init__(self, options: dict):
         self._o = _ChunkOptions(options)
         self._path = self._o.path
-        # the base class's trigger-pacing knobs (not the base __init__:
-        # its path/decode validation doesn't fit the chunk options object)
-        self._max_files = int(options.get("maxfilespertrigger", 0))
-        self._latest_seen = 0
         if not self._path:
             raise ValueError("videochunks stream requires a path: .load('/dir')")
 

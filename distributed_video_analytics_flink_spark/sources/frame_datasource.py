@@ -71,14 +71,6 @@ class FrameStreamReader(DataSourceStreamReader):
         self._ext = ext
         self._decode = decode
         self._max_frames = int(options.get("maxframesperfile", 64))
-        # trigger pacing, the built-in file source's maxFilesPerTrigger
-        # analog (0 = unlimited): latestOffset advances at most this many
-        # files past the last offset it announced, so a pre-populated
-        # directory genuinely spans micro-batches instead of collapsing
-        # into one (r16 — the web-pipeline stream parity needs the
-        # URL-dup pair and the shared banner to cross trigger boundaries)
-        self._max_files = int(options.get("maxfilespertrigger", 0))
-        self._latest_seen = 0
         if not self._path:
             raise ValueError(f"{ext} stream requires a path: .load('/dir')")
 
@@ -93,14 +85,16 @@ class FrameStreamReader(DataSourceStreamReader):
         return {"n": 0}
 
     def latestOffset(self) -> dict:
-        n = len(self._listing())
-        if self._max_files > 0:
-            n = min(n, self._latest_seen + self._max_files)
-        # monotone: a restarted reader announcing less than the committed
-        # offset just yields an empty range (partitions slices []), then
-        # catches up on the following triggers
-        self._latest_seen = max(self._latest_seen, n)
-        return {"n": n}
+        # NO trigger pacing on purpose (r16 review): a maxFilesPerTrigger
+        # analog needs admission control — latestOffset(start, limit) — so
+        # a restarted query's first announcement can be floored at the
+        # committed offset. The Python stream API exposes plain
+        # latestOffset() only, and a fresh reader announcing LESS than the
+        # committed offset makes Spark commit the regression and replay
+        # already-consumed files. Tests that need multi-batch delivery
+        # append files between processAllAvailable calls instead (the
+        # directory contract this source is built for).
+        return {"n": len(self._listing())}
 
     def partitions(self, start: dict, end: dict):
         return [FilePartition(p) for p in self._listing()[start["n"] : end["n"]]]

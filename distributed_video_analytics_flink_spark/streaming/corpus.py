@@ -218,8 +218,12 @@ def maintain_incremental_pairs(
             F.col("did").isNotNull().alias("is_delta"),
         )
     )
-    new_pairs = incremental_band_pairs(all_bands)
-    new_pairs_b = _with_bucket(new_pairs, "doc_a")
+    # pin the banded join ONCE (r16 review): both the affected-bucket
+    # collect and the state write read it, and without the checkpoint
+    # each action would re-run the batch's most expensive join
+    new_pairs_b = _with_bucket(
+        incremental_band_pairs(all_bands), "doc_a"
+    ).localCheckpoint(eager=True)
 
     if old_pairs is not None:
         ga = batch_ids.withColumnRenamed("doc_id", "gid")
@@ -241,9 +245,11 @@ def maintain_incremental_pairs(
             old_pairs.filter(F.col("bucket").isin(affected))
             .join(ga, F.col("doc_a") == F.col("gid"), "left_anti")
             .join(ga, F.col("doc_b") == F.col("gid"), "left_anti")
-            .select("doc_a", "doc_b")
+            # cast: the partition column reads back as int, the pmod
+            # bucket is bigint — align before the union
+            .select("doc_a", "doc_b", F.col("bucket").cast("bigint").alias("bucket"))
         )
-        write_pairs = _with_bucket(carried.unionByName(new_pairs), "doc_a")
+        write_pairs = carried.unionByName(new_pairs_b)
     else:
         affected = []
         write_pairs = new_pairs_b

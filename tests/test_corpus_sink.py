@@ -272,3 +272,36 @@ def test_compact_clears_superseded_retired_after_completed_swap(spark, tmp_path)
     assert not os.path.exists(retired)
     got = spark.read.parquet(root).orderBy("doc_id").collect()
     assert got == want  # no duplicated rows from a bogus merge
+
+
+def test_compact_recovery_preserves_colliding_retired_files(spark, tmp_path):
+    """r16 review: a retired file whose name collides with a live file
+    must NOT be cleared as debris — recovery moves the rest, leaves the
+    collision frozen under the hidden name, and fails loudly."""
+    import shutil
+
+    import pytest
+
+    from distributed_video_analytics_flink_spark.sinks.corpus import compact_corpus
+
+    docs, out, root = _build_corpus(spark, tmp_path, "crash_collide")
+    pdir = os.path.join(root, "lang=en")
+    retired = os.path.join(root, ".compact-en.old")
+    stage = os.path.join(root, ".compact-en.stage")
+    os.rename(pdir, retired)
+    os.makedirs(stage)  # stage present = swap never happened
+    # ingest recreates the live dir and (pathologically) reuses a name
+    os.makedirs(pdir)
+    collide = next(
+        f for f in os.listdir(retired) if f.endswith(".parquet")
+    )
+    with open(os.path.join(pdir, collide), "wb") as fh:
+        fh.write(b"fresh-ingest-bytes")
+
+    with pytest.raises(RuntimeError, match="collide with live names"):
+        compact_corpus(spark, out, target_bytes=1 << 30)
+    # the colliding retired file survives, frozen, for manual resolution
+    assert os.path.exists(os.path.join(retired, collide))
+    # and the live copy was not clobbered
+    with open(os.path.join(pdir, collide), "rb") as fh:
+        assert fh.read() == b"fresh-ingest-bytes"
