@@ -2005,3 +2005,116 @@ def curation_dsir_importance_10k_checked(
     recommends while the 256-bucket query remains the cheap
     collision-heavy variant."""
     return _dsir_importance_frame(spark, sf_dir, _DSIR_BUCKETS_PAPER)
+
+
+@query(
+    "curation_softdedup_weights",
+    oracle="""
+    WITH arr AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(3, len(t)),
+                    i -> t[i-2] || ' ' || t[i-1] || ' ' || t[i])) AS shingle
+      FROM arr
+    ),
+    freq AS (
+      SELECT shingle, CAST(COUNT(*) AS BIGINT) AS cnt FROM sh GROUP BY shingle
+    ),
+    per_doc AS (
+      SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
+             CAST(SUM(freq.cnt) AS BIGINT) AS freq_sum
+      FROM sh s JOIN freq USING (shingle) GROUP BY s.doc_id
+    ),
+    scored AS (
+      SELECT doc_id, n_sh,
+             CAST(CAST(freq_sum AS HUGEINT) * 1000000 // n_sh AS BIGINT)
+                 AS commonness_micro
+      FROM per_doc
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+           COALESCE(s.n_sh, 0) AS n_sh,
+           COALESCE(s.commonness_micro, 1000000) AS commonness_micro,
+           CAST(1000000000000 // COALESCE(s.commonness_micro, 1000000)
+                AS BIGINT) AS weight_micro,
+           CAST(len(string_split(d.text, ' '))
+                * (1000000000000 // COALESCE(s.commonness_micro, 1000000))
+                AS BIGINT) AS eff_tokens_micro
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """,
+)
+def curation_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication by commonness down-weighting (the SoftDeDup
+    idea, He et al., ACL 2024): instead of REMOVING near-duplicates —
+    the dedup_* / curation_keep_best_dup legs — keep every document and
+    shrink its training weight by how common its content is, preserving
+    the information hard removal throws away while still flattening the
+    duplicated mass. The paper measures a document's "data commonness"
+    over its n-gram distribution; the engine's exact-rational form is
+    the mean corpus frequency of the document's word 3-shingles
+    (commonness_micro = freq_sum * 1e6 div n_sh, >= 1e6 by
+    construction since every shingle counts itself), inverted once into
+    a sampling weight (weight_micro = 1e12 div commonness_micro, so a
+    globally-unique document keeps weight 1.0 and a document whose
+    shingles each appear ~k times is down-weighted to ~1/k) and an
+    effective token budget (n_tok * weight) the source-mix /
+    pack-sequences arithmetic can consume in place of raw counts.
+    Documents too short to shingle (< 3 tokens) are total with full
+    weight — never down-weighted, never dropped (LEFT JOIN both
+    engines). No floats anywhere: both divisions are integer floors in
+    micro-units, deterministic cross-engine.
+
+    100 TB shape: identical to the unigram-LM fit — one explode, one
+    Zipf-bounded shingle-frequency aggregate joined back on the shingle
+    key (broadcast the head / shuffle the tail at scale; broadcast
+    outright at test scale), one per-doc partial agg, one total LEFT
+    JOIN back to documents. No pair enumeration anywhere: this is the
+    dedup signal WITHOUT the pair join, which is exactly its scale
+    appeal — commonness costs a token-keyed groupBy where MinHash pair
+    generation costs banded self-join candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = docs.select("doc_id", F.split("text", " ").alias("t"))
+    sh = arr.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "if(size(t) < 3, array(), transform(sequence(3, size(t)),"
+                " i -> concat_ws(' ', slice(t, i - 2, 3))))"
+            )
+        ).alias("shingle"),
+    )
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("cnt"))
+    scored = (
+        sh.join(F.broadcast(freq), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"), F.sum("cnt").alias("freq_sum"))
+        # 128-bit multiply: freq_sum * 1e6 passes BIGINT at corpus scale
+        .select(
+            "doc_id",
+            "n_sh",
+            F.expr(
+                "cast(cast(freq_sum as decimal(38,0)) * 1000000 div n_sh"
+                " as bigint)"
+            ).alias("commonness_micro"),
+        )
+    )
+    return docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    ).join(scored, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        F.coalesce("n_sh", F.lit(0)).cast("bigint").alias("n_sh"),
+        F.coalesce("commonness_micro", F.lit(1000000))
+        .cast("bigint")
+        .alias("commonness_micro"),
+        F.expr(
+            "cast(1000000000000 div coalesce(commonness_micro, 1000000)"
+            " as bigint)"
+        ).alias("weight_micro"),
+        F.expr(
+            "cast(n_tok * (1000000000000 div"
+            " coalesce(commonness_micro, 1000000)) as bigint)"
+        ).alias("eff_tokens_micro"),
+    )

@@ -1405,3 +1405,142 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", "bm25_micro", "n_terms_hit").orderBy(
         F.desc("bm25_micro"), F.asc("doc_id")
     ).limit(_BM25_TOPK)
+
+
+@query(
+    "text_kn_bigram_lm_score",
+    oracle="""
+    WITH arr AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    ev AS (
+      SELECT doc_id, t[i - 1] AS hist, t[i] AS w
+      FROM arr, UNNEST(generate_series(2, len(t))) AS u(i)
+    ),
+    bi AS (
+      SELECT hist, w, CAST(COUNT(*) AS BIGINT) AS c_bi
+      FROM ev GROUP BY hist, w
+    ),
+    h AS (
+      SELECT hist, CAST(SUM(c_bi) AS BIGINT) AS c_hist,
+             CAST(COUNT(*) AS BIGINT) AS n1p_hist
+      FROM bi GROUP BY hist
+    ),
+    cont AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n1p_w FROM bi GROUP BY w
+    ),
+    b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM bi),
+    bstats AS (
+      SELECT bi.hist, bi.w, bi.c_bi, h.c_hist, h.n1p_hist, cont.n1p_w
+      FROM bi JOIN h ON bi.hist = h.hist JOIN cont ON bi.w = cont.w
+    ),
+    p AS (
+      SELECT e.doc_id,
+             CAST((CAST(GREATEST(4 * s.c_bi - 3, 0) AS HUGEINT) * b.n_types
+                   + CAST(3 AS HUGEINT) * s.n1p_hist * s.n1p_w) * 1000000
+                  // (CAST(4 AS HUGEINT) * s.c_hist * b.n_types) AS BIGINT)
+                 AS p_micro
+      FROM ev e JOIN bstats s ON e.hist = s.hist AND e.w = s.w
+      CROSS JOIN b
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bi,
+             CAST(SUM(p_micro) AS BIGINT) AS sum_p_micro
+      FROM p GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(per_doc.n_bi, 0) AS n_bi,
+           COALESCE(per_doc.sum_p_micro, 0) AS sum_p_micro,
+           CAST(COALESCE(per_doc.sum_p_micro // per_doc.n_bi, 0) AS BIGINT)
+               AS mean_p_micro
+    FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+    """,
+)
+def text_kn_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM document scoring (Kneser & Ney
+    1995; Chen & Goodman 1998's interpolated form with the standard
+    absolute discount D = 3/4) — the smoothing family behind the KenLM
+    n-gram models that CCNet/RefinedWeb actually filter with, upgrading
+    the unigram proxy (text_unigram_lm_score / text_ccnet_ppl_buckets)
+    to a conditional model:
+
+        P(w | h) = max(c(h,w) - D, 0) / c(h)
+                   + [D * N1+(h,.) / c(h)] * [N1+(.,w) / B]
+
+    where N1+(h,.) / N1+(.,w) are distinct-continuation / distinct-
+    context type counts and B the total bigram-type count — the
+    continuation-probability backoff that distinguishes KN from plain
+    absolute discounting. With D = 3/4 every per-event probability is
+    the exact rational [max(4*c_bi - 3, 0) * B + 3 * N1+(h,.) *
+    N1+(.,w)] / [4 * c(h) * B], floored once into micro-units — the
+    module's no-libm discipline (the deliberately-avoided log of the
+    doc-mean is a monotone transform downstream consumers can apply).
+    Per doc: event count, sum and mean of p_micro; docs under 2 tokens
+    are total with zeros (LEFT JOIN both engines). The exact sum-to-one
+    property of the interpolated form (sum over the vocab of P(.|h) = 1
+    for every history) is pinned by a Fraction-arithmetic replica in
+    tests/test_kn_bigram.py.
+
+    100 TB shape: all three stat tables live on the bigram-TYPE table
+    (Zipf-bounded, far smaller than the event stream) and are assembled
+    type-side — bi JOIN h JOIN cont touches types only — so the event
+    stream is shuffled ONCE, on (hist, w), against the enriched stats;
+    the 1-row B broadcasts. Hot histories ("the", ",") skew the type
+    join's build side, not the event key (events key on the PAIR, whose
+    top frequency is far below the top history's): AQE skew-split
+    handles the residual. At test scale the enriched type table
+    broadcasts outright (same stance as the unigram tf broadcast)."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = docs.select("doc_id", F.split("text", " ").alias("t"))
+    # sequence(2, 1) DESCENDS in Spark (DuckDB's generate_series is
+    # empty) — guard 0/1-token docs to an empty event list explicitly
+    ev = arr.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.expr("if(size(t) < 2, array(), sequence(2, size(t)))")
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        F.expr("element_at(t, i - 1)").alias("hist"),
+        F.expr("element_at(t, i)").alias("w"),
+    )
+    from distributed_video_analytics_flink_spark.operators.dedup import _materialize
+
+    # pin the bigram-TYPE aggregate once: h, cont, b and the event join
+    # all derive from it, and without the checkpoint Catalyst re-runs
+    # the corpus explode+groupBy four times (audited: 6 scans -> 2)
+    bi = _materialize(
+        ev.groupBy("hist", "w").agg(F.count(F.lit(1)).alias("c_bi"))
+    )
+    h = bi.groupBy("hist").agg(
+        F.sum("c_bi").alias("c_hist"), F.count(F.lit(1)).alias("n1p_hist")
+    )
+    cont = bi.groupBy("w").agg(F.count(F.lit(1)).alias("n1p_w"))
+    b = bi.agg(F.count(F.lit(1)).alias("n_types"))
+    bstats = bi.join(h, "hist").join(cont, "w")
+    # 128-bit arithmetic: at 100 TB c_bi * B * 1e6 passes BIGINT range
+    # (the ccnet_ppl_buckets overflow discipline)
+    p_micro = (
+        "cast((cast(greatest(4 * c_bi - 3, 0) as decimal(38,0)) * n_types"
+        " + cast(3 as decimal(38,0)) * n1p_hist * n1p_w) * 1000000"
+        " div (cast(4 as decimal(38,0)) * c_hist * n_types) as bigint)"
+    )
+    per_doc = (
+        ev.join(F.broadcast(bstats), ["hist", "w"])
+        .crossJoin(F.broadcast(b))
+        .select("doc_id", F.expr(p_micro).alias("p_micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bi"),
+            F.sum("p_micro").alias("sum_p_micro"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bi", F.lit(0)).cast("bigint").alias("n_bi"),
+        F.coalesce("sum_p_micro", F.lit(0)).cast("bigint").alias("sum_p_micro"),
+        F.coalesce(F.expr("sum_p_micro div n_bi"), F.lit(0))
+        .cast("bigint")
+        .alias("mean_p_micro"),
+    )
