@@ -254,6 +254,23 @@ HEADLINE = [
     # pruning
     "sim_semdedup_checked",
     "curation_proto_prune",
+    # round 16: DSIR at the paper's 10k-bucket width, the k-means-anchored
+    # embedding-curation variants, hard-negative mining, CCNet perplexity
+    # bucketing, the interpolated Kneser-Ney bigram LM, and SoftDeDup
+    # commonness down-weighting. corpus_web_pipeline_stream_parity is
+    # deliberately NOT here: it re-runs the whole capstone as a
+    # micro-batched stream plus the batch twin for the parity booleans
+    # (~29 s at sf0.1 — measured r16), which is a correctness contract's
+    # price, not a serving path's; its batch twin above carries the
+    # pipeline's bench number and the driver prices the stream twin in
+    # CORRECTNESS rounds.
+    "curation_dsir_importance_10k_checked",
+    "sim_semdedup_kmeans_checked",
+    "curation_proto_prune_kmeans",
+    "emb_hard_negative_triplets",
+    "text_ccnet_ppl_buckets",
+    "text_kn_bigram_lm_score",
+    "curation_softdedup_weights",
 ]
 
 MOTION_FRAMES_PER_CAM = 32
@@ -300,10 +317,12 @@ MOTION_MAX_RUNS = 6
 # headline set; at 160 queries three of four healthy recordings (driver
 # r15 502.8 s, judge r15 483.0 s) tripped `degraded: true` on elapsed
 # time alone with zero failing legs, eroding the flag's signal (it was
-# designed to mark NOISY recordings, not structurally-full ones). 700 s
-# fits the current set with ~40% headroom; the emitted `budget_s` field
-# keeps recordings self-describing across budget changes.
-BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "700"))
+# designed to mark NOISY recordings, not structurally-full ones). 750 s
+# fits the 168-query set with ~30% headroom on a quiet host (r16's
+# loaded-host recording ran 645 s at 160 queries before the eight r16
+# rows landed); the emitted `budget_s` field keeps recordings
+# self-describing across budget changes.
+BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "750"))
 _T_START = time.time()
 
 
