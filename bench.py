@@ -318,8 +318,9 @@ MOTION_MAX_RUNS = 6
 # r15 502.8 s, judge r15 483.0 s) tripped `degraded: true` on elapsed
 # time alone with zero failing legs, eroding the flag's signal (it was
 # designed to mark NOISY recordings, not structurally-full ones). 750 s
-# fits the 168-query set with ~30% headroom on a quiet host (r16's
-# loaded-host recording ran 645 s at 160 queries before the eight r16
+# fits the 167-leg set (163 HEADLINE queries + the 4 motion/corpus
+# legs) with ~30% headroom on a quiet host (r16's loaded-host
+# recording ran 645 s at 160 timed legs before the seven r16
 # rows landed); the emitted `budget_s` field keeps recordings
 # self-describing across budget changes.
 BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "750"))
