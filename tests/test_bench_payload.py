@@ -115,3 +115,15 @@ def test_median_of_runs_keeps_polishing_below_target():
 
     bench._median_of_runs(run_once, n_frames=1024)
     assert len(calls) == bench.MOTION_MAX_RUNS
+
+
+def test_headline_names_resolve_and_are_unique():
+    """Every HEADLINE entry must name a registered query exactly once:
+    the per-query fence in main() survives a renamed entry at runtime
+    (records an error row), but a rename should fail HERE, at test
+    time, not as a silent null in the next round's recording."""
+    import distributed_video_analytics_flink_spark.operators as ops
+
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
+    missing = [n for n in bench.HEADLINE if n not in ops.QUERIES]
+    assert missing == []
