@@ -7,7 +7,11 @@ touch SHARED helpers — the per-query source-hash binding in
 operators/__init__.py cannot detect a shared-helper change breaking a
 query whose own source is untouched.
 
-Usage: python scripts/check_all_queries.py [sf_dir]   (~10 min at sf0.01)
+Usage: python scripts/check_all_queries.py [sf_dir] [--only substr,...]
+(~10 min at sf0.01 for the full registry). --only filters query names by
+case-insensitive substring match (comma-separated, any-of) for quick
+targeted re-checks after touching one family — the FULL sweep remains
+the per-round record; an --only run never substitutes for it.
 """
 
 from __future__ import annotations
@@ -27,10 +31,19 @@ import __spark_entry__ as E  # noqa: E402
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only: list[str] = []
+    if "--only" in args:
+        i = args.index("--only")
+        only = [t.strip().lower() for t in args[i + 1].split(",") if t.strip()]
+        del args[i : i + 2]
+    sf = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark()
     con = duck_connection(sf)
     qs, osql = E.queries(), E.oracle_sql()
+    if only:
+        qs = {n: f for n, f in qs.items() if any(t in n.lower() for t in only)}
+        print(f"--only {','.join(only)}: {len(qs)} of {len(E.queries())} queries")
     bad = []
     for i, name in enumerate(qs):
         try:
