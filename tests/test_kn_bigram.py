@@ -104,3 +104,36 @@ def test_short_docs_are_total(spark, tmp_path):
     assert rows[0]["n_bi"] == 0 and rows[0]["sum_p_micro"] == 0
     assert rows[0]["mean_p_micro"] == 0
     assert rows[1]["n_bi"] == 1 and rows[2]["n_bi"] == 2
+
+
+def test_randomized_corpora_match_replica(spark, tmp_path):
+    """Seeded random corpora (skewed Zipf-ish vocab, varied doc lengths
+    incl. 0-bigram docs) — engine == Fraction replica exactly. Catches
+    formula/overflow slips the hand-built fixture can't reach."""
+    import random
+
+    rng = random.Random(1616)
+    vocab = [f"w{i}" for i in range(12)]
+    for trial in range(3):
+        texts = [
+            " ".join(
+                rng.choices(vocab, weights=range(len(vocab), 0, -1))[0]
+                for _ in range(rng.randint(1, 14))
+            )
+            for _ in range(rng.randint(4, 10))
+        ]
+        sf = _write_docs(spark, tmp_path / f"t{trial}", texts)
+        events, c_bi, c_hist, n1p_hist, n1p_w, b = _kn_stats(texts)
+        want = {i: [0, 0] for i in range(len(texts))}
+        for i, h, w in events:
+            p = _p_kn(c_bi, c_hist, n1p_hist, n1p_w, b, h, w)
+            want[i][0] += 1
+            want[i][1] += (p.numerator * 1_000_000) // p.denominator
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in text_kn_bigram_lm_score(spark, sf).collect()
+        }
+        assert set(got) == set(want), texts
+        for i, (n_bi, sum_p) in want.items():
+            assert got[i]["n_bi"] == n_bi, texts[i]
+            assert got[i]["sum_p_micro"] == sum_p, texts[i]

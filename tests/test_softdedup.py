@@ -70,3 +70,40 @@ def test_partial_overlap_between_hard_and_soft(spark, tmp_path):
     assert rows[0]["commonness_micro"] == 1_500_000
     assert 500_000 < rows[0]["weight_micro"] < 1_000_000
     assert rows[1]["commonness_micro"] == (4 * 1_000_000) // 3
+
+
+def test_randomized_corpora_match_integer_replica(spark, tmp_path):
+    """Seeded random corpora — engine == pure-integer replica of the
+    shingle-commonness arithmetic, exactly."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(1617)
+    vocab = [f"w{i}" for i in range(8)]
+    for trial in range(3):
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+            for _ in range(rng.randint(4, 9))
+        ]
+        sf = _write_docs(spark, tmp_path / f"t{trial}", texts)
+        shingles = {
+            i: [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+            for i, toks in ((i, t.split(" ")) for i, t in enumerate(texts))
+        }
+        freq = Counter(s for ss in shingles.values() for s in ss)
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in curation_softdedup_weights(spark, sf).collect()
+        }
+        assert set(got) == set(range(len(texts)))
+        for i, ss in shingles.items():
+            n_tok = len(texts[i].split(" "))
+            if ss:
+                common = (sum(freq[s] for s in ss) * 1_000_000) // len(ss)
+            else:
+                common = 1_000_000
+            weight = 1_000_000_000_000 // common
+            assert got[i]["n_sh"] == len(ss), texts[i]
+            assert got[i]["commonness_micro"] == common, texts[i]
+            assert got[i]["weight_micro"] == weight, texts[i]
+            assert got[i]["eff_tokens_micro"] == n_tok * weight, texts[i]
