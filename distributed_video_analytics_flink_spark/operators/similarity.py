@@ -5888,8 +5888,11 @@ def emb_hard_negative_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_dots_q_udf: one numpy outer product per batch, no per-pair
     lambdas); self-norms compute once per row (_self_norm_q_udf). The
     corpus is scanned ONCE for all anchors; per-(anchor, role) heads
-    are one window over anchor-partitioned rows — at k anchors the
-    shuffle carries only rows that enter a head's partition, and the
+    are one window over anchor-partitioned rows, and the bare
+    ``rnk <= 3`` head filter lets InferWindowGroupLimit plant a
+    WindowGroupLimit(Partial) below the exchange, so each map task
+    forwards at most 3 rows per (anchor, role) — the shuffle carries
+    O(|anchors| x tasks) survivors, not the scored corpus — and the
     mined triplets are |anchors| x 4 rows total. Swapping the exact
     scan for the IVF serve (sim_ivf_pq_topk) turns this into the ANCE
     approximate-mining variant without touching the head logic."""
@@ -5950,9 +5953,20 @@ def emb_hard_negative_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(
-            ((F.col("role") == "pos") & (F.col("rnk") == 1))
-            | ((F.col("role") == "neg") & (F.col("rnk") <= 3))
-        )
+        # rank cap FIRST, as a bare `rnk <= 3` conjunct: this is the shape
+        # InferWindowGroupLimit can see (the r16-audited compound
+        # `(pos AND rnk=1) OR (neg AND rnk<=3)` defeated it — no
+        # WindowGroupLimit node, so the full |corpus| x |anchors| scored
+        # relation shuffled into 2k head partitions and fully sorted
+        # there). With the cap split out, the plan carries a
+        # WindowGroupLimit(Partial) BELOW the exchange — every map task
+        # retains at most 3 rows per (anchor, role) before any data
+        # moves — plus the Final pass after it; pinned by
+        # tests/test_plans.py::test_hard_negative_rank_limit_pushdown.
+        .filter(F.col("rnk") <= 3)
+        # role refinement on the tiny survivor set (<= 6 rows/anchor):
+        # pos keeps rank 1 only. `rnk<=3 AND (neg OR rnk=1)` is
+        # row-for-row the original compound predicate.
+        .filter((F.col("role") == "neg") | (F.col("rnk") == 1))
         .select("anchor_id", "role", "rnk", "vec_id", "acos")
     )

@@ -221,15 +221,18 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 characteristic terms by tf * (N / df) — the
     rational tf-idf form (a log() idf would differ across libm builds; the
     ratio is one exact IEEE division in both engines). The df table is tiny
-    relative to the corpus and broadcasts; the tf side never re-shuffles the
-    token explode. The standard keyword-extraction / topic-tagging pass of
-    a corpus pipeline."""
+    relative to the corpus and broadcasts UNHINTED (r17, VERDICT r16 #2
+    audit): the planner/AQE picks the broadcast from its runtime size at
+    test scale and degrades to a shuffle join once the Zipf vocabulary
+    outgrows the threshold — a forced hint would OOM the driver instead.
+    The tf side never re-shuffles the token explode. The standard
+    keyword-extraction / topic-tagging pass of a corpus pipeline."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()  # scalar; a literal keeps the plan join-free on N
-    scored = tf.join(F.broadcast(df), "token").select(
+    scored = tf.join(df, "token").select(
         "doc_id",
         "token",
         (
@@ -462,7 +465,12 @@ def _unigram_doc_stats(spark: SparkSession, sf_dir: str):
     # table — keeps the plan lazy; no extra pass over the exploded stream
     total = tf.agg(F.sum("cnt").alias("total"))
     per_doc = (
-        tok.join(F.broadcast(tf), "token")
+        # UNHINTED vocabulary join (r17, VERDICT r16 #2 audit): the tf
+        # table is corpus-derived — the planner/AQE broadcasts it at test
+        # scale from its runtime size and falls back to a shuffle join
+        # once the Zipf vocabulary outgrows the threshold; a forced hint
+        # could not degrade.
+        tok.join(tf, "token")
         .groupBy("doc_id")
         .agg(
             F.any_value("lang").alias("lang"),
@@ -1488,8 +1496,10 @@ def text_kn_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1-row B broadcasts. Hot histories ("the", ",") skew the type
     join's build side, not the event key (events key on the PAIR, whose
     top frequency is far below the top history's): AQE skew-split
-    handles the residual. At test scale the enriched type table
-    broadcasts outright (same stance as the unigram tf broadcast)."""
+    handles the residual. The type-table join is UNHINTED (r17): the
+    planner/AQE broadcasts it outright at test scale and degrades to a
+    shuffle join once the Zipf tail outgrows the threshold — a forced
+    broadcast hint could not degrade and would OOM the driver at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
     arr = docs.select("doc_id", F.split("text", " ").alias("t"))
     # sequence(2, 1) DESCENDS in Spark (DuckDB's generate_series is
@@ -1527,7 +1537,13 @@ def text_kn_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         " div (cast(4 as decimal(38,0)) * c_hist * n_types) as bigint)"
     )
     per_doc = (
-        ev.join(F.broadcast(bstats), ["hist", "w"])
+        # no broadcast HINT on the enriched type table (r17, VERDICT r16
+        # #2): at 100 TB the Zipf tail of the bigram-type table outgrows
+        # any broadcastable size, and a hard hint OOMs the driver instead
+        # of degrading. Unhinted, the planner/AQE broadcasts it at test
+        # scale (runtime size ≪ threshold) and shuffle-joins at corpus
+        # scale — matching the docstring's stated stance.
+        ev.join(bstats, ["hist", "w"])
         .crossJoin(F.broadcast(b))
         .select("doc_id", F.expr(p_micro).alias("p_micro"))
         .groupBy("doc_id")

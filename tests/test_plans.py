@@ -555,3 +555,27 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_hard_negative_rank_limit_pushdown(spark):
+    """emb_hard_negative_triplets' 100 TB claim (VERDICT r16 #1): the
+    bare `rnk <= 3` head filter must let InferWindowGroupLimit plant a
+    WindowGroupLimit BELOW the head exchange (Partial — map-side top-3
+    retention per (anchor, role) before any row moves) plus the Final
+    pass above it. The r16 compound `(pos AND rnk=1) OR (neg AND
+    rnk<=3)` predicate defeated the rule and shuffled the whole scored
+    corpus into 2k head partitions; this pin keeps that regression from
+    returning."""
+    import re
+
+    plan = formatted_plan(_q(spark, "emb_hard_negative_triplets"))
+    blocks = dict(
+        re.findall(r"\((\d+)\) (WindowGroupLimit|Exchange)", plan)
+    )
+    partial = [int(n) for n, kind in blocks.items() if kind == "WindowGroupLimit"]
+    exchanges = [int(n) for n, kind in blocks.items() if kind == "Exchange"]
+    assert len(partial) >= 2, f"expected Partial+Final WindowGroupLimit, got {plan}"
+    # formatted-plan numbering grows leaf -> root: the Partial limit's
+    # number must be SMALLER than some exchange's (it runs map-side)
+    assert exchanges and min(partial) < max(exchanges), (partial, exchanges)
+    assert "row_number(), 3, Partial" in plan and "row_number(), 3, Final" in plan
