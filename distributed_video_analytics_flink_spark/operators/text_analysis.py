@@ -793,30 +793,74 @@ def text_classifier_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is w' = w + lr * grad — a {bq}-row broadcast, closing the
     train/score loop without any driver-side model state.
 
-    Plan shape at 100 TB: the score is the zero-shuffle projection of
-    text_quality_classifier; only MISCLASSIFIED documents survive to the
-    explode (e = 0 rows are filtered pre-explode — as the model
-    converges, per-step work shrinks toward zero instead of staying
-    O(corpus tokens)); the gradient is then one groupBy on {bq} buckets
-    — partial aggregation (map-side combine) collapses each task's
-    contribution to <= {bq} rows before the shuffle, so the wire cost
-    is O(tasks * buckets), independent of corpus size. Exact integer
-    semantics end-to-end (no float gradient nondeterminism across
-    engines).""".format(bq=_CLS_BUCKETS)
+    Plan shape at 100 TB: the token/bigram HASHING runs exactly once per
+    document — the per-token unigram bucket array and per-position
+    bigram bucket array are projected in ONE pass and pinned by a narrow
+    materialization (ints only, a few bytes per token; the
+    dedup.py::_materialize seam — checkpoint/parquet stage on a
+    cluster). r17 measurement: the previous form computed the score
+    expression as one giant md5-lambda projection, and Catalyst's filter
+    pushdown duplicated it — the full unigram+bigram md5 scoring ran
+    once in the pushed Filter and again in the Project feeding the
+    explode, plus a third md5 per surviving token to re-derive its
+    bucket (plans/r17/text_classifier_train_step_before.txt, nodes 2, 4
+    and 6). Scoring above the barrier is a cheap integer fold over the
+    bucket arrays (the md5s are already paid), so the residual
+    filter/project duplication costs integer adds, not hashing. Only
+    MISCLASSIFIED documents survive to the explode (e = 0 rows are
+    filtered pre-explode — as the model converges, per-step work
+    shrinks toward zero instead of staying O(corpus tokens)), and the
+    exploded rows ARE the precomputed buckets; the gradient is then one
+    groupBy on {bq} buckets — partial aggregation (map-side combine)
+    collapses each task's contribution to <= {bq} rows before the
+    shuffle, so the wire cost is O(tasks * buckets), independent of
+    corpus size. Exact integer semantics end-to-end (no float gradient
+    nondeterminism across engines).""".format(bq=_CLS_BUCKETS)
+    from distributed_video_analytics_flink_spark.operators.dedup import (
+        _materialize,
+    )
+
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "w", F.split(F.lower("text"), " ")
     )
-    score = F.expr(_cls_score_sql("spark"))
-    y = F.when(F.col("lang") == "en", 1).otherwise(-1)
-    p = F.when(score > 0, 1).otherwise(-1)
-    scored = docs.select("w", (y - p).alias("e")).filter(F.col("e") != 0)
-    bucket = (
-        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
-        % _CLS_BUCKETS
+    # hash buckets computed ONCE per token / bigram position (md5 is the
+    # dominant cost of this query); identical arithmetic to
+    # _cls_weight_sql's bucket term
+    b_of = "cast(conv(substring(md5({t}), 1, 4), 16, 10) as bigint) % {m}"
+    uni_b = b_of.format(t="t", m=_CLS_BUCKETS)
+    big_b = b_of.format(
+        t="concat(element_at(w, i), '_', element_at(w, i + 1))",
+        m=_CLS_BUCKETS,
     )
+    y = F.when(F.col("lang") == "en", 1).otherwise(-1)
+    feats = _materialize(
+        docs.select(
+            y.alias("y"),
+            F.expr(f"transform(w, t -> {uni_b})").alias("wb"),
+            # sequence(1, 0) DESCENDS in Spark — guard short docs to an
+            # empty bigram array (the _cls_score_sql lesson); the fold
+            # over array() is 0, matching the score's if()-guard
+            F.expr(
+                "if(size(w) < 2, array(),"
+                f" transform(sequence(1, size(w) - 1), i -> {big_b}))"
+            ).alias("bb"),
+        )
+    )
+    # weight fold over the precomputed buckets: (b * MUL) % MODW - HALF
+    # is _cls_weight_sql with the bucket term already reduced mod B
+    wsum = (
+        "aggregate(transform({c}, b -> (b * {mul}) % {mod} - {half}),"
+        " cast(0 as bigint), (a, x) -> a + x)"
+    )
+    score = F.expr(
+        wsum.format(c="wb", mul=_CLS_MUL, mod=_CLS_MODW, half=_CLS_HALF)
+        + " + "
+        + wsum.format(c="bb", mul=_CLS_MUL, mod=_CLS_MODW, half=_CLS_HALF)
+    )
+    p = F.when(score > 0, 1).otherwise(-1)
     return (
-        scored.select("e", F.explode("w").alias("tok"))
-        .select(bucket.alias("bucket"), "e")
+        feats.select((F.col("y") - p).alias("e"), F.explode("wb").alias("bucket"))
+        .filter(F.col("e") != 0)
         .groupBy("bucket")
         .agg(
             F.sum("e").alias("grad"),

@@ -579,3 +579,28 @@ def test_hard_negative_rank_limit_pushdown(spark):
     # number must be SMALLER than some exchange's (it runs map-side)
     assert exchanges and min(partial) < max(exchanges), (partial, exchanges)
     assert "row_number(), 3, Partial" in plan and "row_number(), 3, Final" in plan
+
+
+def test_train_step_hashes_once_behind_barrier(spark):
+    """text_classifier_train_step (r17): the md5 token/bigram hashing must
+    run exactly once per document, below the feature-array
+    materialization. Before r17 the one-projection score was duplicated
+    by filter pushdown — the full md5 scoring lambda appeared in BOTH the
+    pushed Filter and the Project above it, plus a third md5 per
+    surviving token (plans/r17/text_classifier_train_step_before.txt;
+    interleaved A/B measured 2.3x: scripts/ab_r17_train_step.py). With
+    the bucket arrays pinned behind the _materialize barrier, no md5 may
+    appear anywhere in the serving plan (the hashing lives below the
+    ExistingRDD leaf), and the misclassified-only filter must still sit
+    below the explode's aggregation."""
+    import re
+
+    plan = formatted_plan(_q(spark, "text_classifier_train_step"))
+    assert "md5" not in plan, "md5 leaked above the feature barrier"
+    assert "Scan ExistingRDD" in plan
+    # the e != 0 gate must run before the bucket aggregation (formatted
+    # node numbers grow leaf -> root)
+    nodes = dict(re.findall(r"\((\d+)\) (Filter|Exchange)", plan))
+    filt = [int(n) for n, k in nodes.items() if k == "Filter"]
+    exch = [int(n) for n, k in nodes.items() if k == "Exchange"]
+    assert filt and exch and min(filt) < min(exch), (filt, exch)
