@@ -1328,11 +1328,21 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _materialize(dedup_simhash64_pairs(spark, sf_dir))
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     da, db = docs.alias("da"), docs.alias("db")
-    lev = F.levenshtein(F.col("da.text"), F.col("db.text"))
+    # THRESHOLDED levenshtein (r17, guide §1.2 per-task work): with the
+    # bound passed in, Spark runs the banded DP — O(len * 32) per pair
+    # instead of the full O(len^2) table — and returns -1 past the bound,
+    # so the cut predicate is `>= 0`. Exact distances for every kept pair
+    # are unchanged (row-for-row equality measured before landing; the
+    # optimizer folds the filter into the join condition and evaluates
+    # the projection copy separately, so halving the DP pays twice).
+    # Measured: the post-cascade phase dropped 1.45 s -> 0.80 s at sf0.1
+    # on ~300-char documents; the win grows quadratically with doc
+    # length.
+    lev = F.levenshtein(F.col("da.text"), F.col("db.text"), 32)
     return (
         cand.join(da, F.col("da.doc_id") == F.col("doc_a"))
         .join(db, F.col("db.doc_id") == F.col("doc_b"))
-        .filter(lev <= 32)
+        .filter(lev >= 0)
         .select("doc_a", "doc_b", "hamming", lev.cast("int").alias("lev_dist"))
         .orderBy("doc_a", "doc_b")
     )

@@ -102,9 +102,14 @@ def maintain_incremental_pairs(
     ``pairs/`` equals a full LSH recompute over the latest-text corpus
     (pinned by tests/test_incremental_pairs.py's stream==batch test).
 
-    State I/O scales with the DELTA, not the corpus (r16, VERDICT r15
-    #3 — this used to rewrite both tables whole per batch, the one r15
-    component without a 100 TB-shaped write path): each write is a
+    State WRITE I/O scales with the DELTA, not the corpus (r16, VERDICT
+    r15 #3 — this used to rewrite both tables whole per batch, the one
+    r15 component without a 100 TB-shaped write path); the READ side
+    still scans the full at-rest pairs table once per batch to discover
+    affected buckets (the has_endpoint semi-join below) — that residual
+    corpus-scaled read is the remaining term, closable with a
+    doc_id->bucket index or by pruning on the pair buckets derivable
+    from the batch's endpoint ids (ADVICE r16). Each write is a
     dynamic-partition overwrite of ONLY the affected buckets — for
     sigs, the buckets holding a delta doc_id; for pairs, the buckets
     holding a tombstoned or newly-formed pair. Untouched buckets' files

@@ -35,6 +35,9 @@ def main() -> int:
     only: list[str] = []
     if "--only" in args:
         i = args.index("--only")
+        if i + 1 >= len(args):  # ADVICE r16: trailing --only raised IndexError
+            print("usage: check_all_queries.py [sf_dir] --only substr[,substr...]")
+            return 2
         only = [t.strip().lower() for t in args[i + 1].split(",") if t.strip()]
         del args[i : i + 2]
     sf = args[0] if args else "/root/testdata/sf0.01"

@@ -604,3 +604,39 @@ def test_train_step_hashes_once_behind_barrier(spark):
     filt = [int(n) for n, k in nodes.items() if k == "Filter"]
     exch = [int(n) for n, k in nodes.items() if k == "Exchange"]
     assert filt and exch and min(filt) < min(exch), (filt, exch)
+
+
+def test_fuzzy_levenshtein_threshold_is_exact(spark):
+    """dedup_fuzzy_levenshtein (r17) verifies survivors with the
+    THRESHOLDED levenshtein (banded DP, O(len*32) per pair instead of
+    O(len^2)). The contract the optimization rides: for any pair within
+    the bound the thresholded form returns the EXACT distance, and past
+    the bound it returns -1 — so `>= 0` reproduces `lev <= 32`
+    row-for-row. Pin that equivalence on planted strings straddling the
+    bound (identical, 1 edit, exactly 32 edits, 33 edits, disjoint)."""
+    from pyspark.sql import functions as F
+
+    base = "x" * 40
+    cases = [
+        ("eq", base, base),
+        ("one", base, base[:-1] + "y"),
+        ("at32", base, "y" * 32 + base[32:]),
+        ("at33", base, "y" * 33 + base[33:]),
+        ("far", base, "z" * 40),
+    ]
+    df = spark.createDataFrame(cases, "name string, a string, b string").select(
+        "name",
+        F.levenshtein("a", "b").alias("full"),
+        F.levenshtein("a", "b", 32).alias("capped"),
+    )
+    got = {r["name"]: (r["full"], r["capped"]) for r in df.collect()}
+    assert got["eq"] == (0, 0)
+    assert got["one"] == (1, 1)
+    assert got["at32"] == (32, 32)
+    assert got["at33"][0] == 33 and got["at33"][1] == -1
+    assert got["far"][0] == 40 and got["far"][1] == -1
+    # the registered query's cut: capped >= 0  <=>  full <= 32
+    for full, capped in got.values():
+        assert (capped >= 0) == (full <= 32)
+        if capped >= 0:
+            assert capped == full
