@@ -519,20 +519,34 @@ def curation_keep_best_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dup_count`` provenance column for downstream weighting.
 
     One shuffle on the 32-hex digest (uniform — no skew by construction);
-    bodies never shuffle: the window runs over (doc_id, n_chars,
-    fingerprint) projections only. At 100 TB swap row_number for a
-    max_by-style aggregate if the window sort's per-group spill shows up;
-    the groupBy form is partial-aggregable."""
+    bodies never shuffle: the aggregate runs over (doc_id, n_chars,
+    fingerprint) projections only. r17: the row_number window form was
+    swapped for the max_by aggregate its docstring had named as the
+    at-scale upgrade — the rank filter could never ride
+    InferWindowGroupLimit here (the dup_count window over the same
+    partition blocks pruning, correctly: count needs every row), so all
+    duplicate rows shuffled and sorted per group. The max_by + count
+    aggregate is PARTIAL-aggregable: each map task forwards one
+    (best-so-far, count) pair per fingerprint, so the shuffle carries
+    group partials instead of every duplicate, no per-group sort at all
+    — on a duplicate-heavy corpus the wire volume drops by the
+    duplication factor. The (n_chars, -doc_id) ordering struct is unique
+    per row, so max_by is deterministic (same keep-best as
+    ORDER BY n_chars DESC, doc_id ASC — oracle unchanged)."""
     docs = load_table(spark, sf_dir, "documents")
     fp = docs.select(
         "doc_id", "source", "n_chars", F.md5(F.col("text")).alias("fingerprint")
     )
-    w = Window.partitionBy("fingerprint").orderBy(F.desc("n_chars"), F.asc("doc_id"))
     return (
-        fp.withColumn("rn", F.row_number().over(w))
-        .withColumn("dup_count", F.count(F.lit(1)).over(Window.partitionBy("fingerprint")))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "source", "n_chars", "dup_count")
+        fp.groupBy("fingerprint")
+        .agg(
+            F.max_by(
+                F.struct("doc_id", "source", "n_chars"),
+                F.struct(F.col("n_chars").alias("k1"), (-F.col("doc_id")).alias("k2")),
+            ).alias("best"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select("best.doc_id", "best.source", "best.n_chars", "dup_count")
     )
 
 

@@ -640,3 +640,21 @@ def test_fuzzy_levenshtein_threshold_is_exact(spark):
         assert (capped >= 0) == (full <= 32)
         if capped >= 0:
             assert capped == full
+
+
+def test_keep_best_dup_aggregates_not_windows(spark):
+    """curation_keep_best_dup (r17): keep-best must be the PARTIAL
+    aggregate form (max_by + count), not the window form — the rank
+    filter could never ride InferWindowGroupLimit there (the dup_count
+    window over the same partition blocks pruning), so every duplicate
+    row shuffled and sorted per group. With the aggregate, each map task
+    forwards one (best, count) partial per fingerprint. Pin: no Window
+    node, and a partial/final aggregate pair around one exchange."""
+    import re
+
+    plan = formatted_plan(_q(spark, "curation_keep_best_dup"))
+    nodes = re.findall(r"\(\d+\) ([A-Za-z]+)", plan)
+    assert "Window" not in nodes, nodes
+    aggs = [n for n in nodes if n in ("HashAggregate", "SortAggregate", "ObjectHashAggregate")]
+    assert len(aggs) >= 2, nodes  # partial + final (each printed twice: tree+details)
+    assert "max_by" in plan and "partial_max_by" in plan
