@@ -78,9 +78,48 @@ def stream_curated_corpus(
 # rebuilding the state dir, exactly like re-keying any bucketed table).
 _STATE_BUCKETS = 16
 
+# Pair-state grid dimension (r18): pairs bucket on BOTH endpoints —
+# bucket = pmod(doc_a, G) * G + pmod(doc_b, G) — so the buckets that can
+# possibly hold a pair with a given endpoint are derivable from the
+# endpoint id alone (its row + its column of the G x G grid). That turns
+# the per-batch affected-bucket discovery from a full pairs-table scan
+# into a partition-pruned read of <= (2G - 1) / G^2 of the table per
+# distinct delta pmod — the VERDICT r17 #1 scale fix. G^2 equals
+# _STATE_BUCKETS so the total bucket fanout is unchanged; at 100 TB G is
+# the layout constant that scales up (re-keying = state rebuild, as
+# above).
+_PAIR_GRID = 4
+assert _PAIR_GRID * _PAIR_GRID == _STATE_BUCKETS
+
+# pairs/ state schema, passed explicitly on read: skips the per-batch
+# footer/schema inference AND guarantees a pruned-away bucket's files
+# are never opened (pinned by the poisoned-bucket test).
+_PAIRS_SCHEMA = "doc_a bigint, doc_b bigint, bucket int"
+
 
 def _with_bucket(df: DataFrame, col: str) -> DataFrame:
     return df.withColumn("bucket", F.pmod(F.col(col), F.lit(_STATE_BUCKETS)))
+
+
+def _with_pair_bucket(df: DataFrame) -> DataFrame:
+    """2-D grid bucket over both pair endpoints (see _PAIR_GRID)."""
+    g = F.lit(_PAIR_GRID)
+    return df.withColumn(
+        "bucket", F.pmod(F.col("doc_a"), g) * g + F.pmod(F.col("doc_b"), g)
+    )
+
+
+def _pair_candidate_buckets(delta_pmods: "set[int]") -> list[int]:
+    """Every grid bucket that can hold a pair with an endpoint whose
+    pmod(id, _PAIR_GRID) is in ``delta_pmods``: the endpoint's ROW
+    (doc_a side) plus its COLUMN (doc_b side). A superset of the buckets
+    holding tombstoned pairs AND of the buckets receiving new pairs (a
+    new pair has at least one delta endpoint), so every downstream read
+    may prune to it."""
+    return sorted(
+        {m * _PAIR_GRID + j for m in delta_pmods for j in range(_PAIR_GRID)}
+        | {i * _PAIR_GRID + m for i in range(_PAIR_GRID) for m in delta_pmods}
+    )
 
 
 def maintain_incremental_pairs(
@@ -104,17 +143,20 @@ def maintain_incremental_pairs(
 
     State WRITE I/O scales with the DELTA, not the corpus (r16, VERDICT
     r15 #3 — this used to rewrite both tables whole per batch, the one
-    r15 component without a 100 TB-shaped write path); the READ side
-    still scans the full at-rest pairs table once per batch to discover
-    affected buckets (the has_endpoint semi-join below) — that residual
-    corpus-scaled read is the remaining term, closable with a
-    doc_id->bucket index or by pruning on the pair buckets derivable
-    from the batch's endpoint ids (ADVICE r16). Each write is a
-    dynamic-partition overwrite of ONLY the affected buckets — for
-    sigs, the buckets holding a delta doc_id; for pairs, the buckets
-    holding a tombstoned or newly-formed pair. Untouched buckets' files
-    are never rewritten (byte-identity across a batch is pinned by
-    tests/test_incremental_pairs.py's file-listing test). A bucket
+    r15 component without a 100 TB-shaped write path); since r18 the
+    READ side is partition-pruned too (VERDICT r17 #1, the last
+    corpus-scaled I/O term): pairs bucket on BOTH endpoints
+    (``_with_pair_bucket``'s G x G grid), so the buckets that can hold
+    a pair with a batch endpoint are derivable from the batch's ids
+    alone (``_pair_candidate_buckets``) and the has_endpoint discovery
+    semi-join reads only those — <= (2G - 1) of G^2 buckets per
+    distinct delta pmod, never the whole table (pruning is pinned by
+    the poisoned-bucket test in tests/test_incremental_pairs.py). Each
+    write is a dynamic-partition overwrite of ONLY the affected buckets
+    — for sigs, the buckets holding a delta doc_id; for pairs, the
+    buckets holding a tombstoned or newly-formed pair. Untouched
+    buckets' files are never rewritten (byte-identity across a batch is
+    pinned by tests/test_incremental_pairs.py's file-listing test). A bucket
     whose every pair tombstones with nothing new landing is cleared
     explicitly (dynamic overwrite cannot write an empty partition);
     that directory delete assumes a filesystem path — on an object
@@ -152,9 +194,16 @@ def maintain_incremental_pairs(
     sigs_path = f"{state_dir}/sigs"
     pairs_path = f"{state_dir}/pairs"
 
-    def _read_state(path: str) -> DataFrame | None:
+    def _read_state(path: str, schema: str | None = None) -> DataFrame | None:
         try:
-            return spark.read.parquet(path)
+            reader = spark.read
+            if schema is not None:
+                # explicit schema: no footer inference per batch, and a
+                # pruned-away bucket's files are never opened
+                reader = reader.schema(schema)
+            df = reader.parquet(path)
+            df.schema  # force the (possibly lazy) existence check
+            return df
         except AnalysisException as e:
             # only a genuinely-missing state may downgrade (the shared
             # merge_results_batch policy — anything else would silently
@@ -206,7 +255,7 @@ def maintain_incremental_pairs(
     # the full updated signature table, straight from the committed state
     updated_sigs = spark.read.parquet(sigs_path).drop("bucket")
 
-    old_pairs = _read_state(pairs_path)
+    old_pairs = _read_state(pairs_path, _PAIRS_SCHEMA)
 
     all_bands = _materialize(
         _bands_from_sigs(updated_sigs)
@@ -226,19 +275,26 @@ def maintain_incremental_pairs(
     # pin the banded join ONCE (r16 review): both the affected-bucket
     # collect and the state write read it, and without the checkpoint
     # each action would re-run the batch's most expensive join
-    new_pairs_b = _with_bucket(
-        incremental_band_pairs(all_bands), "doc_a"
+    new_pairs_b = _with_pair_bucket(
+        incremental_band_pairs(all_bands)
     ).localCheckpoint(eager=True)
 
     if old_pairs is not None:
         ga = batch_ids.withColumnRenamed("doc_id", "gid")
-        has_endpoint = old_pairs.join(
+        # grid pruning (r18): the delta's pmods are derivable from the
+        # already-collected sig buckets (G divides _STATE_BUCKETS), so
+        # candidate discovery costs no extra job
+        cand = _pair_candidate_buckets({b % _PAIR_GRID for b in delta_buckets})
+        old_cand = old_pairs.filter(F.col("bucket").isin(cand))
+        has_endpoint = old_cand.join(
             F.broadcast(ga),
             (F.col("doc_a") == F.col("gid")) | (F.col("doc_b") == F.col("gid")),
             "left_semi",
         )
         # affected = buckets with a tombstoned pair or a new pair —
-        # bounded collect (<= _STATE_BUCKETS rows)
+        # bounded collect (<= _STATE_BUCKETS rows). Both legs are
+        # subsets of ``cand`` (a new pair has a delta endpoint), so the
+        # carried read below stays pruned.
         affected = sorted(
             r["bucket"]
             for r in has_endpoint.select("bucket")

@@ -227,16 +227,18 @@ def test_untouched_bucket_files_unchanged_across_batch(spark, tmp_path):
 
     t1 = "alpha beta gamma delta epsilon zeta"
     t2 = "uno dos tres cuatro cinco seis"
-    # batch 1: docs 1 and 17 -> bucket 1 sigs; pair (1, 17) -> bucket 1
+    # batch 1: docs 1 and 17 -> bucket 1 sigs; pair (1, 17) -> grid
+    # bucket pmod(1,4)*4 + pmod(17,4) = 5
     b1 = spark.createDataFrame(
         [(1, t1, "2024-06-01T00:00:00"), (17, t1, "2024-06-01T00:00:01")],
         "doc_id long, text string, ingest_ts string",
     )
     maintain_incremental_pairs(b1, state)
-    sigs1, pairs1 = _listing("sigs/bucket=1"), _listing("pairs/bucket=1")
-    assert sigs1 and pairs1  # bucket 1 state exists
+    sigs1, pairs1 = _listing("sigs/bucket=1"), _listing("pairs/bucket=5")
+    assert sigs1 and pairs1  # bucket state exists
 
-    # batch 2: docs 2 and 18 -> bucket 2 only; no endpoint touches 1/17
+    # batch 2: docs 2 and 18 -> sig bucket 2 only; pair (2, 18) -> grid
+    # bucket pmod(2,4)*4 + pmod(18,4) = 10; no endpoint touches 1/17
     b2 = spark.createDataFrame(
         [(2, t2, "2024-06-01T00:01:00"), (18, t2, "2024-06-01T00:01:01")],
         "doc_id long, text string, ingest_ts string",
@@ -244,14 +246,85 @@ def test_untouched_bucket_files_unchanged_across_batch(spark, tmp_path):
     maintain_incremental_pairs(b2, state)
 
     assert _listing("sigs/bucket=1") == sigs1  # byte-identical: untouched
-    assert _listing("pairs/bucket=1") == pairs1
-    assert _listing("sigs/bucket=2") and _listing("pairs/bucket=2")
+    assert _listing("pairs/bucket=5") == pairs1
+    assert _listing("sigs/bucket=2") and _listing("pairs/bucket=10")
     # and the maintained state is still globally right
     got = sorted(
         (r["doc_a"], r["doc_b"])
         for r in spark.read.parquet(f"{state}/pairs").collect()
     )
     assert got == [(1, 17), (2, 18)]
+
+
+def test_pair_candidate_buckets_cover_all_endpoints():
+    """Pure-function pin for the r18 grid pruning (VERDICT r17 #1): for
+    any endpoint id set, _pair_candidate_buckets must be a superset of
+    (a) the bucket of every pair having such an endpoint on EITHER side
+    and (b) the bucket of every pair with at least one such endpoint —
+    i.e. every bucket the maintenance can tombstone in or write to."""
+    from distributed_video_analytics_flink_spark.streaming.corpus import (
+        _PAIR_GRID,
+        _STATE_BUCKETS,
+        _pair_candidate_buckets,
+    )
+
+    def bucket(a, b):
+        return (a % _PAIR_GRID) * _PAIR_GRID + (b % _PAIR_GRID)
+
+    ids = range(0, 64, 7)  # arbitrary spread of endpoint ids
+    others = range(0, 23)
+    for g in ids:
+        cand = set(_pair_candidate_buckets({g % _PAIR_GRID}))
+        assert cand <= set(range(_STATE_BUCKETS))
+        for o in others:
+            assert bucket(g, o) in cand  # g as doc_a
+            assert bucket(o, g) in cand  # g as doc_b
+
+
+def test_pair_discovery_reads_only_candidate_buckets(spark, tmp_path):
+    """The r18 scale pin (VERDICT r17 #1): per-batch pair-state READS
+    are partition-pruned to the grid candidate buckets. A corrupt file
+    planted in a NON-candidate bucket must never be opened (the explicit
+    read schema means no footer inference either) — if any read scanned
+    the full table, the batch would throw. A control batch whose
+    candidates DO cover the poisoned bucket must throw."""
+    import os
+
+    import pytest
+
+    from distributed_video_analytics_flink_spark.streaming import (
+        maintain_incremental_pairs,
+    )
+
+    state = str(tmp_path / "state")
+    t1 = "alpha beta gamma delta epsilon zeta"
+    b1 = spark.createDataFrame(
+        [(1, t1, "2024-06-01T00:00:00"), (17, t1, "2024-06-01T00:00:01")],
+        "doc_id long, text string, ingest_ts string",
+    )
+    maintain_incremental_pairs(b1, state)  # pair (1, 17) -> bucket 5
+
+    poisoned = os.path.join(state, "pairs", "bucket=0")
+    os.makedirs(poisoned, exist_ok=True)
+    with open(os.path.join(poisoned, "part-poison.parquet"), "wb") as fh:
+        fh.write(b"this is not a parquet file")
+
+    # batch endpoints pmod 2 -> candidates are rows/cols of 2
+    # ({2, 6, 8..11, 14}); bucket 0 is NOT among them: must succeed
+    b2 = spark.createDataFrame(
+        [(2, "uno dos tres cuatro cinco seis", "2024-06-01T00:01:00")],
+        "doc_id long, text string, ingest_ts string",
+    )
+    maintain_incremental_pairs(b2, state)
+
+    # control: endpoint pmod 0 puts bucket 0 in the candidate set, so
+    # the poisoned file IS read and the batch must fail loudly
+    b3 = spark.createDataFrame(
+        [(4, "siete ocho nueve diez once doce", "2024-06-01T00:02:00")],
+        "doc_id long, text string, ingest_ts string",
+    )
+    with pytest.raises(Exception, match="(?i)parquet|corrupt|magic|footer"):
+        maintain_incremental_pairs(b3, state)
 
 
 def test_emptied_pair_bucket_is_cleared(spark, tmp_path):
