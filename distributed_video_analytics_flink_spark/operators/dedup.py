@@ -137,8 +137,19 @@ def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     into N_HASHES multiply-shift hashes (see the _MH_A/_MH_B comment) —
     md5 dominates signature building, and cutting four seeded digests to
     one measured ~2x end-to-end on the LSH pair query at sf0.1. Min is
-    over 64-bit integers (identical arithmetic in both engines)."""
-    return minhash_signature_df(load_table(spark, sf_dir, "documents"))
+    over 64-bit integers (identical arithmetic in both engines).
+
+    The scan is spread to core count when it yields fewer splits (r18:
+    a tiny single-file input serializes the md5-heavy shingle stage on
+    one core; at 100 TB the scan's own splits dominate and no shuffle
+    is added — sources/tables.py::spread_small_scan)."""
+    from distributed_video_analytics_flink_spark.sources.tables import (
+        spread_small_scan,
+    )
+
+    return minhash_signature_df(
+        spread_small_scan(load_table(spark, sf_dir, "documents"))
+    )
 
 
 def minhash_signature_df(docs: DataFrame) -> DataFrame:
@@ -1101,7 +1112,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= threshold is evaluated as integer n_inter*2 >= n_sh (no float
     boundary); the reported containment ratio is one division at the
     end."""
-    docs = load_table(spark, sf_dir, "documents")
+    from distributed_video_analytics_flink_spark.sources.tables import (
+        spread_small_scan,
+    )
+
+    # spread the shingle/md5 stage over cores when the scan is one tiny
+    # split (r18; measured 3.13 -> 2.40 s interleaved, no-op at scale)
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     sh0 = (
         docs.select("doc_id", F.split("text", " ").alias("w"))
         .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("sh"))
@@ -1538,7 +1555,14 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 here is the cross-engine determinism contract with the oracle
     (module header).
     """.format(k=_SPAN_K, m=_SPAN_MIN_COUNT)
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    from distributed_video_analytics_flink_spark.sources.tables import (
+        spread_small_scan,
+    )
+
+    # spread the stride-1 window fingerprinting over cores when the scan
+    # is one tiny split (r18; measured 2.19 -> 1.44 s interleaved,
+    # no-op at scale)
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents")).withColumn(
         "w", F.split("text", " ")
     )
     base = docs.select(

@@ -60,6 +60,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin a scan to ``defaultParallelism`` partitions when it
+    yields fewer splits than that (r18, VERDICT r17 #2): a tiny input
+    file produces ONE scan task, which serializes any CPU-heavy
+    projection fed by it (tokenize/md5/shingle) on a single core — the
+    measured cause of text_classifier_train_step's 1.02 8->32-core
+    scaling ratio. Scale-adaptive by construction: at 100 TB the scan's
+    own splits exceed the core count and this is a no-op (no shuffle is
+    added on a real cluster); locally the shuffled bytes are the tiny
+    file itself. Apply ONLY in front of projections whose per-row CPU
+    dominates the scan (measured per query — several exchange-adjacent
+    queries regress because the extra exchange outweighs the
+    parallelism; see OPTIMIZATION_r18.md)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        df = df.repartition(n)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
 ) -> dict[str, DataFrame]:
