@@ -2075,6 +2075,29 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQ_CODEBOOK_CACHE: dict = {}
 
+# r18 (VERDICT r17 #5): the lifecycle legs run sequences of BOUNDED
+# driver actions (top-5 collects, tiny M-step collects) whose jobs are
+# independent of each other; running them from a small driver thread
+# pool lets each job's task tail back-fill the others' idle executors
+# (guide §2.6 overlap-independent-jobs). Toggle exists for interleaved
+# A/B measurement only.
+_LIFECYCLE_OVERLAP = True
+
+
+def _overlap(*thunks):
+    """Run independent bounded driver actions concurrently and return
+    their results in submission order. Spark's scheduler interleaves
+    concurrent jobs FIFO (earlier job first, later ones back-fill), and
+    every thunk here collects a bounded result, so the pool is small and
+    short-lived. Falls back to sequential execution when toggled off."""
+    if not _LIFECYCLE_OVERLAP or len(thunks) <= 1:
+        return [t() for t in thunks]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
 
 def _pq_refined_codebook(emb: DataFrame, cache_key: str | None = None):
     """(CT0, CT1): the seeded PQ codebook and its one-Lloyd-round
@@ -4744,13 +4767,6 @@ def sim_ivf_pq_retrain_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         append_ivf_pq_index(blended, v1)
 
-        # pre-roll: stale-codebook serving (append-recall's arithmetic)
-        qtab_old = _np_q(
-            (qv.reshape(_PQ_SUBSPACES, 16)[:, None, :] - CT1) ** 2 * _Q
-        ).sum(axis=2)
-        pre_top = _adc_top5(read_ivf_pq_index(spark, v1), qtab_old)
-
-        # exact ground truth over the union corpus
         union = (
             emb.filter(F.col("vec_id") != 0)
             .select(
@@ -4758,22 +4774,37 @@ def sim_ivf_pq_retrain_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .unionAll(blended)
         )
-        cosine = _cos_q(
-            _dot_q("embedding", "qv"),
-            _dot_q("embedding", "embedding"),
-            _dot_q("qv", "qv"),
-        )
-        extop = [
-            int(r["vec_id"])
-            for r in union.withColumn("qv", qlit)
-            .select("vec_id", cosine.alias("cosine"))
-            .orderBy(F.desc("cosine"), F.asc("vec_id"))
-            .limit(5)
-            .collect()
-        ]  # bounded: 5 rows
+
+        # pre-roll serving, exact ground truth, and the PQ retrain are
+        # mutually independent once v1 is appended — run their bounded
+        # driver actions concurrently (r18, VERDICT r17 #5; guide §2.6)
+        def _pre():
+            # stale-codebook serving (append-recall's arithmetic)
+            qtab_old = _np_q(
+                (qv.reshape(_PQ_SUBSPACES, 16)[:, None, :] - CT1) ** 2 * _Q
+            ).sum(axis=2)
+            return _adc_top5(read_ivf_pq_index(spark, v1), qtab_old)
+
+        def _ext():
+            # exact ground truth over the union corpus
+            cosine = _cos_q(
+                _dot_q("embedding", "qv"),
+                _dot_q("embedding", "embedding"),
+                _dot_q("qv", "qv"),
+            )
+            return [
+                int(r["vec_id"])
+                for r in union.withColumn("qv", qlit)
+                .select("vec_id", cosine.alias("cosine"))
+                .orderBy(F.desc("cosine"), F.asc("vec_id"))
+                .limit(5)
+                .collect()
+            ]  # bounded: 5 rows
 
         # retrain on CURRENT vectors; roll v2 through the store
-        _, CT1u = _pq_refined_codebook(union, cache_key=None)
+        pre_top, extop, (_, CT1u) = _overlap(
+            _pre, _ext, lambda: _pq_refined_codebook(union, cache_key=None)
+        )
         v2 = os.path.join(root, "v2")
         tmp = store.stage(v2)
         (
@@ -5024,15 +5055,6 @@ def sim_ivf_pq_full_retrain_checked(spark: SparkSession, sf_dir: str) -> DataFra
         for s in range(_PQ_SUBSPACES):
             term = F.element_at(F.element_at(qt_old, s + 1), F.col("codes")[s] + 1)
             adc_old = term if adc_old is None else adc_old + term
-        pre_top = [
-            int(r["vec_id"])
-            for r in read_ivf_pq_index(spark, v1)
-            .filter(F.col("cent_id").isin(probes) & (F.col("vec_id") != 0))
-            .select("vec_id", adc_old.alias("adc"))
-            .orderBy(F.asc("adc"), F.asc("vec_id"))
-            .limit(5)
-            .collect()
-        ]  # bounded: 5 rows
 
         union = (
             emb.filter(F.col("vec_id") != 0)
@@ -5042,60 +5064,82 @@ def sim_ivf_pq_full_retrain_checked(spark: SparkSession, sf_dir: str) -> DataFra
             .unionAll(blended)
         ).localCheckpoint()  # reused by 2 assigns + M-step + encode + truth
 
-        # exact ground truth over the union corpus
-        cosine = _cos_q(
-            _dot_q("embedding", "qv"),
-            _dot_q("embedding", "embedding"),
-            _dot_q("qv", "qv"),
-        )
-        extop = [
-            int(r["vec_id"])
-            for r in union.withColumn("qv", qlit)
-            .select("vec_id", cosine.alias("cosine"))
-            .orderBy(F.desc("cosine"), F.asc("vec_id"))
-            .limit(5)
-            .collect()
-        ]  # bounded: 5 rows
+        # pre-roll serving, exact ground truth, the COARSE Lloyd chain
+        # and the PQ retrain are mutually independent once v1 is
+        # appended and the union is pinned — run their bounded driver
+        # actions concurrently (r18, VERDICT r17 #5; guide §2.6)
+        def _pre():
+            return [
+                int(r["vec_id"])
+                for r in read_ivf_pq_index(spark, v1)
+                .filter(F.col("cent_id").isin(probes) & (F.col("vec_id") != 0))
+                .select("vec_id", adc_old.alias("adc"))
+                .orderBy(F.asc("adc"), F.asc("vec_id"))
+                .limit(5)
+                .collect()
+            ]  # bounded: 5 rows
 
-        # COARSE retrain: one Lloyd round over the union (E-step under
-        # the old centroids, exact-integer M-step, empty cells keep
-        # their old centroid). ONE assignment arithmetic for both tensor
-        # sets (r15 review): _coarse_assigner closes over (C, cn) here
-        # and (C1, cn1) below.
-        _assign_old = _coarse_assigner(C, cn)
-
-        assigned = union.select(
-            "vec_id", "embedding", _assign_old("embedding").alias("cell_old")
-        ).localCheckpoint(eager=False)  # feeds M-step AND the reassign count
-        mstep = (
-            assigned.select("cell_old", F.posexplode("embedding").alias("pos", "val"))
-            .select(
-                "cell_old",
-                "pos",
-                F.expr("cast(round(val * 1e6) as bigint)").alias("qv"),
+        def _ext():
+            # exact ground truth over the union corpus
+            cosine = _cos_q(
+                _dot_q("embedding", "qv"),
+                _dot_q("embedding", "embedding"),
+                _dot_q("qv", "qv"),
             )
-            .groupBy("cell_old", "pos")
-            .agg(F.sum("qv").alias("sq"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )  # bounded: cells x dims rows (10 x 64)
-        C1 = C.copy()  # empty cells keep their old centroid
-        for r in mstep:
-            C1[r["cell_old"], r["pos"]] = r["sq"] / 1e6 / r["n"]
-        cn1 = np.sqrt(_np_q(C1 * C1 * _Q).sum(axis=1).astype(np.float64))
-        probe_cos = _np_q(C1 * qv[None, :] * _Q).sum(axis=1) / cn1
-        order = np.lexsort((np.arange(len(C1)), -probe_cos))
-        probes2 = [int(i) for i in order[:_N_PROBE]]
+            return [
+                int(r["vec_id"])
+                for r in union.withColumn("qv", qlit)
+                .select("vec_id", cosine.alias("cosine"))
+                .orderBy(F.desc("cosine"), F.asc("vec_id"))
+                .limit(5)
+                .collect()
+            ]  # bounded: 5 rows
 
-        _assign_new = _coarse_assigner(C1, cn1)
+        def _coarse():
+            # COARSE retrain: one Lloyd round over the union (E-step
+            # under the old centroids, exact-integer M-step, empty cells
+            # keep their old centroid). ONE assignment arithmetic for
+            # both tensor sets (r15 review): _coarse_assigner closes
+            # over (C, cn) here and (C1, cn1) below. Internally
+            # sequential (the reassign count needs C1).
+            _assign_old = _coarse_assigner(C, cn)
 
-        n_reassigned = (
-            assigned.withColumn("cell_new", _assign_new("embedding"))
-            .filter(F.col("cell_old") != F.col("cell_new"))
-            .count()
+            assigned = union.select(
+                "vec_id", "embedding", _assign_old("embedding").alias("cell_old")
+            ).localCheckpoint(eager=False)  # feeds M-step AND reassign count
+            mstep = (
+                assigned.select(
+                    "cell_old", F.posexplode("embedding").alias("pos", "val")
+                )
+                .select(
+                    "cell_old",
+                    "pos",
+                    F.expr("cast(round(val * 1e6) as bigint)").alias("qv"),
+                )
+                .groupBy("cell_old", "pos")
+                .agg(F.sum("qv").alias("sq"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )  # bounded: cells x dims rows (10 x 64)
+            C1 = C.copy()  # empty cells keep their old centroid
+            for r in mstep:
+                C1[r["cell_old"], r["pos"]] = r["sq"] / 1e6 / r["n"]
+            cn1 = np.sqrt(_np_q(C1 * C1 * _Q).sum(axis=1).astype(np.float64))
+            probe_cos = _np_q(C1 * qv[None, :] * _Q).sum(axis=1) / cn1
+            order = np.lexsort((np.arange(len(C1)), -probe_cos))
+            probes2 = [int(i) for i in order[:_N_PROBE]]
+
+            _assign_new = _coarse_assigner(C1, cn1)
+
+            n_reassigned = (
+                assigned.withColumn("cell_new", _assign_new("embedding"))
+                .filter(F.col("cell_old") != F.col("cell_new"))
+                .count()
+            )
+            return C1, cn1, probes2, n_reassigned
+
+        pre_top, extop, (C1, cn1, probes2, n_reassigned), (_, CT1u) = _overlap(
+            _pre, _ext, _coarse, lambda: _pq_refined_codebook(union, cache_key=None)
         )
-
-        # PQ retrain over the union (as the codebook-only roll)
-        _, CT1u = _pq_refined_codebook(union, cache_key=None)
 
         # re-encode EVERYTHING under (new coarse, new codebook) and roll
         # the re-partitioned layout through the store
