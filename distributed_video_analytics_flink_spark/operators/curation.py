@@ -297,7 +297,14 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus side never shuffles its shingles — contamination detection
     costs one corpus scan plus a map-side hash probe, and only (doc_id,
     matched-shingle) pairs reach the one real shuffle (the per-doc count)."""
-    docs = load_table(spark, sf_dir, "documents")
+    from distributed_video_analytics_flink_spark.sources.tables import (
+        spread_small_scan,
+    )
+
+    # spread the token/shingle stage over cores when the scan is
+    # one tiny split (r18; measured 1.15 -> 0.84 s min interleaved,
+    # no-op at scale - sources/tables.py::spread_small_scan)
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= 8
     )
@@ -2098,7 +2105,14 @@ def curation_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup signal WITHOUT the pair join, which is exactly its scale
     appeal — commonness costs a token-keyed groupBy where MinHash pair
     generation costs banded self-join candidates."""
-    docs = load_table(spark, sf_dir, "documents")
+    from distributed_video_analytics_flink_spark.sources.tables import (
+        spread_small_scan,
+    )
+
+    # spread the token/shingle stage over cores when the scan is
+    # one tiny split (r18; measured 2.10 -> 1.26 s min interleaved,
+    # no-op at scale - sources/tables.py::spread_small_scan)
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     arr = docs.select("doc_id", F.split("text", " ").alias("t"))
     sh = arr.select(
         "doc_id",

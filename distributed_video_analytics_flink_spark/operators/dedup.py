@@ -469,7 +469,14 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     |intersection| / |union| filters pairs. Restricted to one language
     partition ('de') as the grouping key — the standard sharding trick that
     keeps the candidate blow-up bounded per shard."""
-    docs = load_table(spark, sf_dir, "documents")
+    from distributed_video_analytics_flink_spark.sources.tables import (
+        spread_small_scan,
+    )
+
+    # spread the token/shingle stage over cores when the scan is
+    # one tiny split (r18; measured 1.65 -> 0.91 s min interleaved,
+    # no-op at scale - sources/tables.py::spread_small_scan)
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     # tok feeds three consumers (sizes + both join sides) — materialize the
     # inverted index once instead of re-tokenizing per consumer
     tok = _materialize(
@@ -1792,7 +1799,14 @@ def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_substring_spans' argument — the only new exchange is the
     per-doc span-array rollup, strictly smaller than the dup-window
     relation it aggregates."""
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    from distributed_video_analytics_flink_spark.sources.tables import (
+        spread_small_scan,
+    )
+
+    # spread the token/shingle stage over cores when the scan is
+    # one tiny split (r18; measured 2.38 -> 1.47 s min interleaved,
+    # no-op at scale - sources/tables.py::spread_small_scan)
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents")).withColumn(
         "w", F.split("text", " ")
     )
     grams = F.expr(

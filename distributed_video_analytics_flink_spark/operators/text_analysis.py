@@ -368,7 +368,14 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed on doc_id(+gram). Grams shuffle as short strings; at 100 TB
     swap the gram text for ``xxhash64(gram)`` to shrink shuffle width
     (kept as text here so the DuckDB oracle is hash-portable)."""
-    docs = load_table(spark, sf_dir, "documents")
+    from distributed_video_analytics_flink_spark.sources.tables import (
+        spread_small_scan,
+    )
+
+    # spread the token/shingle stage over cores when the scan is
+    # one tiny split (r18; measured 1.55 -> 1.27 s min interleaved,
+    # no-op at scale - sources/tables.py::spread_small_scan)
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     base = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= 3
     )
@@ -591,7 +598,14 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     count with partial combine, and the top-k is a TakeOrdered over
     (count, bigram) — no global sort materialized. Total order via the
     bigram tie-break keeps the LIMIT deterministic."""
-    docs = load_table(spark, sf_dir, "documents")
+    from distributed_video_analytics_flink_spark.sources.tables import (
+        spread_small_scan,
+    )
+
+    # spread the token/shingle stage over cores when the scan is
+    # one tiny split (r18; measured 1.22 -> 0.93 s min interleaved,
+    # no-op at scale - sources/tables.py::spread_small_scan)
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     # pre-project the words array: split() inside the lambda body is not
     # hoisted and would re-tokenize per bigram; the if() guard keeps
     # 1-token docs at an empty list (Spark's sequence(1, 0) descends and
@@ -656,7 +670,14 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_token_count_col,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    from distributed_video_analytics_flink_spark.sources.tables import (
+        spread_small_scan,
+    )
+
+    # spread the token/shingle stage over cores when the scan is
+    # one tiny split (r18; measured 1.51 -> 0.75 s min interleaved,
+    # no-op at scale - sources/tables.py::spread_small_scan)
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(
             "source",
@@ -749,7 +770,14 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     linearly. The weight table is formula-derived here (deterministic
     cross-engine contract); swapping in trained weights keeps the exact
     same plan because scoring is weight-value-agnostic."""
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    from distributed_video_analytics_flink_spark.sources.tables import (
+        spread_small_scan,
+    )
+
+    # spread the token/shingle stage over cores when the scan is
+    # one tiny split (r18; measured 0.77 -> 0.30 s min interleaved,
+    # no-op at scale - sources/tables.py::spread_small_scan)
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents")).withColumn(
         "w", F.split(F.lower("text"), " ")
     )
     score = F.expr(_cls_score_sql("spark"))
