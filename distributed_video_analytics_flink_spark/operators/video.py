@@ -803,6 +803,23 @@ def video_motion_replay_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_encodes_distributed(spark, jobs):
+    """Run independent single-threaded fixture-encode callables as ONE
+    Spark job and return their results in order (r18, the parity-leg
+    half of VERDICT r17 #5's batching idea): the parity fixtures are
+    encoded in-session by the pure-Python writers (0.8-1.5 s each,
+    GIL-bound — a driver thread pool cannot help), and running them
+    serially on the driver is why these legs scale 1.02 from 8 to 32
+    cores. Shipping each callable to an executor turns N sequential
+    encodes into one N-task job; the encoded containers return as
+    bounded bytes (tens of KB each). Fixture size is contract-fixed and
+    tiny, so the closure shipped per task is a few hundred KB."""
+    sc = spark.sparkContext
+    return sc.parallelize(range(len(jobs)), len(jobs)).map(
+        lambda i: jobs[i]()
+    ).collect()
+
+
 @query(
     "video_motion_passthrough_parity",
     oracle="""
@@ -857,8 +874,18 @@ def video_motion_passthrough_parity(spark: SparkSession, sf_dir: str) -> DataFra
         fix.append(px)
     root = tempfile.mkdtemp(prefix="dvafs-passthrough-")
     try:
-        avi = encode_avi(fix, codec="mjpeg", quality=85)
-        mp4 = encode_mp4_mjpeg(fix, quality=85)
+        # one JPEG encode per frame, as one distributed job (r18): both
+        # containers wrap the SAME quality-85 samples, and the pure-
+        # Python encoder at ~95 ms/frame serialized ~1.9 s on the driver
+        from distributed_video_analytics_flink_spark.sources.jpeg import (
+            encode_jpeg,
+        )
+
+        samples = _run_encodes_distributed(
+            spark, [lambda f=f: encode_jpeg(f, quality=85) for f in fix]
+        )
+        avi = encode_avi(fix, codec="mjpeg", quality=85, pre_encoded=samples)
+        mp4 = encode_mp4_mjpeg(fix, quality=85, pre_encoded=samples)
         for cam in range(2):
             with open(os.path.join(root, f"avi{cam}.avi"), "wb") as fh:
                 fh.write(avi)
@@ -963,12 +990,22 @@ def video_motion_gif_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         fix.append(px)
     root = tempfile.mkdtemp(prefix="dvafs-gifparity-")
     try:
+        # the two LZW GIF encodes are ~1.5 s each of GIL-bound Python —
+        # run the three container builds as one distributed job (r18)
+        ref_avi, gifd, giff = _run_encodes_distributed(
+            spark,
+            [
+                lambda: encode_avi(fix, codec="rawbgr"),
+                lambda: encode_gif(fix, delta=True, use_transparency=True),
+                lambda: encode_gif(fix),
+            ],
+        )
         with open(os.path.join(root, "ref.avi"), "wb") as fh:
-            fh.write(encode_avi(fix, codec="rawbgr"))
+            fh.write(ref_avi)
         with open(os.path.join(root, "gifd.gif"), "wb") as fh:
-            fh.write(encode_gif(fix, delta=True, use_transparency=True))
+            fh.write(gifd)
         with open(os.path.join(root, "giff.gif"), "wb") as fh:
-            fh.write(encode_gif(fix))
+            fh.write(giff)
 
         def leg(glob: str) -> DataFrame:
             # native fixture dims: no resize on either leg (identical

@@ -266,6 +266,7 @@ def encode_avi(
     codec: str = "rawbgr",
     quality: int = 95,
     jpeg_tables: str = "custom",
+    pre_encoded: list[bytes] | None = None,
 ) -> bytes:
     """Minimal AVI writer (tests and fixtures). ``codec="rawbgr"``: 24-bit
     BI_RGB bottom-up padded DIB rows, one '00db' chunk per frame.
@@ -273,7 +274,12 @@ def encode_avi(
     jpeg.py at the given ``quality`` (``jpeg_tables`` passes through to
     encode_jpeg — "annexk-nodht" reproduces the DHT-less hardware-encoder
     files the decoder's default-table fallback handles). No idx1 either
-    way (players prefer one; a sequential decode doesn't need it)."""
+    way (players prefer one; a sequential decode doesn't need it).
+
+    ``pre_encoded`` (mjpeg only, r18): per-frame JPEG bytes produced
+    elsewhere — callers that build several containers from one fixture
+    encode each frame once (or off-driver) and pass the samples here;
+    the container assembly itself is pure struct packing."""
     if not frames_bgr:
         raise AviError("need at least one frame")
     if codec not in ("rawbgr", "mjpeg"):
@@ -333,7 +339,10 @@ def encode_avi(
         _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
     )
     if mjpeg:
-        movi = _list(b"movi", b"".join(_chunk(b"00dc", _jpg(f)) for f in frames_bgr))
+        if pre_encoded is not None and len(pre_encoded) != len(frames_bgr):
+            raise AviError("pre_encoded length must match frames")
+        jpgs = pre_encoded if pre_encoded is not None else [_jpg(f) for f in frames_bgr]
+        movi = _list(b"movi", b"".join(_chunk(b"00dc", j) for j in jpgs))
     else:
         movi = _list(b"movi", b"".join(_chunk(b"00db", _dib(f)) for f in frames_bgr))
     body = AVI_MAGIC_FORM + hdrl + movi

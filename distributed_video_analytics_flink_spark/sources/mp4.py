@@ -437,6 +437,7 @@ def encode_mp4_mjpeg(
     quality: int = 95,
     jpeg_tables: str = "custom",
     samples_per_chunk: int = 2,
+    pre_encoded: list[bytes] | None = None,
 ) -> bytes:
     """Minimal MJPEG-in-MP4 writer (tests and fixtures): ftyp + mdat of
     concatenated baseline JPEGs + a moov whose sample tables describe
@@ -449,10 +450,19 @@ def encode_mp4_mjpeg(
     if not frames_bgr:
         raise Mp4Error("need at least one frame")
     h, w, _ = frames_bgr[0].shape
-    samples = [
-        encode_jpeg(np.asarray(f, dtype=np.uint8), quality=quality, tables=jpeg_tables)
-        for f in frames_bgr
-    ]
+    if pre_encoded is not None:
+        # per-frame JPEG bytes produced elsewhere (r18): callers building
+        # several containers from one fixture encode each frame once
+        if len(pre_encoded) != len(frames_bgr):
+            raise Mp4Error("pre_encoded length must match frames")
+        samples = list(pre_encoded)
+    else:
+        samples = [
+            encode_jpeg(
+                np.asarray(f, dtype=np.uint8), quality=quality, tables=jpeg_tables
+            )
+            for f in frames_bgr
+        ]
     n = len(samples)
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
     mdat_payload = b"".join(samples)
