@@ -25,6 +25,10 @@ def main() -> None:
     spark = get_spark(app_name="ab-r17-pagerank")
 
     def timed(block: int, aqe: bool) -> float:
+        # restore the SAVED module default, not a hardcoded value
+        # (ADVICE r17 #2: a changed default would silently leave the
+        # session at a stale block size)
+        old_block = S._PR_BLOCK
         S._PR_BLOCK = block
         old = spark.conf.get("spark.sql.adaptive.enabled")
         spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
@@ -37,7 +41,7 @@ def main() -> None:
             return dt
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", old)
-            S._PR_BLOCK = 5
+            S._PR_BLOCK = old_block
 
     variants = [(5, True), (10, True), (5, False), (10, False)]
     # warm-up (memo build for the shared knn edges)

@@ -573,11 +573,21 @@ def test_hard_negative_rank_limit_pushdown(spark):
         re.findall(r"\((\d+)\) (WindowGroupLimit|Exchange)", plan)
     )
     partial = [int(n) for n, kind in blocks.items() if kind == "WindowGroupLimit"]
-    exchanges = [int(n) for n, kind in blocks.items() if kind == "Exchange"]
     assert len(partial) >= 2, f"expected Partial+Final WindowGroupLimit, got {plan}"
-    # formatted-plan numbering grows leaf -> root: the Partial limit's
-    # number must be SMALLER than some exchange's (it runs map-side)
-    assert exchanges and min(partial) < max(exchanges), (partial, exchanges)
+    # formatted-plan numbering grows leaf -> root: the Partial limit must
+    # sit BELOW the specific head exchange that hash-partitions on
+    # (anchor_id, role) — not merely below max over all exchanges, which
+    # any later broadcast would satisfy (ADVICE r17 #3 hardening)
+    head_exchanges = [
+        int(n)
+        for n in re.findall(
+            r"\((\d+)\) Exchange\n(?:[^\n]*\n){0,2}"
+            r"Arguments: hashpartitioning\(anchor_id[^,]*, role",
+            plan,
+        )
+    ]
+    assert head_exchanges, f"no (anchor_id, role) head exchange found:\n{plan}"
+    assert min(partial) < min(head_exchanges), (partial, head_exchanges)
     assert "row_number(), 3, Partial" in plan and "row_number(), 3, Final" in plan
 
 
